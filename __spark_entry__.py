@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship report on sf0.001 (smoke: rows > 0).
+``queries()`` — every implemented operator from SURVEY.md §2, as
+``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — DuckDB twins for the correctness gate.
+
+Implementation lives in ``spendinganalysisetl_spark``; this module only
+adapts the package registry to the driver's interface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from spendinganalysisetl_spark import registry  # noqa: E402
+from spendinganalysisetl_spark.catalog import load_table  # noqa: E402
+from spendinganalysisetl_spark.operators import report  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full spending report (SURVEY.md A13) — one row with
+    global sums, date bracket, distinct name lists, per-category and
+    per-vendor totals, and the reference-parity bottom-5 "top_5_vendors".
+    """
+    sales = report.base_sales(
+        load_table(spark, SMOKE_SF_DIR, "lineitem"),
+        load_table(spark, SMOKE_SF_DIR, "orders"),
+        load_table(spark, SMOKE_SF_DIR, "part"),
+        load_table(spark, SMOKE_SF_DIR, "supplier"),
+    )
+    return report.assemble_report(sales)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(registry.ORACLE)

@@ -1,0 +1,56 @@
+"""Catalog: load the driver-generated star schema as named views.
+
+Replaces the reference's two data sources — the REST extractor
+(/root/reference/extractor.py:21-42, an N+1 HTTP fetch loop) and the
+Snowflake sink (/root/reference/loader.py:7-15) — with one distributed
+parquet scan per table (SURVEY.md S1/S2: the id-list + N point fetches
+collapse into a single scan with pushdown).
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One parquet scan; Catalyst handles column pruning + filter pushdown."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so SQL and DataFrame code can
+    address the same catalog (equivalent plans either way)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

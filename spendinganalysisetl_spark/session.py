@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Config rationale (SURVEY.md §4 "Config defaults for the port"):
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  sort-merge→broadcast conversion) — the scale path for 100 TB inputs.
+- ``spark.sql.session.timeZone=UTC`` pinned so timestamp semantics match
+  the DuckDB oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for every pandas interchange (pandas_udf / mapInPandas /
+  toPandas) — batch transfer instead of per-row pickling.
+- ``spark.sql.shuffle.partitions`` sized to local cores; on a real
+  cluster AQE's coalescePartitions makes the static value mostly a cap.
+
+The reference has no session concept (eager single-process pandas,
+/root/reference/transformer.py throughout); this factory is the port's
+single entry to configured execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "spendinganalysisetl_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Local-mode only knobs (driver memory) are set defensively; on a real
+    cluster the same conf is valid and the resource manager overrides
+    sizing.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
