@@ -37,10 +37,26 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One parquet scan; Catalyst handles column pruning + filter pushdown."""
+    """One parquet scan; Catalyst handles column pruning + filter pushdown.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
+    no native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as long nanoseconds and is converted here to a microsecond
+    timestamp via exact integer division (``div`` — no double rounding),
+    matching DuckDB's internal ns→µs timestamp handling.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # Runtime-settable SQL conf — set here (not only in the session
+        # factory) because the grading driver builds its own session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,89 @@
+"""Text expression builders for the LLM-data-pipeline operators
+(SURVEY.md §2.11 / north_star): tokenization, shingling, quality
+features, language-ID, fingerprinting.
+
+Everything here is built-in Catalyst expressions (split / regexp /
+transform / md5 / xxhash64) — no Python UDFs — so the 100 TB documents
+scan stays inside whole-stage codegen. The DuckDB oracles replicate the
+same formulas, which is why the heuristics are deliberately simple
+closed-form expressions rather than model calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword inventories for the language-ID heuristic: function words
+# that are near-unique per language. Deliberately small + public-domain.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "es", "y"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased). ``regexp_extract_all('\\S+')``
+    rather than split-on-whitespace so leading/trailing runs can't create
+    empty tokens and the DuckDB oracle can run the identical regex."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), F.lit(0))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word segmentation: split on word/number/punct
+    boundaries (letter runs, digit runs, single punct marks) — the
+    regex analog of a byte-pair pre-tokenizer's coarse pass."""
+    return F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingle set (distinct) for MinHash/Jaccard.
+    Built with sequence+transform+substring — pure Catalyst, no UDF."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), joined with single spaces."""
+    toks = ws_tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    md5 (not xxhash64) because DuckDB computes the identical digest, so
+    the oracle can check it; xxhash64 is used engine-internally where no
+    oracle parity is needed (minhash seeds)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = ws_tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(text).cast("double")
+    )
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """Count of marker-word occurrences (word-bounded) in the text."""
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))

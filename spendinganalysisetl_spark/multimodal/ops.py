@@ -1,0 +1,127 @@
+"""Multimodal binary-column operators (north_star requirement).
+
+Media rows are (media_id, kind, payload: binary, meta: struct) — the
+payload is opaque to the engine (same stance as the reference's VARIANT
+blob, SURVEY.md §1.2: semi-structured content typed at the boundary).
+Decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` operators: the Spark-side contract (schema in/out,
+partition-level batching, no driver collect) is real; the codec kernel
+is a DETERMINISTIC FAKE (this container has no image/audio libraries)
+clearly marked below — swap ``_fake_decode`` for a real PIL/ffmpeg call
+and nothing else changes.
+
+Scale notes: payloads travel executor-side only; mapInPandas streams
+Arrow batches so one task never holds more than
+``spark.sql.execution.arrow.maxRecordsPerBatch`` payloads; a real
+deployment would also set a bytes-based partition target
+(maxPartitionBytes) so wide binary rows don't blow task memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, digest string, feat_0 double, feat_1 double"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_digest string"
+
+
+def fake_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media rows for tests (payload = seeded
+    bytes; no RNG state, reproducible across runs)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * 8
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((i, kind, bytearray(payload), (64, 48, 1000 + i)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """DETERMINISTIC FAKE of a media decode. A real implementation would
+    be e.g. PIL.Image.open(io.BytesIO(payload)) — not available in this
+    container. The fake derives two stable floats from the payload digest
+    so downstream plumbing is testable bit-for-bit."""
+    d = hashlib.sha256(payload).digest()
+    return [d[0] / 255.0, d[1] / 255.0]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-payload feature extraction over mapInPandas: one Arrow batch
+    in, one out — the canonical shape for decode-heavy columns."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
+                    "feat_0": [f[0] for f in feats],
+                    "feat_1": [f[1] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Frame sampling for video rows: emits one row per sampled frame
+    index (a row-expanding mapInPandas — the UDTF shape). Frame digests
+    are the deterministic fake of a real frame grab."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_dig = [], [], []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video" or row["meta"] is None:
+                    continue
+                duration = row["meta"]["duration_ms"] or 0
+                for k in range(max(duration // every_ms, 1)):
+                    out_id.append(row["media_id"])
+                    out_idx.append(k)
+                    out_dig.append(
+                        hashlib.sha256(bytes(row["payload"]) + k.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_digest": out_dig}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(_sample, schema=FRAME_SCHEMA)

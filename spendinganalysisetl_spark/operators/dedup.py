@@ -1,0 +1,227 @@
+"""Deduplication family over ``documents`` (SURVEY.md §2.11 /
+north_star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Not present in the reference (its dedup is the sink-side upsert probe,
+/root/reference/transformer.py:30-76 — see ``sources.upsert``); these
+are the training-data-pipeline operators the engine adds.
+
+Scale design
+------------
+- exact dedup: hash-groupBy on a fingerprint — one shuffle keyed by the
+  digest, no text comparison beyond the group.
+- MinHash+LSH: signatures are computed scan-side (per-row, codegen'd
+  xxhash64 — no UDF, no shuffle); banding turns near-dup search into an
+  equi-join on (band_id, band_hash), so candidate generation is a hash
+  shuffle whose key space spreads uniformly. Candidate pairs are then
+  verified with exact Jaccard — only candidates pay the set-intersection
+  cost. This is the standard shingle→minhash→band→bucket-join pipeline
+  and survives a 1000-executor fan-out because every stage is a plain
+  shuffle/join on uniform keys.
+- SimHash: 64-bit signature via per-token xxhash64 bit-vote; hamming
+  bucketing by signature prefix blocks, verification by popcount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.text import char_shingles, fingerprint, ws_tokens
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest doc_id per
+    fingerprint (deterministic survivor rule — hash-groupBy, one
+    shuffle on the digest)."""
+    return (
+        documents.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+        .select("keep_id", "n_copies")
+    )
+
+
+def dedup_stats(documents: DataFrame) -> DataFrame:
+    """Corpus-level dedup summary: total rows, distinct normalized texts,
+    duplicate count."""
+    return documents.select(fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dups"),
+    )
+
+
+def _minhash_signatures(
+    documents: DataFrame, n_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — minhash over character shingles.
+
+    One xxhash64 per (shingle, seed) evaluated in a single projection:
+    explode shingles → per-seed hash via transform over a seed sequence →
+    groupBy(doc_id) array_agg of mins. Seeds are constant ints, so the
+    whole signature is a codegen'd expression tree.
+    """
+    shingled = documents.select(
+        "doc_id", F.explode(char_shingles(F.col("text"), shingle_n)).alias("sh")
+    )
+    hashes = shingled.select(
+        "doc_id",
+        F.array(
+            *[F.xxhash64(F.col("sh"), F.lit(i)) for i in range(n_hashes)]
+        ).alias("hs"),
+    )
+    agg_min = [
+        F.min(F.element_at(F.col("hs"), i + 1)).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = hashes.groupBy("doc_id").agg(*agg_min)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Pipeline: signature (scan-side) → band keys (rows×bands) →
+    self-equi-join on (band, band_sig) → distinct candidate pairs →
+    verify with exact shingle Jaccard. Estimated-similarity screening
+    happens implicitly through banding; the verify join re-reads only
+    candidate doc texts (broadcast-able at moderate candidate counts,
+    plain shuffle join otherwise).
+    """
+    rows_per_band = n_hashes // bands
+    sig = _minhash_signatures(documents, n_hashes, shingle_n)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = documents.select(
+        "doc_id", char_shingles(F.col("text"), shingle_n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, shingle_n: int = 3, threshold: float = 0.4, id_cap: int | None = 200
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over all pairs (optionally capped to the
+    first ``id_cap`` doc_ids — the quadratic baseline exists as the
+    oracle-checkable ground truth for the LSH path, not as the scale
+    path)."""
+    docs = documents
+    if id_cap is not None:
+        docs = docs.filter(F.col("doc_id") < id_cap)
+    sh = docs.select("doc_id", F.array_distinct(ws_tokens(F.col("text"))).alias("toks"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("t_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("t_a", "t_b")).cast("double")
+            / F.size(F.array_union("t_a", "t_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, bit-vote via sum of
+    ±1 per bit position, sign → bit. All higher-order functions; the
+    per-bit loop is an unrolled expression over a constant range."""
+    toks = documents.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # Bit masks via shiftleft on a long: 1 << 63 wraps to Long.MIN_VALUE
+    # JVM-side, whereas a Python literal 2**63 overflows py4j's signed
+    # long transport.
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*votes)
+    sig = voted.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the signature's top prefix bits
+    (equi-join — candidates share a block), verify by popcount of XOR.
+    A production variant would use multiple rotated blocks; one block
+    keeps the oracle simple while exercising the plan shape."""
+    sig = simhash_signatures(documents)
+    blocked = sig.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"), "block"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"), "block"
+    )
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

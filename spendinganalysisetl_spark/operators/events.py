@@ -1,0 +1,69 @@
+"""Event-time operators over the ``events`` table — the batch-equivalent
+of the reference's cron micro-batch (SURVEY.md §2.9: the reference
+recomputes everything every 5 minutes via Dagster cron,
+/root/reference/pipelines/dagster_pipeline.py:17-22; it has no windowed
+aggregation). Tumbling windows here are the generalized form; the
+streaming twin lives in ``streaming.jobs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.scalars import round2
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """ST2 batch-equivalent: 5-minute tumbling window per event_type.
+    ``F.window`` buckets event-time JVM-side; emitted as a window_start
+    string for oracle comparison (DuckDB ``time_bucket``)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round2(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization without a session-window primitive in batch:
+    lag(ts) per user → new-session flag on gap > threshold → running sum
+    of flags = session id. Two windows over the same (user_id, ts)
+    partitioning — one shuffle, both windows pipelined in a single sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    with_flag = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessioned = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -1,0 +1,69 @@
+"""Join family (SURVEY.md §2.3).
+
+The reference has no explicit relational join — its two join-shaped
+patterns are an N+1 HTTP lookup loop (J1, /root/reference/extractor.py:
+21-31 + transformer.py:166-167) and an existence-probe upsert (J2,
+transformer.py:46-65). J1 collapses into the catalog scan; J2 lives in
+``sources.upsert``. This module exposes the general equi-join surface
+the engine needs (SURVEY.md §7 Phase 4) so Catalyst's physical choice
+(broadcast-hash / shuffled-hash / sort-merge, AQE-converted at runtime)
+is exercised and oracle-checked.
+
+Scale notes: dimension sides (nation, region, small filtered sets) are
+broadcast explicitly; fact-fact joins are left to AQE which will pick
+sort-merge with skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.scalars import round2
+
+
+def revenue_by_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Inner 3-way: order revenue rolled up to customer nation.
+    nation (25 rows) broadcast; customer⋈orders shuffles on custkey."""
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            round2(F.sum("o_totalprice")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer: every customer with order count, 0 when orderless —
+    the left join preserves unmatched build-side rows."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left semi = EXISTS. Only customer columns survive; Spark plans a
+    semi-join that short-circuits on first probe match."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left anti = NOT EXISTS — the insert leg of the upsert MERGE (J2)."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.11 /
+north_star): brute-force cosine top-k as the exact baseline, plus an
+LSH-bucketed approximate variant as the scale path.
+
+Scale design
+------------
+- Brute force is O(Q×N) — correct ground truth, used when Q (the query
+  set) is small: the query side is broadcast so the corpus never
+  shuffles; each executor streams its corpus partition against the
+  in-memory query block. Top-k is a per-query window (partitioned by
+  query id — no global sort).
+- The LSH variant buckets vectors by random-hyperplane sign bits
+  (deterministic seed — fixed per-dimension coefficients derived from
+  xxhash64, not RNG state) and only scores within-bucket candidates:
+  candidate generation is an equi-join on the bucket key, turning the
+  cross product into a hash join. Probing multiple neighboring buckets
+  (bit-flip probes) trades recall for cost — the standard multi-probe
+  LSH compromise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: every query vector against the whole corpus.
+
+    query_ids defaults to vec_id < 10 (a small probe set). Deterministic
+    tiebreak on candidate id. Self-matches excluded.
+    """
+    queries = embeddings.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    queries = (
+        queries.filter(F.col("q_id").isin(query_ids))
+        if query_ids is not None
+        else queries.filter(F.col("q_id") < 10)
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _hyperplane_bit(vec, plane: int) -> F.Column:
+    """Sign bit of a deterministic pseudo-random hyperplane: coefficient
+    for dimension i of plane p = centered xxhash64(i, p) — reproducible
+    across runs/engines without RNG state (Date/random are unavailable
+    and undesirable here)."""
+    proj = F.aggregate(
+        F.zip_with(
+            F.transform(vec, lambda x: x.cast("double")),
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda i: (
+                    (F.xxhash64(i, F.lit(plane)) % F.lit(10007)).cast("double")
+                    / F.lit(10007.0)
+                    - F.lit(0.5)
+                ),
+            ),
+            lambda x, c: x * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec, n_planes: int = 8) -> F.Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed."""
+    bits = [_hyperplane_bit(vec, p) for p in range(n_planes)]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_planes: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates sharing (one of)
+    the query's LSH bucket(s). Recall < 1 by design; tested against the
+    brute-force ground truth, not an SQL oracle.
+
+    Multi-probe: the query side also probes every 1-bit-flip neighbor
+    bucket, raising the catch probability from p^n to p^n + n·p^(n-1)(1-p)
+    per candidate (p = per-plane agreement, n = n_planes) for the cost of
+    (n+1)× more *query-side* rows — the corpus is hashed exactly once and
+    never duplicated, so at scale the probe fan-out is on the small side
+    of the join."""
+    with_bucket = embeddings.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), n_planes).alias("bucket")
+    )
+    queries = with_bucket.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket"),
+    )
+    queries = (
+        queries.filter(F.col("q_id").isin(query_ids))
+        if query_ids is not None
+        else queries.filter(F.col("q_id") < 10)
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        queries = queries.select(
+            "q_id", "q_vec", F.explode(probes).alias("bucket")
+        )
+    corpus = with_bucket.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), F.col("bucket")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def pairwise_dot_stats(embeddings: DataFrame, id_cap: int = 50) -> DataFrame:
+    """Small exact pairwise-dot summary (oracle-checkable aggregate over
+    the quadratic kernel): mean/min/max dot product over all id<cap
+    pairs."""
+    a = embeddings.filter(F.col("vec_id") < id_cap).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
+    )
+    b = embeddings.filter(F.col("vec_id") < id_cap).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(dot(F.col("v_a"), F.col("v_b")).alias("d"))
+        .agg(
+            F.round(F.avg("d"), 4).alias("mean_dot"),
+            F.round(F.min("d"), 4).alias("min_dot"),
+            F.round(F.max("d"), 4).alias("max_dot"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

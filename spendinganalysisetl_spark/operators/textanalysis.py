@@ -1,0 +1,115 @@
+"""Text analysis over ``documents`` (SURVEY.md §2.11 / north_star):
+language-ID, quality scoring, token counting, fingerprinting.
+
+All closed-form Catalyst expressions (functions.text) so both the 100 TB
+scan stays codegen'd and the DuckDB oracle can replicate the exact
+formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_tokens,
+    fingerprint,
+    marker_hits,
+    punct_ratio,
+    stopword_ratio,
+    ws_tokens,
+)
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts and char length per doc."""
+    return documents.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, punctuation ratio, and a composite [0,1] score.
+
+    The composite mirrors common pretraining-corpus filters (Gopher/C4
+    style rules): long enough, word-like tokens, some stopwords, not
+    punctuation-soup.
+    """
+    toks = ws_tokens(F.col("text"))
+    n_toks = F.size(toks)
+    # sum of token lengths == length of text with all whitespace removed
+    # (identical formula in the DuckDB oracle)
+    len_no_ws = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s", ""))
+    mean_wlen = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        len_no_ws.cast("double") / n_toks.cast("double")
+    )
+    sw = stopword_ratio(F.col("text"))
+    pr = punct_ratio(F.col("text"))
+    score = (
+        F.when(F.col("n_chars") >= 200, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(sw >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(pr <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return documents.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(sw, 4).alias("stopword_ratio"),
+        F.round(pr, 4).alias("punct_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language ID: count per-language function-word hits,
+    argmax with deterministic tiebreak (marker count desc, language code
+    asc), 'und' when nothing hits. Compared against the table's labeled
+    ``lang`` column in tests; the oracle replicates the same counts."""
+    hit_cols = [
+        marker_hits(F.col("text"), LANG_MARKERS[lang]).alias(f"hits_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    scored = documents.select("doc_id", "lang", *hit_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"hits_{lang}").alias("hits"), F.lit(lang).alias("code")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"]).alias(
+            "detected_lang"
+        ),
+        *[F.col(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
+    ).orderBy("doc_id")
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """md5 fingerprint of normalized text (oracle: DuckDB md5)."""
+    return documents.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
+    """Grouped corpus profile: doc count, total/mean length per lang+source."""
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+        )
+        .orderBy("lang", "source")
+    )

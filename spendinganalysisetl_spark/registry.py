@@ -172,3 +172,632 @@ FROM sales GROUP BY vendor ORDER BY total DESC, vendor ASC LIMIT 5
 def q_top5_vendors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 corrected semantics: 5 highest-spend vendors."""
     return report.top_k_vendors(_sales(spark, sf_dir), 5)
+
+
+# --- time-series family (SURVEY.md §2.4 A9/A12, §2.5 W1-W3) -----------------
+
+# Long-form monthly (period, name, decimicents) with zero-densification —
+# SQL twin of operators.timeseries.period_name_amounts. Exact bigint
+# amounts keep every derived double bit-identical across engines.
+MONTHLY_CTE = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS period,
+         p.p_type AS name,
+         sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount))*10000 + 0.5) AS BIGINT)) AS dmc
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p   ON l.l_partkey  = p.p_partkey
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT pr.period, nm.name, coalesce(m.dmc, 0) AS dmc
+  FROM (SELECT DISTINCT period FROM monthly) pr
+  CROSS JOIN (SELECT DISTINCT name FROM monthly) nm
+  LEFT JOIN monthly m ON m.period = pr.period AND m.name = nm.name
+)
+"""
+
+
+def _dense_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import decimicents
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    monthly = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("period"),
+            F.col("p_type").alias("name"),
+        )
+        .agg(
+            F.sum(
+                decimicents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("dmc")
+        )
+    )
+    periods = monthly.select("period").distinct()
+    names = monthly.select("name").distinct()
+    return (
+        periods.crossJoin(names)
+        .join(monthly, ["period", "name"], "left")
+        .select("period", "name", F.coalesce("dmc", F.lit(0)).alias("dmc"))
+    )
+
+
+@register(
+    "monthly_category_amounts",
+    MONTHLY_CTE + "SELECT period, name, dmc / 10000.0 AS amount FROM dense ORDER BY period, name",
+)
+def q_monthly_category_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 long form: zero-densified month x category matrix
+    (transformer.py:216-218's pivot, kept long — see operators.timeseries)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _dense_monthly(spark, sf_dir)
+        .select("period", "name", (F.col("dmc") / F.lit(10000.0)).alias("amount"))
+        .orderBy("period", "name")
+    )
+
+
+@register(
+    "monthly_pct_change_last",
+    MONTHLY_CTE
+    + """
+SELECT name, period,
+       CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+            ELSE (dmc / 10000.0 - prev / 10000.0) / (prev / 10000.0) END AS pct_change
+FROM (
+  SELECT name, period, dmc,
+         lag(dmc) OVER (PARTITION BY name ORDER BY period) AS prev,
+         row_number() OVER (PARTITION BY name ORDER BY period DESC) AS rn
+  FROM dense
+) WHERE rn = 1 ORDER BY name
+""",
+)
+def q_monthly_pct_change_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: last period's month-over-month pct change per category
+    (transformer.py:221-222 ``pct_change().iloc[-1]``), SQL NULL
+    semantics on zero/first (ref-compat inf variant is unit-tested in
+    tests/test_quirks.py, not oracle-checked — SURVEY.md W1 decision)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dense = _dense_monthly(spark, sf_dir)
+    w = Window.partitionBy("name").orderBy("period")
+    wdesc = Window.partitionBy("name").orderBy(F.col("period").desc())
+    amt = F.col("dmc") / F.lit(10000.0)
+    prev_amt = F.lag("dmc").over(w) / F.lit(10000.0)
+    pct = F.when(
+        F.lag("dmc").over(w).isNull() | (F.lag("dmc").over(w) == 0),
+        F.lit(None).cast("double"),
+    ).otherwise((amt - prev_amt) / prev_amt)
+    return (
+        dense.withColumn("pct_change", pct)
+        .withColumn("rn", F.row_number().over(wdesc))
+        .filter(F.col("rn") == 1)
+        .select("name", "period", "pct_change")
+        .orderBy("name")
+    )
+
+
+@register(
+    "monthly_avg_absent_as_zero",
+    MONTHLY_CTE
+    + """
+SELECT name, (CAST(sum(dmc) AS DOUBLE) / count(*)) / 10000.0 AS avg_amount
+FROM dense GROUP BY name ORDER BY name
+""",
+)
+def q_monthly_avg_absent_as_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-category mean over ALL periods, absent month = 0
+    (transformer.py:217-226 — the zero-filled pivot's column mean; NOT
+    avg over present rows). Exact bigint sum / count keeps the double
+    engine-identical."""
+    from pyspark.sql import functions as F
+
+    return (
+        _dense_monthly(spark, sf_dir)
+        .groupBy("name")
+        .agg(
+            ((F.sum("dmc").cast("double") / F.count(F.lit(1))) / F.lit(10000.0)).alias(
+                "avg_amount"
+            )
+        )
+        .orderBy("name")
+    )
+
+
+# --- join family (SURVEY.md §2.3, §7 Phase 4) --------------------------------
+
+
+@register(
+    "join_revenue_by_nation",
+    """
+SELECT n.n_name, round(sum(o.o_totalprice), 2) AS total_revenue, count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.joins import revenue_by_nation
+
+    return revenue_by_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "join_left_order_counts",
+    """
+SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
+""",
+)
+def q_join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.joins import customer_order_counts
+
+    return customer_order_counts(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.joins import customers_with_orders
+
+    return customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.joins import customers_without_orders
+
+    return customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+# --- set operations (SURVEY.md §2.7) -----------------------------------------
+
+
+@register(
+    "setop_union_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+UNION SELECT s_nationkey FROM supplier ORDER BY nationkey
+""",
+)
+def q_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.setops import nations_union
+
+    return nations_union(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "setop_intersect_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey
+""",
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.setops import nations_intersect
+
+    return nations_intersect(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "setop_except_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey
+""",
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.setops import nations_except
+
+    return nations_except(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+# --- ranking windows / running totals (SURVEY.md §2.5 note, §7 Phase 4) ------
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3 ORDER BY o_custkey, rn
+""",
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.windows import top_orders_per_customer
+
+    return top_orders_per_customer(load_table(spark, sf_dir, "orders"), 3)
+
+
+@register(
+    "window_rank_dense_rank",
+    """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC, o_orderkey ASC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC, o_orderkey ASC) AS drnk
+FROM orders ORDER BY o_orderkey
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.windows import order_rank_dense_rank
+
+    return order_rank_dense_rank(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "window_monthly_running_total",
+    """
+SELECT month, round(revenue, 2) AS revenue,
+       round(sum(revenue) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+FROM (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+) ORDER BY month
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.windows import monthly_running_total
+
+    return monthly_running_total(load_table(spark, sf_dir, "orders"))
+
+
+# --- rollup / cube (SURVEY.md §7 Phase 4) ------------------------------------
+
+
+@register(
+    "rollup_returnflag_linestatus",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items,
+       grouping(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.rollup import lineitem_rollup
+
+    return lineitem_rollup(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "cube_returnflag_linestatus",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       grouping(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.rollup import lineitem_cube
+
+    return lineitem_cube(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- event-time operators (SURVEY.md §2.9 ST2 batch-equivalent) ---------------
+
+
+@register(
+    "events_tumbling_5min",
+    """
+SELECT strftime(to_timestamp(floor(epoch(ts)/300)*300), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.events import tumbling_counts
+
+    return tumbling_counts(load_table(spark, sf_dir, "events"), 5)
+
+
+@register(
+    "events_sessionize",
+    """
+SELECT user_id, session_seq, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+) GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.events import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), 30)
+
+
+# --- dedup family (SURVEY.md §2.11 / north_star) ------------------------------
+
+# Normalized-text fingerprint used on both sides: md5 of lowercased,
+# whitespace-collapsed, trimmed text.
+FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_stats",
+    f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT {FP_SQL}) AS n_distinct,
+       count(*) - count(DISTINCT {FP_SQL}) AS n_dups
+FROM documents
+""",
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.dedup import dedup_stats
+
+    return dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_survivors",
+    f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM (SELECT doc_id, {FP_SQL} AS fp FROM documents)
+GROUP BY fp ORDER BY keep_id
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+WITH toksets AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\S+', 0)) AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4, id_cap=200
+    )
+
+
+@register("minhash_lsh_pairs")  # no SQL oracle: xxhash64 signatures are
+# engine-internal; ground truth is the exact-Jaccard pytest comparison
+# (tests/test_dedup.py) — driver records rows-only (SURVEY.md §5.1).
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("simhash_near_pairs")  # rows-only for the same reason.
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- text analysis (SURVEY.md §2.11 / north_star) -----------------------------
+
+
+@register(
+    "text_token_counts",
+    """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '\\S+', 0)) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.textanalysis import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_scores",
+    """
+WITH feats AS (
+  SELECT doc_id, n_chars,
+         len(regexp_extract_all(lower(text), '\\S+', 0)) AS n_toks,
+         length(regexp_replace(lower(text), '\\s', '', 'g')) AS len_no_ws,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+', 0),
+             t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         length(text) AS len_all
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(len_no_ws AS DOUBLE) / n_toks END AS mean_word_len,
+         CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_toks END AS stopword_ratio,
+         CASE WHEN len_all = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len_all END AS punct_ratio
+  FROM feats
+)
+SELECT doc_id, n_chars,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(
+         (CASE WHEN n_chars >= 200 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+FROM scored ORDER BY doc_id
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.textanalysis import quality_scores
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    """
+WITH hits AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b', 0)) AS hits_de,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b', 0))    AS hits_en,
+         len(regexp_extract_all(lower(text), '\\b(el|los|las|es|y)\\b', 0))     AS hits_es,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b', 0))    AS hits_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 THEN 'und'
+            WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'fr'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            ELSE 'de' END AS detected_lang,
+       hits_de, hits_en, hits_es, hits_fr
+FROM hits ORDER BY doc_id
+""",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.textanalysis import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"SELECT doc_id, {FP_SQL} AS fp FROM documents ORDER BY doc_id",
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.textanalysis import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_corpus_stats",
+    """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 2) AS mean_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+)
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.textanalysis import corpus_stats_by_lang
+
+    return corpus_stats_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+# --- similarity search (SURVEY.md §2.11 / north_star) -------------------------
+
+
+@register(
+    "similarity_brute_force_topk",
+    """
+WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+     scored AS (
+  SELECT q.q_id, c.c_id,
+         round(
+           list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), (a,b) -> a+b)
+           / (sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))
+            * sqrt(list_reduce(list_transform(c.v, x -> x*x), (a,b) -> a+b))), 6) AS cos_sim
+  FROM q JOIN c ON c.c_id != q.q_id
+)
+SELECT q_id, c_id, cos_sim, rnk FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5 ORDER BY q_id, rnk
+""",
+)
+def q_similarity_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"), None, 5)
+
+
+@register("similarity_lsh_topk")  # rows-only: approximate by design;
+# recall vs brute force is asserted in tests/test_similarity.py.
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), None, 5)
+
+
+@register(
+    "similarity_pairwise_dot_stats",
+    """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 50),
+     d AS (
+  SELECT list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (x,y) -> x+y) AS d
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT round(avg(d), 4) AS mean_dot, round(min(d), 4) AS min_dot,
+       round(max(d), 4) AS max_dot, count(*) AS n_pairs
+FROM d
+""",
+)
+def q_similarity_dot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.similarity import pairwise_dot_stats
+
+    return pairwise_dot_stats(load_table(spark, sf_dir, "embeddings"), 50)

@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver-generated events.parquet stores TIMESTAMP(NANOS),
+        # which Spark's parquet converter rejects natively; read nanos as
+        # long and convert in catalog.load_table (exact integer ns→µs).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,120 @@
+"""Report sink + conditional upsert (SURVEY.md S5-S7).
+
+Reference behavior (/root/reference/transformer.py:30-132): probe the
+sink by (begin_date, end_date); if the key exists AND the new report's
+``total_transactions`` is greater, UPDATE details+fi_summary; if it
+exists but isn't greater, no-op; if missing, INSERT. That 47-line
+read-probe-then-write (non-atomic, one row at a time) is one MERGE
+statement semantically:
+
+    MERGE INTO sink t USING batch s
+      ON t.begin_date = s.begin_date AND t.end_date = s.end_date
+      WHEN MATCHED AND s.total_transactions > t.total_transactions
+        THEN UPDATE SET details..., fi_summary...
+      WHEN NOT MATCHED THEN INSERT *
+
+Without a transactional table format on the classpath (no Delta in this
+environment — SURVEY.md §7 Phase 3), the same semantics are emulated
+over plain parquet as one distributed plan:
+
+    kept     = target ⟕(anti on key-AND-wins) batch   -- rows not replaced
+    replaced = batch ⋉ (target where batch wins)       -- update leg
+    inserts  = batch ▷ target                          -- insert leg
+    new sink = kept ∪ replaced ∪ inserts  → atomic dir swap
+
+Scale notes: both legs are equi-joins on the range key — at 100 TB the
+target would be a partitioned table and the join prunes to touched
+partitions; the batch side is typically small → broadcast. The write is
+staged to a temp dir then renamed, the classic filesystem-atomic commit
+(readers see old or new, never half).
+
+Reference bug faithfully NOT ported: ``id=str(uuid.uuid4())`` as a
+Python default arg (transformer.py:100) evaluates once per process, so
+every insert in a run shares one PK. Here ids are per-row
+``F.expr('uuid()')`` (SURVEY.md S5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY = ("begin_date", "end_date")
+
+
+def write_reports(df: DataFrame, path: str, mode: str = "append") -> None:
+    """S5: append report rows; per-row uuid id + created_at stamp
+    (README.md:44-51 DDL shape: id, begin_date, end_date, details,
+    fi_summary, created_at)."""
+    (
+        df.withColumn("id", F.expr("uuid()"))
+        .withColumn("created_at", F.current_date())
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def read_reports(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def merge_reports(
+    spark: SparkSession,
+    sink_path: str,
+    batch: DataFrame,
+    compare_col: str = "total_transactions",
+) -> None:
+    """S6+S7: conditional upsert of ``batch`` into the parquet sink.
+
+    Update wins only when batch[compare_col] > target[compare_col]
+    (the reference's late-data rule, transformer.py:53-69). Keyed on
+    (begin_date, end_date). Idempotent: re-merging the same batch is a
+    no-op (equal counts lose the comparison).
+    """
+    if not os.path.exists(sink_path):
+        write_reports(batch, sink_path, mode="overwrite")
+        return
+
+    target = read_reports(spark, sink_path)
+    on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in KEY]
+
+    # Batch rows that win against an existing key (the UPDATE leg):
+    # keep target's id (stable PK across updates), refresh created_at.
+    winners = (
+        batch.alias("s")
+        .join(target.alias("t"), on)
+        .filter(F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}"))
+        .select("s.*", F.col("t.id").alias("_keep_id"))
+        .withColumn("id", F.col("_keep_id"))
+        .drop("_keep_id")
+        .withColumn("created_at", F.current_date())
+    )
+    # Batch rows with no existing key (the INSERT leg): new uuid per row.
+    inserts = (
+        batch.alias("s")
+        .join(target.alias("t"), on, "left_anti")
+        .withColumn("id", F.expr("uuid()"))
+        .withColumn("created_at", F.current_date())
+    )
+    # Target rows NOT replaced: anti-join against the winner keys.
+    winner_keys = winners.select(*KEY).distinct()
+    kept = target.alias("t").join(winner_keys.alias("w"),
+                                  [F.col(f"t.{k}") == F.col(f"w.{k}") for k in KEY],
+                                  "left_anti")
+
+    cols = [f.name for f in target.schema.fields]
+    merged = kept.select(*cols).unionByName(winners.select(*cols)).unionByName(
+        inserts.select(*cols)
+    )
+
+    # Filesystem-atomic commit: write staged, swap directories.
+    staged = f"{sink_path}.__staged__{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staged)
+    backup = f"{sink_path}.__old__{uuid.uuid4().hex}"
+    os.rename(sink_path, backup)
+    os.rename(staged, sink_path)
+    shutil.rmtree(backup)

@@ -1,0 +1,122 @@
+"""Extension-operator ground-truth tests (SURVEY.md §2.11): the
+LSH/SimHash paths have no SQL oracle, so their correctness gate is
+recall against the exact quadratic baselines on sf0.001 data plus
+planted-duplicate fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_counts(spark, documents):
+    from spendinganalysisetl_spark.operators.dedup import dedup_stats, exact_dedup
+
+    stats = dedup_stats(documents).collect()[0]
+    survivors = exact_dedup(documents)
+    assert survivors.count() == stats["n_distinct"]
+    assert stats["n_docs"] == documents.count()
+    assert stats["n_dups"] == stats["n_docs"] - stats["n_distinct"]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """Planted pairs: identical and one-word-edited copies must surface;
+    an unrelated doc must not pair with them."""
+    from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    edited = base.replace("hunter", "tiger")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),          # exact dup of 1
+            (3, edited),        # near dup of 1
+            (4, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, documents):
+    """Every CHARACTER-shingle-Jaccard >= 0.8 pair (exact, quadratic)
+    must be caught by the banded MinHash at threshold 0.6 — high-sim
+    pairs are exactly what banding must not miss."""
+    from spendinganalysisetl_spark.functions.text import char_shingles
+    from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = documents.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    sh = docs.select("doc_id", char_shingles(F.col("text"), 5).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("j") >= 0.8)
+            .collect()
+        )
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.6).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_exact_dups_zero_hamming(spark):
+    from spendinganalysisetl_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally unrelated words entirely different topic")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, embeddings):
+    """Bucketed ANN must recover a reasonable fraction of the exact
+    top-5 (single-table LSH, no multiprobe → modest recall bar)."""
+    from spendinganalysisetl_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    exact = brute_force_topk(embeddings, None, 5).collect()
+    approx = lsh_topk(embeddings, None, 5).collect()
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["c_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    # within-bucket results must agree with exact scoring
+    exact_scores = {(r["q_id"], r["c_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["c_id"])
+        if key in exact_scores:
+            assert r["cos_sim"] == pytest.approx(exact_scores[key], abs=1e-6)
