@@ -42,10 +42,23 @@ def bpe_ish_tokens(text: Column) -> Column:
     )
 
 
-def char_shingles(text: Column, n: int = 5) -> Column:
-    """Character n-gram shingle set (distinct) for MinHash/Jaccard.
-    Built with sequence+transform+substring — pure Catalyst, no UDF."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+def norm_text(text: Column) -> Column:
+    """Whitespace-collapsed lowercase text — the shingling base.
+
+    Kept as a separate projection on purpose: an outer column referenced
+    inside a higher-order-function lambda is inlined as a full expression
+    tree and re-evaluated PER ELEMENT, so shingling directly over
+    ``regexp_replace(...)`` runs the regex ~L times per document
+    (measured ~50 ms/doc). Materialize this behind an exchange (e.g.
+    ``partitioning.spread``) before calling ``char_shingles`` on it.
+    """
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+def char_shingles(norm: Column, n: int = 5) -> Column:
+    """Character n-gram shingle set (distinct) for MinHash/Jaccard over
+    an already-normalized text column (see ``norm_text``). Built with
+    sequence+transform+substring — pure Catalyst, no UDF."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
 

@@ -26,7 +26,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spendinganalysisetl_spark.functions.text import char_shingles, fingerprint, ws_tokens
+from spendinganalysisetl_spark.functions.text import (
+    char_shingles,
+    fingerprint,
+    norm_text,
+    ws_tokens,
+)
+from spendinganalysisetl_spark.partitioning import spread as _spread
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def _normed(documents: DataFrame) -> DataFrame:
+    """(doc_id, norm) with the normalized text MATERIALIZED behind an
+    exchange. Two reasons (both measured, see functions.text.norm_text):
+    the regex normalization must not inline into downstream HOF lambdas
+    (per-element re-evaluation), and the one-file-per-table source needs
+    a repartition before per-doc CPU work anyway."""
+    return _spread(documents.select("doc_id", norm_text(F.col("text")).alias("norm")))
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -57,27 +74,27 @@ def _minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — minhash over character shingles.
 
-    One xxhash64 per (shingle, seed) evaluated in a single projection:
-    explode shingles → per-seed hash via transform over a seed sequence →
-    groupBy(doc_id) array_agg of mins. Seeds are constant ints, so the
-    whole signature is a codegen'd expression tree.
+    Single-projection fold, NO shuffle: the shingle array sits in the
+    ``aggregate``'s *input* slot (evaluated once per row) and the
+    accumulator is the running per-seed minimum, updated with
+    ``zip_with`` against a constant seed array. Replaces the obvious
+    explode→groupBy(doc_id).agg(32×min) shape, which (a) shuffles
+    |shingles| rows and (b) drove a 32-wide aggregate measured ~60 µs/row
+    — the fold is ~20× faster at sf0.1 and embarrassingly parallel at
+    any scale.
     """
-    shingled = documents.select(
-        "doc_id", F.explode(char_shingles(F.col("text"), shingle_n)).alias("sh")
+    seeds = F.array(*[F.lit(i).cast("long") for i in range(n_hashes)])
+    init = F.array_repeat(F.lit(_MAX_LONG), n_hashes)
+    # Hash each shingle STRING once; the per-seed family re-hashes the
+    # resulting long (xxhash64 over (long, seed) — fixed-width, far
+    # cheaper than 32 string hashes per shingle). Same LSH family
+    # quality: a second independent hash of a uniform 64-bit value.
+    sig = F.aggregate(
+        F.transform(char_shingles(F.col("norm"), shingle_n), lambda s: F.xxhash64(s)),
+        init,
+        lambda acc, h: F.zip_with(acc, seeds, lambda m, seed: F.least(m, F.xxhash64(h, seed))),
     )
-    hashes = shingled.select(
-        "doc_id",
-        F.array(
-            *[F.xxhash64(F.col("sh"), F.lit(i)) for i in range(n_hashes)]
-        ).alias("hs"),
-    )
-    agg_min = [
-        F.min(F.element_at(F.col("hs"), i + 1)).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    sig = hashes.groupBy("doc_id").agg(*agg_min)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
-    )
+    return _normed(documents).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -112,6 +129,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     )
+    # The self-join references `banded` twice; without materialization the
+    # whole shingle→hash→min pipeline runs twice. The banded signature
+    # table is tiny (docs × bands rows of 3 longs) — cache it.
+    banded = banded.cache()
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -124,9 +145,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = documents.select(
-        "doc_id", char_shingles(F.col("text"), shingle_n).alias("sh")
-    )
+    # Shingle sets are joined twice (id_a and id_b side); cache the one
+    # computation instead of re-shingling the corpus per side.
+    sh = _normed(documents).select(
+        "doc_id", char_shingles(F.col("norm"), shingle_n).alias("sh")
+    ).cache()
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -152,7 +175,9 @@ def ngram_jaccard_pairs(
     docs = documents
     if id_cap is not None:
         docs = docs.filter(F.col("doc_id") < id_cap)
-    sh = docs.select("doc_id", F.array_distinct(ws_tokens(F.col("text"))).alias("toks"))
+    sh = _spread(docs).select(
+        "doc_id", F.array_distinct(ws_tokens(F.col("text"))).alias("toks")
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("t_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("t_b"))
     return (
@@ -170,36 +195,34 @@ def ngram_jaccard_pairs(
 
 def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, bit-vote via sum of
-    ±1 per bit position, sign → bit. All higher-order functions; the
-    per-bit loop is an unrolled expression over a constant range."""
-    toks = documents.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    # Bit masks via shiftleft on a long: 1 << 63 wraps to Long.MIN_VALUE
-    # JVM-side, whereas a Python literal 2**63 overflows py4j's signed
-    # long transport.
-    votes = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    voted = hashed.groupBy("doc_id").agg(*votes)
-    sig = voted.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-                ).otherwise(F.lit(0).cast("long"))
-                for i in range(bits)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    ±1 per bit position, sign → bit.
+
+    Same shuffle-free fold shape as ``_minhash_signatures``: token
+    hashes are the ``aggregate`` input (one xxhash64 per token), the
+    accumulator is the 64-long vote vector, and bit masks are a constant
+    array. Masks use JVM ``shiftleft`` — 1 << 63 wraps to Long.MIN_VALUE
+    JVM-side, whereas a Python literal 2**63 overflows py4j's signed
+    long transport.
+    """
+    masks = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(bits)])
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        F.transform(ws_tokens(F.col("norm")), lambda t: F.xxhash64(t)),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
-    return sig
+    sig = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return _normed(documents).select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(

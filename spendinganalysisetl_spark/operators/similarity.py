@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spendinganalysisetl_spark.functions.vectors import cosine, dot
+from spendinganalysisetl_spark.partitioning import spread as _spread
 
 
 def brute_force_topk(
@@ -42,7 +43,7 @@ def brute_force_topk(
         if query_ids is not None
         else queries.filter(F.col("q_id") < 10)
     )
-    corpus = embeddings.select(
+    corpus = _spread(embeddings).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     scored = (
@@ -113,7 +114,7 @@ def lsh_topk(
     (n+1)× more *query-side* rows — the corpus is hashed exactly once and
     never duplicated, so at scale the probe fan-out is on the small side
     of the join."""
-    with_bucket = embeddings.select(
+    with_bucket = _spread(embeddings).select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding"), n_planes).alias("bucket")
     )
     queries = with_bucket.select(
@@ -159,7 +160,7 @@ def pairwise_dot_stats(embeddings: DataFrame, id_cap: int = 50) -> DataFrame:
     """Small exact pairwise-dot summary (oracle-checkable aggregate over
     the quadratic kernel): mean/min/max dot product over all id<cap
     pairs."""
-    a = embeddings.filter(F.col("vec_id") < id_cap).select(
+    a = _spread(embeddings.filter(F.col("vec_id") < id_cap)).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
     )
     b = embeddings.filter(F.col("vec_id") < id_cap).select(

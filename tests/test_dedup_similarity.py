@@ -63,11 +63,13 @@ def test_minhash_recall_vs_exact_jaccard(spark, documents):
     """Every CHARACTER-shingle-Jaccard >= 0.8 pair (exact, quadratic)
     must be caught by the banded MinHash at threshold 0.6 — high-sim
     pairs are exactly what banding must not miss."""
-    from spendinganalysisetl_spark.functions.text import char_shingles
+    from spendinganalysisetl_spark.functions.text import char_shingles, norm_text
     from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs
 
     docs = documents.filter(F.col("doc_id") < 150).select("doc_id", "text")
-    sh = docs.select("doc_id", char_shingles(F.col("text"), 5).alias("sh"))
+    sh = docs.select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).select("doc_id", char_shingles(F.col("norm"), 5).alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     exact = {
