@@ -832,3 +832,270 @@ def q_similarity_dot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.similarity import pairwise_dot_stats
 
     return pairwise_dot_stats(load_table(spark, sf_dir, "embeddings"), 50)
+
+
+# --- scans / point queries (SURVEY.md §2.1 S3-S4, §2.2 P1-P2) -----------------
+
+
+@register(
+    "proj_order_dates",
+    """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders ORDER BY o_orderkey
+""",
+)
+def q_proj_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P1: 2-of-N column projection (main.py:25-28 SELECT begin_date,
+    end_date). Column pruning reaches the parquet scan (ReadSchema shows
+    only the two columns)."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "point_query_order",
+    """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 2) AS totalprice
+FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+LIMIT 1
+""",
+)
+def q_point_query_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P2: keyed point read + limit 1 (main.py:56-63). The key
+    predicate is pushed into the scan; the scalar "which key" subquery is
+    a broadcast of a one-row aggregate."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    mn = orders.agg(F.min("o_orderkey").alias("_mn"))
+    return (
+        orders.join(F.broadcast(mn), F.col("o_orderkey") == F.col("_mn"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .limit(1)
+    )
+
+
+# --- conditional upsert / MERGE semantics (SURVEY.md §2.1 S5-S7, §2.3 J2) -----
+
+_MERGE_CUTOFF = "1998-06-15"  # mid-month so one month has partial target counts
+
+_MERGE_MONTHLY = f"""
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS begin_date,
+         strftime(last_day(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS end_date,
+         count(*) AS total_transactions,
+         {money_sum_sql('o_totalprice')} AS total_spent
+  FROM orders {{where}} GROUP BY 1, 2
+"""
+
+
+@register(
+    "upsert_merge_monthly",
+    f"""
+WITH t AS ({_MERGE_MONTHLY.format(where=f"WHERE o_orderdate < DATE '{_MERGE_CUTOFF}'")}),
+     s AS ({_MERGE_MONTHLY.format(where="")})
+SELECT coalesce(s.begin_date, t.begin_date) AS begin_date,
+       coalesce(s.end_date, t.end_date) AS end_date,
+       CASE WHEN t.begin_date IS NULL THEN s.total_transactions
+            WHEN s.total_transactions > t.total_transactions THEN s.total_transactions
+            ELSE t.total_transactions END AS total_transactions,
+       CASE WHEN t.begin_date IS NULL THEN s.total_spent
+            WHEN s.total_transactions > t.total_transactions THEN s.total_spent
+            ELSE t.total_spent END AS total_spent,
+       CASE WHEN t.begin_date IS NULL THEN 'inserted'
+            WHEN s.total_transactions > t.total_transactions THEN 'updated'
+            ELSE 'kept' END AS action
+FROM s FULL JOIN t USING (begin_date, end_date)
+ORDER BY begin_date
+""",
+)
+def q_upsert_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S7: the reference's 47-line probe-then-UPDATE/INSERT/no-op
+    (transformer.py:30-76) as one relational MERGE plan — target built
+    from a historical cut of orders, batch from the full table, update
+    firing only where total_transactions grew (mid-month cutoff months),
+    insert for new months, no-op for untouched months."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+    from spendinganalysisetl_spark.sources.upsert import merge_frames
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                    "begin_date"
+                ),
+                F.date_format(
+                    F.last_day(F.date_trunc("month", "o_orderdate")), "yyyy-MM-dd"
+                ).alias("end_date"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("total_transactions"),
+                money_sum(F.col("o_totalprice")).alias("total_spent"),
+            )
+        )
+
+    target = monthly(orders.filter(F.col("o_orderdate") < F.lit(_MERGE_CUTOFF)))
+    batch = monthly(orders)
+    return merge_frames(target, batch).orderBy("begin_date")
+
+
+# --- wide dynamic pivot (SURVEY.md §2.4 A12 literal form) ---------------------
+
+
+@register(
+    "monthly_pivot_wide",
+    MONTHLY_CTE
+    + """
+SELECT * FROM (
+  PIVOT (SELECT period, name, dmc / 10000.0 AS amount FROM dense)
+  ON name USING sum(amount) GROUP BY period
+) ORDER BY period
+""",
+)
+def q_monthly_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 wide form: rows=months, cols=category names discovered from
+    the data (transformer.py:216-218's pandas pivot; Spark's ``pivot``
+    performs the same distinct-value discovery DuckDB's PIVOT does)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _dense_monthly(spark, sf_dir)
+        .withColumn("amount", F.col("dmc") / F.lit(10000.0))
+        .groupBy("period")
+        .pivot("name")
+        .sum("amount")
+        .orderBy("period")
+    )
+
+
+# --- scalar function family (SURVEY.md §2.8 F1-F4, F8) ------------------------
+
+
+@register(
+    "scalar_functions_showcase",
+    """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+       CAST(date_part('year', o_orderdate) AS BIGINT) AS order_year,
+       CAST(date_part('month', o_orderdate) AS BIGINT) AS order_month,
+       round(o_totalprice, 2) AS price_round2,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_long,
+       least(round(o_totalprice, 2), 50000.0) AS price_capped,
+       greatest(round(o_totalprice, 2), 1000.0) AS price_floored,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_tag
+FROM orders ORDER BY o_orderkey
+""",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4/F6/F8: date parse/format, numeric casts, round-half-up,
+    least/greatest scalars, string concat — the reference's entire
+    scalar surface (transformer.py:159,186,196,241-242; SURVEY.md §2.8)
+    exercised in one projection."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.round("o_totalprice", 2).alias("price_round2"),
+            # floor-then-cast: Spark's double→long CAST truncates while
+            # DuckDB's rounds — pin the semantics explicitly on both sides
+            F.floor("o_totalprice").cast("long").alias("price_long"),
+            F.least(F.round("o_totalprice", 2), F.lit(50000.0)).alias("price_capped"),
+            F.greatest(F.round("o_totalprice", 2), F.lit(1000.0)).alias("price_floored"),
+            F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+                "status_tag"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- report summarizer (SURVEY.md §2.10 U1) -----------------------------------
+
+
+@register(
+    "report_fi_summary",
+    SALES_CTE
+    + f"""
+, gs AS (
+  SELECT {money_sum_sql('amount')} AS total_spent,
+         count(*) AS total_transactions,
+         strftime(min(order_date), '%Y-%m-%d') AS begin_date,
+         strftime(max(order_date), '%Y-%m-%d') AS end_date,
+         count(DISTINCT category) AS n_categories,
+         count(DISTINCT vendor) AS n_vendors
+  FROM sales
+), bottom5 AS (
+  SELECT string_agg(printf('%s ($%.2f)', vendor, total), ', ' ORDER BY total, vendor) AS tops
+  FROM (
+    SELECT vendor, {money_sum_sql('amount')} AS total
+    FROM sales GROUP BY vendor ORDER BY total ASC, vendor ASC LIMIT 5
+  )
+)
+SELECT gs.begin_date, gs.end_date,
+       printf('Between %s and %s you spent $%.2f across %d transactions, %d categories and %d vendors. Lowest-spend vendors: %s.',
+              gs.begin_date, gs.end_date, gs.total_spent, gs.total_transactions,
+              gs.n_categories, gs.n_vendors, bottom5.tops) AS fi_summary
+FROM gs, bottom5
+""",
+)
+def q_report_fi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the deterministic template summarizer over the assembled
+    report (the reference's LLM call, transformer.py:246-278, replaced
+    by a pluggable interface whose correctness-path default renders the
+    same fields — SURVEY.md §2.10 decision)."""
+    from spendinganalysisetl_spark.operators.report import assemble_report
+    from spendinganalysisetl_spark.summarizer import TemplateSummarizer
+
+    rep = assemble_report(_sales(spark, sf_dir))
+    return TemplateSummarizer().summarize(rep).select(
+        "begin_date", "end_date", "fi_summary"
+    )
+
+
+# --- streaming / multimodal (rows-only: no SQL twin by nature) ----------------
+
+
+@register("stream_tumbling_5min")  # rows-only: exercises the REAL
+# Structured Streaming path (AvailableNow over a file source); its
+# batch-equivalence is pinned by tests/test_streaming.py.
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory,
+        tumbling_agg_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    run_to_memory(
+        tumbling_agg_stream(read_event_stream(spark, d)), "stream_tumbling_out"
+    )
+    return spark.table("stream_tumbling_out")
+
+
+@register("multimodal_features")  # rows-only: binary payloads are
+# engine-internal (deterministic fake decode — multimodal.ops).
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.multimodal.ops import extract_features, fake_media_table
+
+    return extract_features(fake_media_table(spark, 64)).orderBy("media_id")

@@ -62,6 +62,56 @@ def read_reports(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def merge_frames(
+    target: DataFrame,
+    batch: DataFrame,
+    key: tuple[str, ...] = KEY,
+    compare_col: str = "total_transactions",
+) -> DataFrame:
+    """S6+S7 as a pure relational plan (no files): the three MERGE legs
+    over two frames with identical schemas, returning the merged rows
+    plus an ``action`` column ('kept' | 'updated' | 'inserted').
+
+    - updated:  batch row whose key exists and whose compare_col GREW
+      (the reference's late-data rule, transformer.py:53-69)
+    - inserted: batch row with no existing key
+    - kept:     target row not replaced (missing from batch, or the
+      comparison did not fire — the reference's no-op leg, :64-65)
+
+    Both legs are equi-joins on the range key; at scale the batch side
+    is small → broadcast, and a partitioned target prunes to touched
+    partitions. ``merge_reports`` is the file-backed wrapper adding
+    id/created_at and the atomic directory swap.
+    """
+    cols = batch.columns
+    on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key]
+    winners = (
+        batch.alias("s")
+        .join(target.alias("t"), on)
+        .filter(F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}"))
+        .select(*[F.col(f"s.{c}") for c in cols])
+        .withColumn("action", F.lit("updated"))
+    )
+    inserts = (
+        batch.alias("s")
+        .join(target.alias("t"), on, "left_anti")
+        .select(*cols)
+        .withColumn("action", F.lit("inserted"))
+    )
+    winner_keys = winners.select(*key).distinct()
+    kept = (
+        target.alias("t")
+        .join(
+            winner_keys.alias("w"),
+            [F.col(f"t.{k}") == F.col(f"w.{k}") for k in key],
+            "left_anti",
+        )
+        .select(*cols)
+        .withColumn("action", F.lit("kept"))
+    )
+    return kept.unionByName(winners).unionByName(inserts)
+
+
 def merge_reports(
     spark: SparkSession,
     sink_path: str,
