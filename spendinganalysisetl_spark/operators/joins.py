@@ -67,3 +67,55 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` in the same key group (ties: the right row at
+    the exact timestamp matches).
+
+    Spark has no ASOF JOIN primitive (SURVEY.md §2.3 notes the gap); a
+    range join (l ⋈ r ON key AND r.ts <= l.ts, then max) explodes
+    quadratically within a key. Instead: the union-and-carry composition
+    — tag both inputs, union, and carry the most recent right payload
+    forward with ``last(ignorenulls)`` over (key, ts). ONE shuffle on the
+    key, linear work, and the window sort co-schedules both sides — this
+    is the scalable shape on a 1000-executor cluster (skewed keys split
+    by AQE like any other exchange).
+    """
+    from pyspark.sql import Window
+
+    l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    r_cols = [F.col(c).alias(f"_r_{c}") for c in right_vals]
+    r_tagged = (
+        right.select(F.col(key), F.col(right_ts).alias("_ts"), *r_cols)
+        .withColumn("_is_left", F.lit(0))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # Right rows sort BEFORE left rows at the same _ts (tag asc), so an
+    # exact-timestamp right row is visible to that left row.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .drop("_is_left", "_ts", *[f"_r_{c}" for c in right_vals])
+    )

@@ -156,6 +156,30 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45, id_cap: int | None = 500
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a similarity
+    threshold (north_star dedup family). The capped quadratic form is
+    the oracle-checkable ground truth; the LSH-bucketed path
+    (``lsh_topk`` / ``lsh_bucket``) is the scale variant — at 100 TB
+    you'd bucket first and verify only within-bucket candidates, exactly
+    like MinHash banding verifies with exact Jaccard."""
+    base = embeddings if id_cap is None else embeddings.filter(F.col("vec_id") < id_cap)
+    a = _spread(base).select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def pairwise_dot_stats(embeddings: DataFrame, id_cap: int = 50) -> DataFrame:
     """Small exact pairwise-dot summary (oracle-checkable aggregate over
     the quadratic kernel): mean/min/max dot product over all id<cap

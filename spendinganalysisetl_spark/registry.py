@@ -1099,3 +1099,86 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.multimodal.ops import extract_features, fake_media_table
 
     return extract_features(fake_media_table(spark, 64)).orderBy("media_id")
+
+
+# --- as-of join (SURVEY.md §2.3 gap note — operator Spark lacks natively) -----
+
+
+@register(
+    "asof_join_click_purchase",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       r.value AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the user's latest purchase at or
+    before it (operators.joins.asof_join — union-and-carry composition,
+    one shuffle; oracle is DuckDB's native ASOF JOIN)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, "user_id", "ts", "ts", ["ts", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+        F.col("asof_value"),
+    ).orderBy("event_id")
+
+
+# --- embedding-cosine near-dup (north_star dedup family) ----------------------
+
+
+@register(
+    "cosine_near_dup_pairs",
+    """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 500)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.45 ORDER BY id_a, id_b
+""",
+)
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.45, 500)
+
+
+@register("approx_distinct_stats")  # rows-only: HLL sketch estimates are
+# engine-specific by construction; the exact counterparts are
+# oracle-checked in unique_categories / text_corpus_stats.
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the sketch path a 100 TB distinct-cardinality query takes (SURVEY.md
+    A7 scale note)."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"),
+        F.countDistinct("o_orderpriority").alias("exact_priorities"),
+        F.approx_count_distinct("o_orderpriority", 0.01).alias("approx_priorities"),
+    )
