@@ -1166,6 +1166,124 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.45, 500)
 
 
+# --- map-typed data model roundtrip (SURVEY.md §1.1/§1.2) ---------------------
+
+
+@register(
+    "map_roundtrip_category_totals",
+    SALES_CTE
+    + """
+SELECT name, sum(dmc_order) / 10000.0 AS total_4dp
+FROM (
+  SELECT order_key, category AS name,
+         sum(CAST(floor(amount*10000 + 0.5) AS BIGINT)) AS dmc_order
+  FROM sales GROUP BY 1, 2
+) GROUP BY name ORDER BY total_4dp, name
+""",
+)
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2: the reference's per-upload ``spending_per_category``
+    map<string,double> (transformer.py:195,234) modeled faithfully —
+    build the map per order with map_from_entries, explode it back, and
+    re-aggregate. Totals must equal the direct grouped sum, proving the
+    MapType round-trip preserves content. explode(map) replaces the
+    reference's Python dict loops (SURVEY.md §2.10 note)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import decimicents
+
+    sales = _sales(spark, sf_dir)
+    per_order = sales.groupBy("order_key", "category").agg(
+        F.sum(decimicents(F.col("amount"))).alias("dmc")
+    )
+    maps = per_order.groupBy("order_key").agg(
+        F.map_from_entries(F.collect_list(F.struct("category", "dmc"))).alias(
+            "spending_per_category"
+        )
+    )
+    exploded = maps.select(
+        "order_key", F.explode("spending_per_category").alias("name", "dmc_order")
+    )
+    return (
+        exploded.groupBy("name")
+        .agg((F.sum("dmc_order") / F.lit(10000.0)).alias("total_4dp"))
+        .orderBy("total_4dp", "name")
+    )
+
+
+# --- percentiles / quantiles (§2.4 extension) ---------------------------------
+
+
+@register(
+    "percentile_prices_by_priority",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    SQL percentile_cont ≡ DuckDB quantile_cont). The approximate sketch
+    path for 100 TB is approx_percentile — same call shape, rows-only
+    cousin of approx_distinct_stats."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- grouping sets (§2.4 note: rollup/cube generalization) --------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       grouping(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    and grand total in one pass — Spark expands to a single Expand +
+    hash aggregate, identical plan shape to the SQL form."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
 @register("approx_distinct_stats")  # rows-only: HLL sketch estimates are
 # engine-specific by construction; the exact counterparts are
 # oracle-checked in unique_categories / text_corpus_stats.
