@@ -37,6 +37,36 @@ def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame, width_minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Sliding (hopping) window per event_type: each event contributes to
+    ``width/slide`` overlapping windows. ``F.window(ts, width, slide)``
+    expands JVM-side (a generator, not a join), then the usual partial/
+    final hash aggregation — the expansion factor is the constant
+    width/slide, so the shuffle grows linearly, not quadratically, with
+    the overlap."""
+    return (
+        events.groupBy(
+            F.window(
+                "ts", f"{width_minutes} minutes", f"{slide_minutes} minutes"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round2(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization without a session-window primitive in batch:
     lag(ts) per user → new-session flag on gap > threshold → running sum

@@ -69,6 +69,62 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     )
 
 
+def price_band_join(part: DataFrame, bands: DataFrame) -> DataFrame:
+    """Range (theta) join: each part matched to the band whose
+    ``[lo, hi)`` interval contains its retail price. The band table is
+    tiny and broadcast, so Spark plans BroadcastNestedLoopJoin — the
+    right physical shape for a non-equi predicate against a small
+    interval dimension (at 100 TB the fact side still never shuffles;
+    each task scans its partition against the in-memory band list)."""
+    joined = part.join(
+        F.broadcast(bands),
+        (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            round2(F.min("p_retailprice")).alias("min_price"),
+            round2(F.max("p_retailprice")).alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
+def salted_revenue_by_flag(lineitem: DataFrame, buckets: int = 16) -> DataFrame:
+    """Skew-safe aggregation by a low-cardinality key (l_returnflag has
+    3 values — at 100 TB each key is one giant reduce group). Salting
+    splits every key into ``buckets`` sub-groups hashed from the row
+    identity, aggregates partially per (key, salt), then re-aggregates
+    per key: two small shuffles instead of one 3-partition straggler.
+    Amounts are exact decimicent bigints, so the two-stage sum is
+    bit-identical to the direct one — oracle-checked against the plain
+    GROUP BY.
+    """
+    from spendinganalysisetl_spark.functions.scalars import decimicents
+
+    salted = lineitem.select(
+        "l_returnflag",
+        decimicents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "dmc"
+        ),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(buckets)).alias("_salt"),
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum("dmc").alias("dmc"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            (
+                F.floor((F.sum("dmc") + F.lit(50)) / F.lit(100.0)) / F.lit(100.0)
+            ).alias("revenue"),
+            F.sum("n").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -52,6 +52,48 @@ def order_rank_dense_rank(orders: DataFrame) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def rolling_avg_monthly(orders: DataFrame, months: int = 3) -> DataFrame:
+    """Rolling k-month mean revenue with an explicit ROWS frame
+    (``rowsBetween(-(k-1), 0)``) — the frame-spec generalization of W1's
+    lag. Revenue is carried as exact decimicent bigints so the windowed
+    sum is reassociation-proof; the mean divides two exact integers, so
+    the emitted double is bit-identical across engines."""
+    from spendinganalysisetl_spark.functions.scalars import decimicents
+
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(F.sum(decimicents(F.col("o_totalprice"))).alias("dmc"))
+    w = Window.orderBy("month").rowsBetween(-(months - 1), 0)
+    return monthly.select(
+        "month",
+        (F.col("dmc") / F.lit(10000.0)).alias("revenue"),
+        (
+            (F.sum("dmc").over(w).cast("double") / F.count(F.lit(1)).over(w))
+            / F.lit(10000.0)
+        ).alias("rolling_avg"),
+    ).orderBy("month")
+
+
+def order_navigation(orders: DataFrame, ntiles: int = 4) -> DataFrame:
+    """Navigation-function family per customer order history: lag / lead
+    (prev/next order price), ntile quartile, first_value (first-ever
+    order price) over one (custkey, date, key) sort — all four functions
+    share a single window partitioning, so one shuffle + one sort serves
+    the whole projection."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = round2(F.col("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        price.alias("totalprice"),
+        round2(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        round2(F.lead("o_totalprice").over(w)).alias("next_price"),
+        F.ntile(ntiles).over(w).alias("quartile"),
+        round2(F.first("o_totalprice").over(w)).alias("first_price"),
+    ).orderBy("o_custkey", "order_date", "o_orderkey")
+
+
 def monthly_running_total(orders: DataFrame) -> DataFrame:
     """Cumulative revenue by month: unbounded-preceding running sum over
     a per-month aggregate (W1's lag cousin with an explicit frame)."""

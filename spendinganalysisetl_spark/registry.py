@@ -1291,6 +1291,124 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sliding windows / frame specs / navigation (§2.5 generalization) ---------
+
+
+@register(
+    "events_sliding_10min",
+    """
+SELECT strftime(to_timestamp(floor(epoch(ts)/300)*300 - s.shift), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events CROSS JOIN (VALUES (0), (300)) s(shift)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min window, 5-min hop: every event lands in exactly
+    width/slide = 2 windows (oracle enumerates both via the shift
+    table)."""
+    from spendinganalysisetl_spark.operators.events import sliding_counts
+
+    return sliding_counts(load_table(spark, sf_dir, "events"), 10, 5)
+
+
+@register(
+    "window_rolling_3mo_avg",
+    """
+SELECT month, dmc / 10000.0 AS revenue,
+       (CAST(sum(dmc) OVER w AS DOUBLE) / count(*) OVER w) / 10000.0 AS rolling_avg
+FROM (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         sum(CAST(floor(o_totalprice*10000 + 0.5) AS BIGINT)) AS dmc
+  FROM orders GROUP BY 1
+) WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY month
+""",
+)
+def q_window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.windows import rolling_avg_monthly
+
+    return rolling_avg_monthly(load_table(spark, sf_dir, "orders"), 3)
+
+
+@register(
+    "window_order_navigation",
+    """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 2) AS totalprice,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       ntile(4) OVER w AS quartile,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_date, o_orderkey
+""",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.windows import order_navigation
+
+    return order_navigation(load_table(spark, sf_dir, "orders"), 4)
+
+
+# --- range join / skew-safe aggregation (§2.3 gap, §4 skew note) --------------
+
+# p_retailprice spans [900, 1000) in the test tables; bands split it 4 ways.
+_PRICE_BANDS = [
+    ("budget", 0.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, 10_000.0),
+]
+
+
+@register(
+    "range_join_price_bands",
+    f"""
+SELECT band, count(*) AS n_parts,
+       round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price
+FROM part
+JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)}) bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+""",
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.joins import price_band_join
+
+    bands = spark.createDataFrame(_PRICE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    return price_band_join(load_table(spark, sf_dir, "part"), bands)
+
+
+@register(
+    "salted_revenue_by_flag",
+    f"""
+SELECT l_returnflag,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling two-stage salted aggregation; the oracle is the
+    PLAIN group-by — exact bigint money makes the salted re-association
+    bit-identical, proving the rewrite is semantics-preserving."""
+    from spendinganalysisetl_spark.operators.joins import salted_revenue_by_flag
+
+    return salted_revenue_by_flag(load_table(spark, sf_dir, "lineitem"), 16)
+
+
+@register("ivf_topk")  # rows-only: k-means cells are engine-internal
+# (like every ANN index); recall vs brute force is pinned in
+# tests/test_dedup_similarity.py.
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), None, 5)
+
+
 @register("approx_distinct_stats")  # rows-only: HLL sketch estimates are
 # engine-specific by construction; the exact counterparts are
 # oracle-checked in unique_categories / text_corpus_stats.
