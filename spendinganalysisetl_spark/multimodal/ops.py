@@ -72,14 +72,29 @@ def fake_media_table(
     worker, and 32 workers for 64 rows is pure startup overhead
     (measured 14 s → ~2 s). A real media corpus would instead be sized
     by payload bytes via ``files.maxPartitionBytes``."""
-    rows = []
-    for i in range(n):
-        payload = hashlib.sha256(str(i).encode()).digest() * 8
-        kind = ("image", "audio", "video")[i % 3]
-        rows.append((i, kind, bytearray(payload), (64, 48, 1000 + i)))
     if num_partitions is None:
         num_partitions = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(num_partitions)
+    # Generated JVM-side (range → sha2 → unhex), not via driver
+    # createDataFrame: shipping even 64 pickled binary rows through py4j
+    # measured ~4.7 s, the distributed generation ~0.2 s — and payload
+    # bytes are bit-identical (sha2(utf8(i)) == hashlib.sha256(str(i))).
+    base = spark.range(0, n, 1, num_partitions).select(
+        F.col("id").alias("media_id")
+    )
+    digest = F.unhex(F.sha2(F.col("media_id").cast("string"), 256))
+    payload = F.concat(*([digest] * 8))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        F.lit(64).cast("int").alias("width"),
+        F.lit(48).cast("int").alias("height"),
+        (F.lit(1000) + F.col("media_id")).cast("int").alias("duration_ms"),
+    )
+    return base.select(
+        "media_id", kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )
 
 
 def _fake_decode(payload: bytes) -> list[float]:

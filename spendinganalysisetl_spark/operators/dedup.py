@@ -72,29 +72,30 @@ def dedup_stats(documents: DataFrame) -> DataFrame:
 def _minhash_signatures(
     documents: DataFrame, n_hashes: int, shingle_n: int
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — minhash over character shingles.
+    """(doc_id, m0..m{n-1}) — minhash signature as WIDE columns over
+    character shingles.
 
-    Single-projection fold, NO shuffle: the shingle array sits in the
-    ``aggregate``'s *input* slot (evaluated once per row) and the
-    accumulator is the running per-seed minimum, updated with
-    ``zip_with`` against a constant seed array. Replaces the obvious
-    explode→groupBy(doc_id).agg(32×min) shape, which (a) shuffles
-    |shingles| rows and (b) drove a 32-wide aggregate measured ~60 µs/row
-    — the fold is ~20× faster at sf0.1 and embarrassingly parallel at
-    any scale.
+    Physical shape: explode shingles → one string xxhash64 per shingle →
+    hash-aggregate with n_hashes ``min(xxhash64(h, seed))`` columns. The
+    per-seed family re-hashes the shingle's 64-bit digest (fixed-width —
+    far cheaper than n string hashes), and Generate + HashAggregate both
+    run inside whole-stage codegen. This beats the HOF-fold alternative
+    (``aggregate`` with a running-min array accumulator) 2.3× measured at
+    sf0.1 — higher-order-function lambdas are interpreted expressions,
+    and the fold allocates an n-long array per shingle. The shuffle is
+    harmless at any scale: map-side partial aggregation reduces each
+    partition to |docs-in-partition| wide rows before the exchange.
     """
-    seeds = F.array(*[F.lit(i).cast("long") for i in range(n_hashes)])
-    init = F.array_repeat(F.lit(_MAX_LONG), n_hashes)
-    # Hash each shingle STRING once; the per-seed family re-hashes the
-    # resulting long (xxhash64 over (long, seed) — fixed-width, far
-    # cheaper than 32 string hashes per shingle). Same LSH family
-    # quality: a second independent hash of a uniform 64-bit value.
-    sig = F.aggregate(
-        F.transform(char_shingles(F.col("norm"), shingle_n), lambda s: F.xxhash64(s)),
-        init,
-        lambda acc, h: F.zip_with(acc, seeds, lambda m, seed: F.least(m, F.xxhash64(h, seed))),
+    ex = _normed(documents).select(
+        "doc_id", F.explode(char_shingles(F.col("norm"), shingle_n)).alias("s")
     )
-    return _normed(documents).select("doc_id", sig.alias("sig"))
+    h = ex.select("doc_id", F.xxhash64("s").alias("h"))
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -121,7 +122,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.hash(*[
-                        F.element_at("sig", b * rows_per_band + r + 1)
+                        F.col(f"m{b * rows_per_band + r}")
                         for r in range(rows_per_band)
                     ])
                     for b in range(bands)
@@ -144,12 +145,22 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        .cache()
     )
-    # Shingle sets are joined twice (id_a and id_b side); cache the one
-    # computation instead of re-shingling the corpus per side.
-    sh = _normed(documents).select(
-        "doc_id", char_shingles(F.col("norm"), shingle_n).alias("sh")
-    ).cache()
+    # Verify needs shingle SETS — but only for docs that appear in a
+    # candidate pair: semi-join the corpus down to candidates before
+    # paying the (interpreted-HOF) array materialization. At scale the
+    # candidate set is orders of magnitude smaller than the corpus.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        _normed(documents.join(cand_ids, "doc_id", "left_semi"))
+        .select("doc_id", char_shingles(F.col("norm"), shingle_n).alias("sh"))
+        .cache()
+    )
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -160,7 +171,13 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
+        # repartition(1)+sortWithinPartitions, not orderBy: a global
+        # sort's range-partitioner sampling pass would re-run the verify
+        # joins; coalesce(1) would collapse the (narrow, broadcast-join)
+        # verify itself into one task. The explicit exchange keeps verify
+        # parallel and sorts the small result in one task.
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
     )
     return verified
 

@@ -43,13 +43,16 @@ def order_rank_dense_rank(orders: DataFrame) -> DataFrame:
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_orderpriority").asc(), F.col("o_orderkey").asc()
     )
+    # No trailing presentation sort: the result is row-per-order (large);
+    # a global orderBy adds a range-partitioner sampling pass that
+    # re-executes the window. Consumers order if they need order.
     return orders.select(
         "o_orderkey",
         "o_orderstatus",
         "o_orderpriority",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-    ).orderBy("o_orderkey")
+    )
 
 
 def rolling_avg_monthly(orders: DataFrame, months: int = 3) -> DataFrame:
@@ -91,7 +94,7 @@ def order_navigation(orders: DataFrame, ntiles: int = 4) -> DataFrame:
         round2(F.lead("o_totalprice").over(w)).alias("next_price"),
         F.ntile(ntiles).over(w).alias("quartile"),
         round2(F.first("o_totalprice").over(w)).alias("first_price"),
-    ).orderBy("o_custkey", "order_date", "o_orderkey")
+    )  # no presentation sort on the large output (see order_rank_dense_rank)
 
 
 def monthly_running_total(orders: DataFrame) -> DataFrame:

@@ -47,9 +47,34 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over an events parquet directory. Explicit
-    schema — streaming sources never infer (SURVEY.md §1.3)."""
+def read_event_stream(
+    spark: SparkSession, path: str, ts_is_nanos: bool = False
+) -> DataFrame:
+    """File-source stream over an events parquet path. Explicit schema —
+    streaming sources never infer (SURVEY.md §1.3).
+
+    ``ts_is_nanos=True`` streams the driver's raw table in place (its
+    ``ts`` is parquet TIMESTAMP(NANOS), surfaced as long under
+    ``nanosAsLong`` and converted here exactly like ``catalog.load_table``)
+    — no copy of the source is written just to stream it."""
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
