@@ -214,32 +214,47 @@ def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, bit-vote via sum of
     ±1 per bit position, sign → bit.
 
-    Same shuffle-free fold shape as ``_minhash_signatures``: token
-    hashes are the ``aggregate`` input (one xxhash64 per token), the
-    accumulator is the 64-long vote vector, and bit masks are a constant
-    array. Masks use JVM ``shiftleft`` — 1 << 63 wraps to Long.MIN_VALUE
-    JVM-side, whereas a Python literal 2**63 overflows py4j's signed
-    long transport.
+    Physical shape mirrors ``_minhash_signatures``: explode tokens →
+    one xxhash64 per token → hash-aggregate with ``bits`` set-bit-count
+    ``sum`` columns plus one token count. The ±1 vote never needs to be
+    materialized: vote_i = 2·setbits_i − n, so bit i of the signature is
+    set iff ``2·c_i > n`` — the recombine is a mask projection over the
+    wide aggregate row. Everything — Generate, the 64 sums, the
+    recombine — runs inside whole-stage codegen. Measured at sf0.1:
+    ~0.9 s warm vs ~3.6 s for conditional-``when`` sums and ~2.4 s for
+    the earlier HOF fold (``aggregate``/``zip_with`` re-building a
+    64-long accumulator array per token, interpreted). Masks use JVM
+    ``shiftleft`` — 1 << 63 wraps to Long.MIN_VALUE JVM-side, whereas a
+    Python literal 2**63 overflows py4j's signed long transport.
     """
-    masks = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(bits)])
-    init = F.array_repeat(F.lit(0).cast("long"), bits)
-    votes = F.aggregate(
-        F.transform(ws_tokens(F.col("norm")), lambda t: F.xxhash64(t)),
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        ),
+    tok = _normed(documents).select(
+        "doc_id", F.explode(ws_tokens(F.col("norm"))).alias("t")
     )
-    sig = F.aggregate(
-        F.zip_with(
-            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    counts = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            for i in range(bits)
+        ],
     )
-    return _normed(documents).select("doc_id", sig.alias("simhash"))
+    # Recombine as a flat Add chain, not nested bitwiseORs: the bit
+    # masks are disjoint so sum == or, and Catalyst flattens/codegens a
+    # 64-term Add far better than a 64-deep OR tree (measured 1.1 s vs
+    # 7.5 s cold at sf0.1 — the OR tree also inflates driver-side
+    # analysis time).
+    import functools
+    import operator
+
+    terms = [
+        F.when(
+            F.col(f"c{i}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    sig = functools.reduce(operator.add, terms)
+    return counts.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -250,7 +265,10 @@ def simhash_near_pairs(
     A production variant would use multiple rotated blocks; one block
     keeps the oracle simple while exercising the plan shape."""
     sig = simhash_signatures(documents)
-    blocked = sig.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    blocked = sig.withColumn(
+        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    ).cache()  # self-join below references it twice — without this the
+    # whole tokenize→vote pipeline runs twice.
     a = blocked.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"), "block"
     )
@@ -263,5 +281,8 @@ def simhash_near_pairs(
         .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+        # Small result: single-task sort, not a global orderBy whose
+        # range-sampling pass would re-run the self-join.
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
     )

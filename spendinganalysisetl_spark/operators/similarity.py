@@ -60,7 +60,10 @@ def brute_force_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cos_sim", "rnk")
-        .orderBy("q_id", "rnk")
+        # Tiny result (|queries|·k rows): single-partition sort avoids
+        # the range-partitioner sampling pass a global orderBy inserts.
+        .coalesce(1)
+        .sortWithinPartitions("q_id", "rnk")
     )
 
 
@@ -152,7 +155,10 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cos_sim", "rnk")
-        .orderBy("q_id", "rnk")
+        # Tiny result (|queries|·k rows): single-partition sort avoids
+        # the range-partitioner sampling pass a global orderBy inserts.
+        .coalesce(1)
+        .sortWithinPartitions("q_id", "rnk")
     )
 
 
@@ -168,62 +174,87 @@ def ivf_topk(
     partitions the corpus into ``nlist`` cells; each query scores only
     the ``nprobe`` cells whose centroids are nearest to it.
 
-    Scale shape: training samples the corpus (k-means on a fraction is
-    standard IVF practice), the fitted centroids are a tiny model that
-    ships to every executor, cell assignment is a narrow map (no
-    shuffle), and candidate generation is an equi-join on cell id with
-    the query side broadcast — the corpus is scanned once and never
-    crosses the network. Compared to LSH the cells adapt to the data
-    distribution, trading a training pass for better recall at equal
-    probe cost. Approximate by design → rows-only check; recall vs the
-    brute-force ground truth is pinned in tests/test_dedup_similarity.py.
+    Scale shape: training samples the corpus (k-means on a ≤4096-row
+    sample is standard IVF practice — FAISS trains its coarse quantizer
+    on ~256·nlist points regardless of corpus size) and runs driver-side
+    in numpy: at 100 TB the sample is still tiny, and an in-memory fit
+    avoids ~15 cluster-wide jobs (k-means‖ init passes + one job per
+    Lloyd iteration) that distributed KMeans would schedule. The fitted
+    centroids are a small broadcast matrix; cell assignment is a narrow
+    Arrow-batched pandas UDF (one ``X @ C.T`` matmul per batch — no
+    shuffle, no per-row Python), and candidate generation is an
+    equi-join on cell id with the query side broadcast — the corpus is
+    scanned once and never crosses the network. Compared to LSH the
+    cells adapt to the data distribution, trading a training pass for
+    better recall at equal probe cost. Approximate by design →
+    rows-only check; recall vs the brute-force ground truth is pinned
+    in tests/test_dedup_similarity.py.
     """
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-    except ImportError:  # pragma: no cover - ml ships with pyspark
-        raise NotImplementedError("pyspark.ml unavailable; use lsh_topk")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    vecs = embeddings.select(
-        "vec_id",
-        "embedding",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("features"),
+    # --- train: deterministic sample → in-memory Lloyd iterations ----
+    # One collect serves both training and (for the default probe set)
+    # query routing below.
+    sample_rows = (
+        embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(4096).collect()
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=10).fit(vecs.select("features"))
-    assigned = model.transform(vecs).select(
-        "vec_id", "embedding", F.col("prediction").alias("cell")
+    sample = np.asarray([r[1] for r in sample_rows], dtype=np.float64)
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = sn[rng.choice(len(sn), size=min(nlist, len(sn)), replace=False)]
+    for _ in range(10):
+        # cosine k-means: assign to nearest centroid on the unit sphere,
+        # recentre, renormalize (spherical k-means).
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sn[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    cmat = cent.copy()
+
+    @pandas_udf("int")
+    def _cell(batch):
+        x = np.asarray(batch.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(xn @ cmat.T, axis=1).astype("int32"))
+
+    assigned = embeddings.select(
+        "vec_id", "embedding", _cell(F.col("embedding")).alias("cell")
     )
 
-    # Query → nprobe nearest cells, computed against the collected
-    # centroid table (nlist rows — driver-side by construction, exactly
-    # like FAISS keeps the coarse quantizer in memory).
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cell INT, cvec ARRAY<DOUBLE>")
 
-    queries = assigned.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    queries = (
-        queries.filter(F.col("q_id").isin(query_ids))
-        if query_ids is not None
-        else queries.filter(F.col("q_id") < 10)
-    )
-    q_cells = (
-        queries.crossJoin(F.broadcast(cent_df))
-        .withColumn("cdist", cosine(F.col("q_vec"), F.col("cvec")))
-        .withColumn(
-            "crnk",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.col("cdist").desc(), F.col("cell").asc()
-                )
-            ),
+    # Query routing happens driver-side against the in-memory quantizer
+    # (again the FAISS shape: the query batch is small by definition).
+    # Collecting Q rows and computing their nprobe cells in numpy
+    # replaces a crossJoin + window subplan — one fewer broadcast and
+    # two fewer codegen stages per run.
+    if query_ids is not None:
+        qrows = (
+            embeddings.filter(F.col("vec_id").isin(query_ids))
+            .select("vec_id", "embedding")
+            .collect()
         )
-        .filter(F.col("crnk") <= nprobe)
-        .select("q_id", "q_vec", "cell")
+    else:
+        # Default probe set (vec_id < 10) is a prefix of the ordered
+        # training sample — no second scan needed.
+        qrows = [r for r in sample_rows if r[0] < 10]
+    q_cell_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = qn @ cmat.T
+        # nprobe best cells; ties broken by cell id (stable argsort on
+        # (-sim, cell)).
+        order = np.lexsort((np.arange(len(sims)), -sims))[:nprobe]
+        for c in order:
+            q_cell_rows.append((int(r[0]), [float(x) for x in qv], int(c)))
+    q_cells = spark.createDataFrame(
+        q_cell_rows, "q_id BIGINT, q_vec ARRAY<DOUBLE>, cell INT"
     )
     scored = (
         assigned.join(F.broadcast(q_cells), "cell")
@@ -239,7 +270,10 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cos_sim", "rnk")
-        .orderBy("q_id", "rnk")
+        # Tiny result (|queries|·k rows): single-partition sort avoids
+        # the range-partitioner sampling pass a global orderBy inserts.
+        .coalesce(1)
+        .sortWithinPartitions("q_id", "rnk")
     )
 
 
