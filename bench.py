@@ -57,12 +57,14 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=CPUS)
     qs = entrymod.queries()
 
-    # Warm-up: one cheap aggregate touches the IO + codegen paths.
-    _execute(
-        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
-        .groupBy("l_returnflag")
-        .count()
-    )
+    # Warm-up: one cheap aggregate per table touches the IO + scan-codegen
+    # paths (parquet footers, vectorized reader setup, block-manager init)
+    # that a long-running cluster amortizes across queries.
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        _execute(spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).groupBy().count())
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -100,3 +100,30 @@ def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     """Count of marker-word occurrences (word-bounded) in the text."""
     pattern = r"\b(" + "|".join(markers) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def hex_fold(md5_col: Column, start: int, width: int = 14) -> Column:
+    """Fold ``width`` hex chars of an md5-hex column (1-based ``start``)
+    into a BIGINT with positional base-16 weights. Pure built-ins on
+    both sides (substring / instr ↔ substr / strpos), so a DuckDB
+    oracle reproduces the value bit-for-bit — unlike xxhash64, which is
+    engine-internal.
+
+    Building block of the portable Kirsch-Mitzenmacher hash family used
+    by the oracle-checked MinHash variant: ONE md5 per value, two
+    56-bit folds h1 (chars 1-14) and h2 (chars 15-28), then
+    ``h_i = h1 + i*h2`` (i < 8 keeps the sum under 2^59 — no int64
+    overflow, which DuckDB raises on rather than wrapping). Apply the
+    folds in their own projection so the 14-op chains appear once in
+    the plan, not once per family member. The scale path keeps xxhash64
+    (one JVM hash, no string folding).
+
+    SQL twin: ``registry.hex_fold_sql``.
+    """
+    total = F.lit(0).cast("long")
+    for p in range(start, start + width):
+        hv = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(md5_col, p, 1)) - 1
+        ).cast("long")
+        total = total * 16 + hv
+    return total

@@ -286,3 +286,92 @@ def simhash_near_pairs(
         .repartition(1)
         .sortWithinPartitions("id_a", "id_b")
     )
+
+
+def minhash_lsh_pairs_portable(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.6,
+    id_cap: int | None = 1000,
+) -> DataFrame:
+    """Oracle-checkable MinHash+LSH near-dup pairs: identical pipeline
+    shape to ``minhash_lsh_pairs`` (shingle → minhash → band → bucket
+    join → exact-Jaccard verify) but built on the portable md5-fold
+    Kirsch-Mitzenmacher hash family (``functions.text.hex_fold``) so a
+    DuckDB oracle reproduces the signatures bit-for-bit — this is the
+    differential-correctness proof for the whole MinHash family; the
+    xxhash64 variant stays the scale path (cheaper per-value hash,
+    wider signature). Capped to the first ``id_cap`` docs because the
+    md5 + hex-fold hashing is several times the per-shingle work of the
+    production variant.
+    """
+    from spendinganalysisetl_spark.functions.text import hex_fold
+
+    assert n_hashes <= 8, "portable family: h1 + i*h2 overflows beyond i=7"
+    rows_per_band = n_hashes // bands
+    base = documents if id_cap is None else documents.filter(F.col("doc_id") < id_cap)
+    shingled = _spread(
+        base.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    ).select("doc_id", char_shingles(F.col("norm"), shingle_n).alias("sh"))
+    shingled = shingled.cache()  # reused: signature build + Jaccard verify
+    ex = shingled.select("doc_id", F.explode("sh").alias("s"))
+    # md5 then the two folds in their OWN projections: each 14-op fold
+    # chain appears once in the plan, and the n family members are
+    # trivial affine combinations inside the aggregate.
+    hm = ex.select("doc_id", F.md5("s").alias("hx"))
+    hh = hm.select(
+        "doc_id",
+        hex_fold(F.col("hx"), 1).alias("h1"),
+        hex_fold(F.col("hx"), 15).alias("h2"),
+    )
+    sig = hh.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(i).cast("long") * F.col("h2")).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"m{b * rows_per_band + r}").alias(f"k{r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    banded = banded.cache()
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
+    )

@@ -29,7 +29,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
         F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
         F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
@@ -63,7 +63,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         F.round(sw, 4).alias("stopword_ratio"),
         F.round(pr, 4).alias("punct_ratio"),
         F.round(score, 2).alias("quality_score"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
@@ -92,14 +92,14 @@ def lang_id(documents: DataFrame) -> DataFrame:
             "detected_lang"
         ),
         *[F.col(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def fingerprints(documents: DataFrame) -> DataFrame:
     """md5 fingerprint of normalized text (oracle: DuckDB md5)."""
     return documents.select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:

@@ -1441,3 +1441,75 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").alias("exact_priorities"),
         F.approx_count_distinct("o_orderpriority", 0.05).alias("approx_priorities"),
     )
+
+
+def hex_fold_sql(expr: str, start: int, width: int = 14) -> str:
+    """DuckDB twin of ``functions.text.hex_fold``: fold ``width`` hex
+    chars of an md5-hex expression into a BIGINT."""
+    total = "CAST(0 AS BIGINT)"
+    for p in range(start, start + width):
+        hv = f"CAST(strpos('0123456789abcdef', substr({expr},{p},1)) - 1 AS BIGINT)"
+        total = f"({total} * 16 + {hv})"
+    return total
+
+
+_PMH_SEEDS = 8
+_PMH_BANDS = 4
+_PMH_MINS = ",\n         ".join(
+    f"min(h1 + {i} * h2) AS m{i}" for i in range(_PMH_SEEDS)
+)
+_PMH_BAND_COND = " OR ".join(
+    f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})"
+    for b in range(_PMH_BANDS)
+)
+
+
+@register(
+    "minhash_lsh_pairs_portable",
+    f"""
+WITH normed AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id < 1000
+), shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(norm) - 4, 1) + 1),
+                                      i -> substr(norm, i, 5))) AS sh
+  FROM normed
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+), hx AS (
+  SELECT doc_id, md5(s) AS m FROM ex
+), hh AS (
+  SELECT doc_id,
+         {hex_fold_sql('m', 1)} AS h1,
+         {hex_fold_sql('m', 15)} AS h2
+  FROM hx
+), sigs AS (
+  SELECT doc_id,
+         {_PMH_MINS}
+  FROM hh GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {_PMH_BAND_COND}
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN shingled sa ON sa.doc_id = c.id_a
+JOIN shingled sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-correctness proof for the MinHash+LSH family: same
+    shingle→minhash→band→bucket-join→verify pipeline as
+    ``minhash_lsh_pairs``, built on the engine-portable md5-fold hash so
+    DuckDB reproduces signatures (and therefore candidates and pairs)
+    bit-for-bit. The xxhash64 variant stays the scale path."""
+    from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    return minhash_lsh_pairs_portable(load_table(spark, sf_dir, "documents"))
