@@ -288,6 +288,70 @@ def simhash_near_pairs(
     )
 
 
+def simhash_near_pairs_portable(
+    documents: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 4,
+    prefix_bits: int = 12,
+    id_cap: int | None = 1000,
+) -> DataFrame:
+    """Oracle-checkable SimHash near-dup pairs: same pipeline shape as
+    ``simhash_near_pairs`` (per-token hash → bit-vote → prefix block →
+    popcount verify) but on a 32-bit md5-fold hash
+    (``functions.text.hex_fold`` over 8 hex chars) that DuckDB
+    reproduces bit-for-bit — the differential-correctness proof for the
+    SimHash family, like ``minhash_lsh_pairs_portable`` for MinHash.
+    The xxhash64 64-bit variant stays the scale path. Capped to the
+    first ``id_cap`` docs: md5-on-string is several times the per-token
+    cost of the JVM-native hash.
+    """
+    from spendinganalysisetl_spark.functions.text import hex_fold
+
+    base = documents if id_cap is None else documents.filter(F.col("doc_id") < id_cap)
+    tok = _spread(base.select("doc_id", "text")).select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("t")
+    )
+    h = tok.select("doc_id", hex_fold(F.md5("t"), 1, width=8).alias("h"))
+    counts = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            for i in range(bits)
+        ],
+    )
+    import functools
+    import operator
+
+    terms = [
+        F.when(
+            F.col(f"c{i}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    sig = counts.select(
+        "doc_id", functools.reduce(operator.add, terms).alias("simhash")
+    )
+    blocked = sig.withColumn(
+        "block", F.shiftrightunsigned("simhash", bits - prefix_bits)
+    ).cache()  # self-join below — don't run tokenize→vote twice
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"), "block"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"), "block"
+    )
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
 def minhash_lsh_pairs_portable(
     documents: DataFrame,
     n_hashes: int = 8,

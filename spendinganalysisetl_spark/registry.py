@@ -710,11 +710,11 @@ SELECT doc_id, n_chars,
        round(mean_word_len, 4) AS mean_word_len,
        round(stopword_ratio, 4) AS stopword_ratio,
        round(punct_ratio, 4) AS punct_ratio,
-       round(
+       round(CAST(
          (CASE WHEN n_chars >= 200 THEN 0.25 ELSE 0.0 END)
        + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 0.25 ELSE 0.0 END)
        + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
-       + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+       + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
 FROM scored ORDER BY doc_id
 """,
 )
@@ -1462,6 +1462,57 @@ _PMH_BAND_COND = " OR ".join(
     f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})"
     for b in range(_PMH_BANDS)
 )
+
+
+_PSH_BITS = 32
+_PSH_PREFIX = 12
+_PSH_MAX_HAMMING = 4
+_PSH_SUMS = ",\n         ".join(
+    f"sum((h >> {i}) & 1) AS c{i}" for i in range(_PSH_BITS)
+)
+_PSH_SIG = "\n       + ".join(
+    f"(CASE WHEN 2 * c{i} > n THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(_PSH_BITS)
+)
+
+
+@register(
+    "simhash_near_pairs_portable",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS t
+  FROM documents WHERE doc_id < 1000
+), hashed AS (
+  SELECT doc_id, {hex_fold_sql('md5(t)', 1, width=8)} AS h FROM tok
+), counts AS (
+  SELECT doc_id, count(*) AS n,
+         {_PSH_SUMS}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+       {_PSH_SIG} AS simhash
+  FROM counts
+), blocked AS (
+  SELECT doc_id, simhash, simhash >> {_PSH_BITS - _PSH_PREFIX} AS block FROM sigs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_PSH_MAX_HAMMING}
+ORDER BY id_a, id_b
+""",
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-correctness proof for the SimHash family: same
+    token→bit-vote→prefix-block→popcount pipeline as
+    ``simhash_near_pairs``, on the engine-portable md5-fold hash so
+    DuckDB reproduces signatures — and therefore blocks, candidates,
+    and hamming distances — bit-for-bit. The xxhash64 64-bit variant
+    stays the scale path."""
+    from spendinganalysisetl_spark.operators.dedup import simhash_near_pairs_portable
+
+    return simhash_near_pairs_portable(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Wide-expression plans (pivot, minhash signatures) generate a lot
+        # of whole-stage-codegen classes; the JVM default 240m code cache
+        # fills after a few dozen distinct plans and JIT flushing then
+        # de-optimizes hot loops. Size it for a resident analytics server.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver-generated events.parquet stores TIMESTAMP(NANOS),

@@ -105,6 +105,26 @@ def test_simhash_exact_dups_zero_hamming(spark):
     assert pairs.get((1, 2)) == 0
 
 
+def test_simhash_portable_matches_scale_variant_semantics(spark):
+    """The portable (md5-fold) SimHash must behave like the scale
+    variant on planted data: exact dups at hamming 0, unrelated docs
+    unpaired — and its signature must be a pure function of the token
+    multiset (same text twice → same signature)."""
+    from spendinganalysisetl_spark.operators.dedup import simhash_near_pairs_portable
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally unrelated words entirely different topic")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs_portable(docs).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, embeddings):
     """Bucketed ANN must recover a reasonable fraction of the exact
     top-5 (single-table LSH, no multiprobe → modest recall bar)."""
