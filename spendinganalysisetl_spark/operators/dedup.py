@@ -90,12 +90,13 @@ def _minhash_signatures(
         "doc_id", F.explode(char_shingles(F.col("norm"), shingle_n)).alias("s")
     )
     h = ex.select("doc_id", F.xxhash64("s").alias("h"))
-    return h.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    # Wide aggregates are built as SQL expression strings: one py4j
+    # round trip per column instead of ~5 per Column-object op. Plan
+    # CONSTRUCTION is driver-side wall-clock a resident server pays per
+    # query — measured seconds for the widest plans (SimHash's 64-sum +
+    # 64-term recombine) before this change.
+    aggs = [F.expr(f"min(xxhash64(h, {i})) AS m{i}") for i in range(n_hashes)]
+    return h.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -116,19 +117,14 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sig = _minhash_signatures(documents, n_hashes, shingle_n)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(*[
-                        F.col(f"m{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
+    bands_sql = ", ".join(
+        "hash("
+        + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"posexplode(array({bands_sql})) AS (band, band_sig)"
     )
     # The self-join references `banded` twice; without materialization the
     # whole shingle→hash→min pipeline runs twice. The banded signature
@@ -231,30 +227,26 @@ def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
         "doc_id", F.explode(ws_tokens(F.col("norm"))).alias("t")
     )
     h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    # Both wide stages are SQL expression strings (one py4j round trip
+    # per column / one for the whole recombine chain) — building them
+    # Column-op by Column-op cost ~1.7 s of driver time PER plan
+    # construction. Recombine is a flat Add chain, not nested
+    # bitwiseORs: the masks are disjoint so sum == or, and Catalyst
+    # codegens a 64-term Add far better than a 64-deep OR tree
+    # (measured 1.1 s vs 7.5 s cold at sf0.1).
     counts = h.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            F.expr(f"sum(shiftrightunsigned(h, {i}) & 1) AS c{i}")
             for i in range(bits)
         ],
     )
-    # Recombine as a flat Add chain, not nested bitwiseORs: the bit
-    # masks are disjoint so sum == or, and Catalyst flattens/codegens a
-    # 64-term Add far better than a 64-deep OR tree (measured 1.1 s vs
-    # 7.5 s cold at sf0.1 — the OR tree also inflates driver-side
-    # analysis time).
-    import functools
-    import operator
-
-    terms = [
-        F.when(
-            F.col(f"c{i}") * 2 > F.col("n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
+    sig = " + ".join(
+        f"(CASE WHEN c{i} * 2 > n THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
         for i in range(bits)
-    ]
-    sig = functools.reduce(operator.add, terms)
-    return counts.select("doc_id", sig.alias("simhash"))
+    )
+    return counts.select("doc_id", F.expr(f"({sig}) AS simhash"))
 
 
 def simhash_near_pairs(
@@ -312,26 +304,20 @@ def simhash_near_pairs_portable(
         "doc_id", F.explode(ws_tokens(F.col("text"))).alias("t")
     )
     h = tok.select("doc_id", hex_fold(F.md5("t"), 1, width=8).alias("h"))
+    # SQL expression strings for the wide stages — see simhash_signatures.
     counts = h.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            F.expr(f"sum(shiftrightunsigned(h, {i}) & 1) AS c{i}")
             for i in range(bits)
         ],
     )
-    import functools
-    import operator
-
-    terms = [
-        F.when(
-            F.col(f"c{i}") * 2 > F.col("n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
+    sig_chain = " + ".join(
+        f"(CASE WHEN c{i} * 2 > n THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
         for i in range(bits)
-    ]
-    sig = counts.select(
-        "doc_id", functools.reduce(operator.add, terms).alias("simhash")
     )
+    sig = counts.select("doc_id", F.expr(f"({sig_chain}) AS simhash"))
     blocked = sig.withColumn(
         "block", F.shiftrightunsigned("simhash", bits - prefix_bits)
     ).cache()  # self-join below — don't run tokenize→vote twice
@@ -392,7 +378,7 @@ def minhash_lsh_pairs_portable(
     )
     sig = hh.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h1") + F.lit(i).cast("long") * F.col("h2")).alias(f"m{i}")
+            F.expr(f"min(h1 + CAST({i} AS BIGINT) * h2) AS m{i}")
             for i in range(n_hashes)
         ]
     )
