@@ -97,3 +97,27 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window`` — the
+    batch form of the Structured Streaming session primitive. Must
+    produce exactly the sessions ``sessionize`` derives with lag+cumsum
+    (same gap convention: a gap strictly greater than ``gap_minutes``
+    splits), which is what the DuckDB oracle checks differentially.
+    One shuffle on user_id; session merging happens inside the
+    aggregation operator, no self-join.
+    """
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -1072,6 +1072,80 @@ def q_report_fi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_session_window_native",
+    """
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+) GROUP BY user_id, session_seq ORDER BY user_id, session_start
+""",
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: Spark's NATIVE session_window aggregation (the
+    batch form of the streaming session primitive), differentially
+    checked against the lag+cumsum sessionization the oracle computes —
+    two independent algorithms, same sessions."""
+    from spendinganalysisetl_spark.operators.events import session_window_agg
+
+    return session_window_agg(load_table(spark, sf_dir, "events"), 30)
+
+
+@register(
+    "vendor_monthly_trend",
+    SALES_CTE
+    + """
+, monthly AS (
+  SELECT vendor, strftime(order_date, '%Y-%m') AS month,
+         sum(CAST(floor(amount*10000 + 0.5) AS BIGINT)) / 10000.0 AS m_total
+  FROM sales GROUP BY vendor, strftime(order_date, '%Y-%m')
+)
+SELECT vendor,
+       count(*) AS n_months,
+       round(regr_slope(m_total,
+             CAST(substr(month, 1, 4) AS INTEGER) * 12
+             + CAST(substr(month, 6, 2) AS INTEGER)), 4) AS slope
+FROM monthly GROUP BY vendor ORDER BY vendor
+""",
+)
+def q_vendor_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension (the reference has no math beyond +/round): per
+    vendor, the least-squares slope of exact monthly spend against a
+    month index — built-in regr_slope (JVM-side covariance aggregate,
+    identical definition in DuckDB). Monthly totals are exact
+    decimicent sums so both engines regress identical inputs."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import decimicents
+
+    sales = _sales(spark, sf_dir)
+    monthly = sales.groupBy(
+        "vendor", F.date_format("order_date", "yyyy-MM").alias("month")
+    ).agg((F.sum(decimicents(F.col("amount"))) / F.lit(10000.0)).alias("m_total"))
+    idx = (
+        F.substring("month", 1, 4).cast("int") * 12
+        + F.substring("month", 6, 2).cast("int")
+    )
+    return (
+        monthly.groupBy("vendor")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(F.regr_slope(F.col("m_total"), idx.cast("double")), 4).alias(
+                "slope"
+            ),
+        )
+        .orderBy("vendor")
+    )
+
+
 # --- streaming / multimodal (rows-only: no SQL twin by nature) ----------------
 
 
