@@ -338,6 +338,97 @@ def simhash_near_pairs_portable(
     )
 
 
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``label(v) = min(label(v), min over neighbors' labels)`` until a
+    fixpoint. Returns ``(doc_id, cluster_id)`` where cluster_id is the
+    smallest doc_id in the component (singletons keep their own id).
+
+    Scale design: each round is one shuffle join (edges × labels) plus
+    one shuffle min-aggregate; rounds needed = component diameter, which
+    for near-dup graphs is tiny (dup clusters are near-cliques — the
+    banding join links most members directly). For adversarial
+    long-chain graphs the alternating large-star/small-star contraction
+    gets O(log n) rounds; not needed for dedup workloads. Per round the
+    label table is ``localCheckpoint``-ed: it truncates lineage so the
+    plan doesn't double every iteration (driver-side planning would
+    otherwise dominate) — on a real cluster use ``checkpoint()`` to
+    reliable storage instead so recomputation-on-executor-loss is
+    bounded. Convergence is detected by the sum of labels: propagation
+    only ever lowers labels, so an unchanged (monotone) sum is a
+    fixpoint — one cheap scalar aggregate per round instead of a
+    changed-rows join.
+
+    The reference has no graph ops at all (SURVEY.md §2.3: no joins
+    beyond key probes); this is north_star dedup-pipeline machinery.
+    """
+    und = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .cache()  # probed every round
+    )
+    labels = nodes.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        msgs = und.join(
+            labels.select(F.col("id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    und.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    id_cap: int | None = 200,
+) -> DataFrame:
+    """The full near-dup pipeline ending in survivor election: exact
+    n-gram Jaccard pairs (the oracle-checkable edge set) → connected
+    components → per-doc cluster id, cluster size, and a deterministic
+    canonical flag (smallest doc_id in the cluster survives). This is
+    the operator a training-data pipeline actually runs — pairs alone
+    don't tell you which docs to drop when dups chain (a~b, b~c ⇒
+    {a,b,c} is ONE cluster even if a~c is below threshold).
+
+    At scale the edge set comes from ``minhash_lsh_pairs`` instead of
+    the quadratic exact-Jaccard baseline; the clustering is identical.
+    """
+    from pyspark.sql import Window
+
+    docs = documents
+    if id_cap is not None:
+        docs = docs.filter(F.col("doc_id") < id_cap)
+    pairs = ngram_jaccard_pairs(
+        documents, shingle_n=shingle_n, threshold=threshold, id_cap=id_cap
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, docs.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def minhash_lsh_pairs_portable(
     documents: DataFrame,
     n_hashes: int = 8,

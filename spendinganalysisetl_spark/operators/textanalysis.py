@@ -102,6 +102,54 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
+def curate_corpus(documents: DataFrame, min_quality: float = 0.75) -> DataFrame:
+    """End-to-end corpus curation in ONE plan — what a pretraining data
+    pipeline actually runs nightly: score every doc (the exact
+    ``quality_scores`` composite), gate on the quality threshold, then
+    exact-dedup the survivors (smallest doc_id per normalized-text
+    fingerprint wins). Output = the curated keep-list with its lang and
+    score.
+
+    Scale shape: scoring is a pure scan-side projection (codegen'd
+    regex/filter expressions, no shuffle); the gate filters BEFORE the
+    dedup shuffle so only quality docs pay the exchange; survivor
+    election is one hash-shuffle on the 128-bit fingerprint (uniform
+    keys — no skew) using a window row_number rather than a
+    groupBy+self-join re-read.
+    """
+    from pyspark.sql import Window
+
+    toks = ws_tokens(F.col("text"))
+    n_toks = F.size(toks)
+    len_no_ws = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s", ""))
+    mean_wlen = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        len_no_ws.cast("double") / n_toks.cast("double")
+    )
+    sw = stopword_ratio(F.col("text"))
+    pr = punct_ratio(F.col("text"))
+    score = (
+        F.when(F.col("n_chars") >= 200, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(sw >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(pr <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        fingerprint(F.col("text")).alias("fp"),
+        F.round(score, 2).alias("quality_score"),
+    ).filter(F.col("quality_score") >= min_quality)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "quality_score")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
     """Grouped corpus profile: doc count, total/mean length per lang+source."""
     return (

@@ -652,6 +652,50 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_clusters",
+    """
+WITH RECURSIVE toksets AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\S+', 0)) AS toks
+  FROM documents WHERE doc_id < 200
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM toksets
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+), clustered AS (
+  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INTEGER)
+         AS is_canonical
+FROM clustered ORDER BY doc_id
+""",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star dedup pipeline, final stage: exact-Jaccard pair graph
+    → connected components (iterative min-label propagation — a
+    genuinely iterative Spark algorithm) → cluster id / size / canonical
+    survivor per doc. Oracle: DuckDB WITH RECURSIVE transitive closure
+    computes the same min-reachable-id labeling by a completely
+    different algorithm — a differential check of the clustering, not
+    just the pair set."""
+    from spendinganalysisetl_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=0.4, id_cap=200
+    )
+
+
 @register("minhash_lsh_pairs")  # no SQL oracle: xxhash64 signatures are
 # engine-internal; ground truth is the exact-Jaccard pytest comparison
 # (tests/test_dedup.py) — driver records rows-only (SURVEY.md §5.1).
@@ -759,6 +803,46 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.textanalysis import fingerprints
 
     return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_curation",
+    """
+WITH feats AS (
+  SELECT doc_id, lang, n_chars,
+         len(regexp_extract_all(lower(text), '\\S+', 0)) AS n_toks,
+         length(regexp_replace(lower(text), '\\s', '', 'g')) AS len_no_ws,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+', 0),
+             t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+         length(regexp_replace(text, '[^!-:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         length(text) AS len_all,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, n_chars, fp,
+         round(CAST(
+           (CASE WHEN n_chars >= 200 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_toks > 0 AND CAST(len_no_ws AS DOUBLE)/n_toks >= 3.0
+                  AND CAST(len_no_ws AS DOUBLE)/n_toks <= 10.0 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_toks > 0 AND CAST(n_stop AS DOUBLE)/n_toks >= 0.05 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN len_all = 0 OR CAST(n_punct AS DOUBLE)/len_all <= 0.1 THEN 0.25 ELSE 0.0 END)
+           AS DOUBLE), 2) AS quality_score
+  FROM feats
+)
+SELECT doc_id, lang, n_chars, quality_score
+FROM scored
+WHERE quality_score >= 0.75
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+ORDER BY doc_id
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star end-to-end curation: quality-gate then exact-dedup in
+    one plan — scoring stays scan-side, the gate precedes the one
+    fingerprint shuffle, survivor election is a window row_number."""
+    from spendinganalysisetl_spark.operators.textanalysis import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
 
 
 @register(

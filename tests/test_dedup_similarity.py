@@ -142,3 +142,58 @@ def test_lsh_topk_recall_vs_brute_force(spark, embeddings):
         key = (r["q_id"], r["c_id"])
         if key in exact_scores:
             assert r["cos_sim"] == pytest.approx(exact_scores[key], abs=1e-6)
+
+
+def test_connected_components_chain_propagation(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) needs multiple propagation rounds
+    to label node 4 with 1 — pins that the iteration actually runs to a
+    fixpoint, not a single hop. Isolated node keeps its own label."""
+    from spendinganalysisetl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    """a~b and b~c above threshold but a~c below: all three must land in
+    ONE cluster with the smallest id canonical — the property a pairs
+    list alone cannot express."""
+    from spendinganalysisetl_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 x1 x2"),
+            (3, "w3 w4 w5 w6 x1 x2 x3 x4"),
+            (4, "z1 z2 z3 z4 z5 z6 z7 z8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in near_dup_clusters(docs, threshold=0.4).collect()}
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 1
+    assert [rows[i]["is_canonical"] for i in (1, 2, 3, 4)] == [1, 0, 0, 1]
+    assert rows[1]["cluster_size"] == 3
+
+
+def test_curate_corpus_gates_then_dedups(spark):
+    """Quality gate rejects short/punct-soup docs; surviving exact dups
+    collapse to the smallest doc_id."""
+    from spendinganalysisetl_spark.operators.textanalysis import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and runs into the field " * 4).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", len(good)),
+            (2, good, "en", len(good)),          # exact dup of 1 -> dropped
+            (3, "short", "en", 5),                # fails length gate
+            (4, good + " extra tail words here", "en", len(good) + 23),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    kept = [r["doc_id"] for r in curate_corpus(docs).collect()]
+    assert kept == [1, 4]
