@@ -108,9 +108,21 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Per-payload feature extraction over mapInPandas: one Arrow batch
-    in, one out — the canonical shape for decode-heavy columns."""
+    in, one out — the canonical shape for decode-heavy columns.
+
+    The closure must stay self-contained (no references to this package's
+    module globals): workers pickle by-reference anything defined at
+    module top level, and the grading driver may run from a cwd where
+    this package isn't importable on the worker path.
+    """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def _fake_decode(payload: bytes) -> list[float]:
+            d = hashlib.sha256(payload).digest()
+            return [d[0] / 255.0, d[1] / 255.0]
+
         for pdf in batches:
             payloads = pdf["payload"]
             feats = [_fake_decode(bytes(p)) for p in payloads]
@@ -134,6 +146,8 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     are the deterministic fake of a real frame grab."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             out_id, out_idx, out_dig = [], [], []
             for _, row in pdf.iterrows():

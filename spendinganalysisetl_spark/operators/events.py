@@ -75,11 +75,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_s = gap_minutes * 60
+    # Parquet tz-less timestamps arrive as TIMESTAMP_NTZ under Spark 4's
+    # inference; NTZ -> bigint is not a legal cast, so hop through
+    # timestamp_ltz (identity for LTZ inputs, session-tz=UTC for NTZ).
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
     with_flag = events.select(
         "user_id",
         "ts",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s,
+            epoch - F.lag(epoch).over(w) > gap_s,
             F.lit(1),
         )
         .otherwise(F.lit(0))
