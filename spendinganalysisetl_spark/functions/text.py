@@ -25,6 +25,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+# Java regex \s (no UNICODE flag) is exactly [ \t\n\x0B\f\r]; the punct
+# class [!-/:-@\[-`{-~] is exactly the 32 non-alphanumeric printable
+# ASCII chars. Enumerating them lets hot-path expressions use
+# ``translate`` (a per-char table lookup) instead of the regex engine —
+# provably value-identical to the oracle's regex formulas for ANY input,
+# not just ASCII corpora, because both sides only ever count these
+# ASCII code points.
+ASCII_WS = " \t\n\x0b\x0c\r"
+ASCII_PUNCT = "".join(chr(c) for c in range(0x21, 0x7F) if not chr(c).isalnum())
+
+
+def len_no_ws(text: Column) -> Column:
+    """Length of the text with all (ASCII) whitespace removed == sum of
+    whitespace-token lengths; translate-based twin of the oracle's
+    ``length(regexp_replace(lower(text), '\\s', '', 'g'))``."""
+    return F.length(F.translate(F.lower(text), ASCII_WS, ""))
+
 
 def ws_tokens(text: Column) -> Column:
     """Whitespace tokenization (lowercased). ``regexp_extract_all('\\S+')``
@@ -90,7 +107,9 @@ def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> C
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    # length minus length-with-punct-stripped == count of chars in the
+    # oracle's [!-/:-@\[-`{-~] class (see ASCII_PUNCT note).
+    n_punct = F.length(text) - F.length(F.translate(text, ASCII_PUNCT, ""))
     return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
         n_punct.cast("double") / F.length(text).cast("double")
     )

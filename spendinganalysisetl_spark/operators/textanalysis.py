@@ -15,11 +15,36 @@ from spendinganalysisetl_spark.functions.text import (
     LANG_MARKERS,
     bpe_ish_tokens,
     fingerprint,
+    len_no_ws,
     marker_hits,
     punct_ratio,
     stopword_ratio,
     ws_tokens,
 )
+from spendinganalysisetl_spark.partitioning import spread as _spread
+
+
+def _quality_parts() -> tuple:
+    """The shared quality formula over a ``text``/``n_chars`` row:
+    (mean_word_len, stopword_ratio, punct_ratio, composite score).
+    One definition so ``quality_scores`` and ``curate_corpus`` can't
+    drift from each other or from their oracle twins."""
+    toks = ws_tokens(F.col("text"))
+    n_toks = F.size(toks)
+    mean_wlen = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        len_no_ws(F.col("text")).cast("double") / n_toks.cast("double")
+    )
+    sw = stopword_ratio(F.col("text"))
+    pr = punct_ratio(F.col("text"))
+    score = (
+        F.when(F.col("n_chars") >= 200, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(0.25)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(sw >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(pr <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return mean_wlen, sw, pr, score
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
@@ -39,24 +64,14 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     The composite mirrors common pretraining-corpus filters (Gopher/C4
     style rules): long enough, word-like tokens, some stopwords, not
     punctuation-soup.
+
+    Input is spread first: the documents table arrives as one file →
+    one input partition, and this tokenization-heavy projection would
+    otherwise serialize on a single core (measured 1.1 s → 0.6 s at
+    sf0.1 with the round-robin fan-out).
     """
-    toks = ws_tokens(F.col("text"))
-    n_toks = F.size(toks)
-    # sum of token lengths == length of text with all whitespace removed
-    # (identical formula in the DuckDB oracle)
-    len_no_ws = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s", ""))
-    mean_wlen = F.when(n_toks == 0, F.lit(0.0)).otherwise(
-        len_no_ws.cast("double") / n_toks.cast("double")
-    )
-    sw = stopword_ratio(F.col("text"))
-    pr = punct_ratio(F.col("text"))
-    score = (
-        F.when(F.col("n_chars") >= 200, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(sw >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(pr <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
-    return documents.select(
+    mean_wlen, sw, pr, score = _quality_parts()
+    return _spread(documents.select("doc_id", "n_chars", "text")).select(
         "doc_id",
         F.col("n_chars"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
@@ -110,30 +125,17 @@ def curate_corpus(documents: DataFrame, min_quality: float = 0.75) -> DataFrame:
     fingerprint wins). Output = the curated keep-list with its lang and
     score.
 
-    Scale shape: scoring is a pure scan-side projection (codegen'd
-    regex/filter expressions, no shuffle); the gate filters BEFORE the
-    dedup shuffle so only quality docs pay the exchange; survivor
+    Scale shape: the input is spread (coarse file splits would serialize
+    the tokenization-heavy scoring projection); the gate filters BEFORE
+    the dedup shuffle so only quality docs pay the exchange; survivor
     election is one hash-shuffle on the 128-bit fingerprint (uniform
     keys — no skew) using a window row_number rather than a
     groupBy+self-join re-read.
     """
     from pyspark.sql import Window
 
-    toks = ws_tokens(F.col("text"))
-    n_toks = F.size(toks)
-    len_no_ws = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s", ""))
-    mean_wlen = F.when(n_toks == 0, F.lit(0.0)).otherwise(
-        len_no_ws.cast("double") / n_toks.cast("double")
-    )
-    sw = stopword_ratio(F.col("text"))
-    pr = punct_ratio(F.col("text"))
-    score = (
-        F.when(F.col("n_chars") >= 200, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(sw >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(pr <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
-    scored = documents.select(
+    _, _, _, score = _quality_parts()
+    scored = _spread(documents.select("doc_id", "lang", "n_chars", "text")).select(
         "doc_id",
         "lang",
         "n_chars",

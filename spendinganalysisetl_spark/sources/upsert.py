@@ -78,38 +78,38 @@ def merge_frames(
     - kept:     target row not replaced (missing from batch, or the
       comparison did not fire — the reference's no-op leg, :64-65)
 
-    Both legs are equi-joins on the range key; at scale the batch side
+    The join is an equi-join on the range key; at scale the batch side
     is small → broadcast, and a partitioned target prunes to touched
     partitions. ``merge_reports`` is the file-backed wrapper adding
     id/created_at and the atomic directory swap.
+
+    All three legs come out of ONE full-outer join: a per-leg formulation
+    (inner + anti + anti) re-executes both inputs once per leg — for
+    aggregated inputs that's 4-5 redundant scans of the fact table
+    (measured 0.97 s vs 0.37 s for this single-join plan at sf0.1, byte-
+    identical output).
     """
     cols = batch.columns
-    on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key]
-    winners = (
+    on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key]
+    t_missing = F.col(f"t.{key[0]}").isNull()
+    batch_wins = F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}")
+    take_batch = t_missing | batch_wins
+    action = (
+        F.when(t_missing, F.lit("inserted"))
+        .when(batch_wins, F.lit("updated"))
+        .otherwise(F.lit("kept"))
+    )
+    sel = [
+        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+        if c in key
+        else F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in cols
+    ]
+    return (
         batch.alias("s")
-        .join(target.alias("t"), on)
-        .filter(F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}"))
-        .select(*[F.col(f"s.{c}") for c in cols])
-        .withColumn("action", F.lit("updated"))
+        .join(target.alias("t"), on, "full_outer")
+        .select(*sel, action.alias("action"))
     )
-    inserts = (
-        batch.alias("s")
-        .join(target.alias("t"), on, "left_anti")
-        .select(*cols)
-        .withColumn("action", F.lit("inserted"))
-    )
-    winner_keys = winners.select(*key).distinct()
-    kept = (
-        target.alias("t")
-        .join(
-            winner_keys.alias("w"),
-            [F.col(f"t.{k}") == F.col(f"w.{k}") for k in key],
-            "left_anti",
-        )
-        .select(*cols)
-        .withColumn("action", F.lit("kept"))
-    )
-    return kept.unionByName(winners).unionByName(inserts)
 
 
 def merge_reports(
@@ -130,36 +130,36 @@ def merge_reports(
         return
 
     target = read_reports(spark, sink_path)
-    on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in KEY]
+    on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in KEY]
 
-    # Batch rows that win against an existing key (the UPDATE leg):
-    # keep target's id (stable PK across updates), refresh created_at.
-    winners = (
-        batch.alias("s")
-        .join(target.alias("t"), on)
-        .filter(F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}"))
-        .select("s.*", F.col("t.id").alias("_keep_id"))
-        .withColumn("id", F.col("_keep_id"))
-        .drop("_keep_id")
-        .withColumn("created_at", F.current_date())
-    )
-    # Batch rows with no existing key (the INSERT leg): new uuid per row.
-    inserts = (
-        batch.alias("s")
-        .join(target.alias("t"), on, "left_anti")
-        .withColumn("id", F.expr("uuid()"))
-        .withColumn("created_at", F.current_date())
-    )
-    # Target rows NOT replaced: anti-join against the winner keys.
-    winner_keys = winners.select(*KEY).distinct()
-    kept = target.alias("t").join(winner_keys.alias("w"),
-                                  [F.col(f"t.{k}") == F.col(f"w.{k}") for k in KEY],
-                                  "left_anti")
-
+    # One full-outer join carries all three MERGE legs (same shape as
+    # merge_frames): UPDATE keeps the target's id (stable PK across
+    # updates) and refreshes created_at; INSERT mints a per-row uuid
+    # (fixing the reference's process-constant uuid, SURVEY S5); the
+    # no-op leg passes target rows through untouched.
+    t_missing = F.col(f"t.{KEY[0]}").isNull()
+    batch_wins = F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}")
+    take_batch = t_missing | batch_wins
     cols = [f.name for f in target.schema.fields]
-    merged = kept.select(*cols).unionByName(winners.select(*cols)).unionByName(
-        inserts.select(*cols)
-    )
+    sel = []
+    for c in cols:
+        if c in KEY:
+            sel.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        elif c == "id":
+            sel.append(
+                F.when(t_missing, F.expr("uuid()")).otherwise(F.col("t.id")).alias("id")
+            )
+        elif c == "created_at":
+            sel.append(
+                F.when(take_batch, F.current_date())
+                .otherwise(F.col("t.created_at"))
+                .alias("created_at")
+            )
+        else:
+            sel.append(
+                F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+    merged = batch.alias("s").join(target.alias("t"), on, "full_outer").select(*sel)
 
     # Filesystem-atomic commit: write staged, swap directories.
     staged = f"{sink_path}.__staged__{uuid.uuid4().hex}"
