@@ -90,6 +90,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def word_trigrams(text: Column) -> Column:
+    """ALL word 3-grams (with duplicates — unlike ``word_shingles`` this
+    is the multiset, so a repetition ratio can be derived). Empty array
+    below 3 tokens; the sequence bound is guarded because Spark's
+    ``sequence(1, n)`` happily steps BACKWARDS for n < 1."""
+    toks = ws_tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - 2)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    return F.when(cnt < 3, F.array().cast("array<string>")).otherwise(grams)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     md5 (not xxhash64) because DuckDB computes the identical digest, so

@@ -103,6 +103,45 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def click_purchase_interval_join(events: DataFrame, minutes: int = 30) -> DataFrame:
+    """Event-time interval join: every purchase attributed to each click
+    by the same user in the preceding ``minutes`` (click_ts <= purchase_ts
+    < click_ts + interval). The batch twin of the watermarked
+    stream-stream join in ``streaming.jobs.interval_join_stream`` —
+    identical predicate, so the streaming run is differentially testable
+    against this plan.
+
+    Physical shape: the user_id equi-key carries the join (hash/SMJ on a
+    uniform key — no cross product); the time band is a post-join filter
+    over each user's clicks×purchases, bounded by per-user activity. At
+    100 TB both sides would also be date-partitioned so the band prunes
+    scan-side first.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    return (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                < F.col("click_ts") + F.expr(f"INTERVAL {minutes} MINUTES")
+            )
+        )
+        .select(
+            "user_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            round2(F.col("value")).alias("purchase_value"),
+        )
+        .orderBy("user_id", "click_ts", "purchase_ts")
+    )
+
+
 def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions via Spark's NATIVE ``session_window`` — the
     batch form of the Structured Streaming session primitive. Must

@@ -19,6 +19,7 @@ from spendinganalysisetl_spark.functions.text import (
     marker_hits,
     punct_ratio,
     stopword_ratio,
+    word_trigrams,
     ws_tokens,
 )
 from spendinganalysisetl_spark.partitioning import spread as _spread
@@ -147,6 +148,34 @@ def curate_corpus(documents: DataFrame, min_quality: float = 0.75) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars", "quality_score")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filter feature: fraction of duplicate
+    word 3-grams per document (1 - distinct/total; 0 when under 3
+    tokens). High values flag boilerplate/spam — the standard
+    pretraining-corpus repetition gate next to ``quality_scores``.
+
+    Spread first for the same reason as quality_scores: one input file
+    would serialize the tokenize+shingle projection on one core.
+    """
+    grams = word_trigrams(F.col("text"))
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    rep = F.when(n_total == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_distinct.cast("double") / n_total.cast("double")
+    )
+    return (
+        _spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            n_total.alias("n_trigrams"),
+            n_distinct.alias("n_distinct_trigrams"),
+            F.round(rep, 4).alias("repetition_ratio"),
+        )
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )

@@ -1250,9 +1250,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Glob form: FileStreamSource requires a directory basePath; the
     # glob's non-wildcard prefix (sf_dir) satisfies it while matching
     # only the events table.
-    stream = read_event_stream(
-        spark, table_path(sf_dir, "events") + "*", ts_is_nanos=True
-    )
+    stream = read_event_stream(spark, table_path(sf_dir, "events") + "*")
     # State partitions = shuffle.partitions at stream start, and each
     # one pays a per-batch state-store commit. For this single-batch
     # AvailableNow drain, 8 partitions cut wall-clock 9.7s→1.7s at sf0.1
@@ -1769,3 +1767,97 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs_portable
 
     return minhash_lsh_pairs_portable(load_table(spark, sf_dir, "documents"))
+
+
+# --- event-time interval join: batch + stream-stream twins --------------------
+
+
+@register(
+    "events_interval_join",
+    """
+SELECT c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+ORDER BY c.user_id, click_ts, purchase_ts
+""",
+)
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.events import click_purchase_interval_join
+
+    return click_purchase_interval_join(load_table(spark, sf_dir, "events"), 30)
+
+
+@register("stream_interval_join")  # rows-only: exercises the REAL
+# watermarked stream-stream join; equality with the oracle-checked
+# batch twin (events_interval_join) is pinned by tests/test_streaming.py.
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.catalog import table_path
+    from spendinganalysisetl_spark.streaming.jobs import (
+        interval_join_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    src = table_path(sf_dir, "events") + "*"
+    # Two independent stream readers over the same source — the
+    # stream-stream join requires two streaming relations.
+    clicks = read_event_stream(spark, src)
+    purchases = read_event_stream(spark, src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            interval_join_stream(clicks, purchases, 30), "stream_interval_out"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_interval_out")
+
+
+# --- repetition filter (north_star text-analysis family) ----------------------
+
+
+@register(
+    "text_repetition_scores",
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+', 0) AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+              ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in generate_series(1, len(toks) - 2)]
+         END AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams) AS n_trigrams,
+       len(list_distinct(grams)) AS n_distinct_trigrams,
+       round(CASE WHEN len(grams) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             END, 4) AS repetition_ratio
+FROM g ORDER BY doc_id
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.textanalysis import repetition_scores
+
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --- BLAS-kernel exact top-k (north_star similarity family) -------------------
+
+
+@register("similarity_brute_force_topk_blas", ORACLE["similarity_brute_force_topk"])
+def q_similarity_brute_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same oracle as similarity_brute_force_topk — identical semantics,
+    Arrow+GEMM kernel (see operators.similarity.brute_force_topk_blas)."""
+    from spendinganalysisetl_spark.operators.similarity import brute_force_topk_blas
+
+    return brute_force_topk_blas(load_table(spark, sf_dir, "embeddings"), None, 5)

@@ -48,15 +48,24 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, ts_is_nanos: bool = False
+    spark: SparkSession, path: str, ts_is_nanos: bool | None = None
 ) -> DataFrame:
     """File-source stream over an events parquet path. Explicit schema —
-    streaming sources never infer (SURVEY.md §1.3).
-
-    ``ts_is_nanos=True`` streams the driver's raw table in place (its
-    ``ts`` is parquet TIMESTAMP(NANOS), surfaced as long under
-    ``nanosAsLong`` and converted here exactly like ``catalog.load_table``)
-    — no copy of the source is written just to stream it."""
+    streaming sources never infer (SURVEY.md §1.3) — but the TIMESTAMP
+    physical type is probed from the footers first (one metadata-only
+    batch read): a TIMESTAMP(NANOS) source surfaces ``ts`` as long under
+    ``nanosAsLong`` and is converted exactly like ``catalog.load_table``;
+    a TIMESTAMP(MICROS) source streams natively. Hard-coding either
+    (``ts_is_nanos``) breaks silently when the data generator changes
+    its timestamp resolution — which happened: rows-only streaming
+    queries produced 1970-era windows for a while because nothing
+    compared their event times to an oracle."""
+    if ts_is_nanos is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        probe = spark.read.parquet(path).schema
+        ts_is_nanos = dict((f.name, f.dataType.simpleString()) for f in probe).get(
+            "ts"
+        ) == "bigint"
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = StructType(
@@ -119,6 +128,54 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    minutes: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases attributed to
+    each same-user click in the preceding ``minutes`` — the streaming
+    twin of ``operators.events.click_purchase_interval_join`` (identical
+    predicate; the batch plan is the differential oracle in tests).
+
+    Both sides carry a watermark and the join condition bounds
+    purchase_ts relative to click_ts, so each side's buffered state is
+    evictable: a click older than (watermark + interval) can never match
+    a future purchase and is dropped — the bounded-state contract every
+    stateful op here follows.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts < click_ts + INTERVAL {minutes} MINUTES
+            """
+        ),
+    ).select(
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round(F.col("value"), 2).alias("purchase_value"),
+    )
 
 
 def run_foreach_batch_upsert(

@@ -197,3 +197,33 @@ def test_curate_corpus_gates_then_dedups(spark):
     )
     kept = [r["doc_id"] for r in curate_corpus(docs).collect()]
     assert kept == [1, 4]
+
+
+def test_blas_topk_equals_expression_topk(spark, embeddings):
+    """The Arrow/GEMM kernel must reproduce the higher-order-function
+    plan exactly — same rounding, same (cos desc, id asc) tiebreak —
+    since both register the same SQL oracle."""
+    from spendinganalysisetl_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    a = [tuple(r) for r in brute_force_topk(embeddings, None, 5).collect()]
+    b = [tuple(r) for r in brute_force_topk_blas(embeddings, None, 5).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_repetition_scores_pinned_example(spark):
+    """'a b a b a' has trigrams [aba, bab, aba]: 3 total, 2 distinct,
+    ratio 1 - 2/3; short docs score 0 with zero trigrams."""
+    from spendinganalysisetl_spark.operators.textanalysis import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "one two"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert (rows[1]["n_trigrams"], rows[1]["n_distinct_trigrams"]) == (3, 2)
+    assert rows[1]["repetition_ratio"] == round(1 - 2 / 3, 4)
+    assert (rows[2]["n_trigrams"], rows[2]["repetition_ratio"]) == (0, 0.0)
+    assert (rows[3]["n_trigrams"], rows[3]["n_distinct_trigrams"]) == (2, 2)

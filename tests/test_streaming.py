@@ -131,3 +131,56 @@ def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
     want = spark.read.parquet(f"{SF}/events.parquet").select("event_type").distinct().count()
     assert out.count() == want
     assert "id" in out.columns and "created_at" in out.columns
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """The watermarked stream-stream interval join must reproduce its
+    batch twin exactly (same predicate; AvailableNow drains everything,
+    so the watermark only bounds state, never drops matches)."""
+    from collections import Counter
+
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.operators.events import (
+        click_purchase_interval_join,
+    )
+    from spendinganalysisetl_spark.streaming.jobs import (
+        interval_join_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    run_to_memory(
+        interval_join_stream(
+            read_event_stream(spark, events_dir),
+            read_event_stream(spark, events_dir),
+            30,
+        ),
+        "interval_join_out",
+    )
+    batch = click_purchase_interval_join(load_table(spark, SF, "events"), 30)
+    cols = batch.columns
+    got = Counter(
+        tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM interval_join_out").collect()
+    )
+    want = Counter(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and sum(want.values()) > 0
+
+
+def test_event_stream_reader_probes_timestamp_resolution(spark, events_dir):
+    """Auto-detection must stream a µs-resolution source natively (the
+    regression: a hard-coded nanos shim divided µs by 1000 and produced
+    1970-era event times that only a batch-twin comparison could catch)."""
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory,
+    )
+
+    run_to_memory(read_event_stream(spark, events_dir), "probe_out")
+    years = [
+        r["y"]
+        for r in spark.sql(
+            "SELECT DISTINCT year(ts) AS y FROM probe_out"
+        ).collect()
+    ]
+    assert years and all(y > 2000 for y in years)
