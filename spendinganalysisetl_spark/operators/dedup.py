@@ -54,7 +54,7 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
         documents.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keep_id")
+        .repartition(1).sortWithinPartitions("keep_id")
         .select("keep_id", "n_copies")
     )
 
@@ -202,7 +202,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
     )
 
 

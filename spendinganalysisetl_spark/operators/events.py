@@ -33,7 +33,7 @@ def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
+        .repartition(1).sortWithinPartitions("window_start", "event_type")
     )
 
 
@@ -63,7 +63,7 @@ def sliding_counts(
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
+        .repartition(1).sortWithinPartitions("window_start", "event_type")
     )
 
 
@@ -99,7 +99,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         )
-        .orderBy("user_id", "session_seq")
+        .repartition(1).sortWithinPartitions("user_id", "session_seq")
     )
 
 
@@ -138,7 +138,7 @@ def click_purchase_interval_join(events: DataFrame, minutes: int = 30) -> DataFr
             F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
             round2(F.col("value")).alias("purchase_value"),
         )
-        .orderBy("user_id", "click_ts", "purchase_ts")
+        .repartition(1).sortWithinPartitions("user_id", "click_ts", "purchase_ts")
     )
 
 
@@ -162,5 +162,5 @@ def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             ),
         )
         .select("user_id", "session_start", "n_events")
-        .orderBy("user_id", "session_start")
+        .repartition(1).sortWithinPartitions("user_id", "session_start")
     )

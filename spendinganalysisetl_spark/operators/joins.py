@@ -35,7 +35,7 @@ def revenue_by_nation(
             round2(F.sum("o_totalprice")).alias("total_revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("n_name")
+        .repartition(1).sortWithinPartitions("n_name")
     )
 
 
@@ -46,7 +46,7 @@ def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("n_orders"))
-        .orderBy("c_custkey")
+        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -56,7 +56,7 @@ def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -65,7 +65,7 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -87,7 +87,7 @@ def price_band_join(part: DataFrame, bands: DataFrame) -> DataFrame:
             round2(F.min("p_retailprice")).alias("min_price"),
             round2(F.max("p_retailprice")).alias("max_price"),
         )
-        .orderBy("band")
+        .repartition(1).sortWithinPartitions("band")
     )
 
 
@@ -121,7 +121,7 @@ def salted_revenue_by_flag(lineitem: DataFrame, buckets: int = 16) -> DataFrame:
             ).alias("revenue"),
             F.sum("n").alias("n_items"),
         )
-        .orderBy("l_returnflag")
+        .repartition(1).sortWithinPartitions("l_returnflag")
     )
 
 

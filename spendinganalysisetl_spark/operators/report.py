@@ -95,7 +95,7 @@ def totals_by(sales: DataFrame, key: str, out_name: str) -> DataFrame:
     return (
         sales.groupBy(F.col(key).alias(out_name))
         .agg(money_sum(F.col("amount")).alias("total"))
-        .orderBy("total", out_name)
+        .repartition(1).sortWithinPartitions("total", out_name)
     )
 
 
@@ -116,14 +116,14 @@ def totals_by_ref_roundsum(sales: DataFrame, key: str, out_name: str) -> DataFra
     return (
         per_upload.groupBy(out_name)
         .agg((F.sum("entry_cents") / F.lit(100.0)).alias("total"))
-        .orderBy("total", out_name)
+        .repartition(1).sortWithinPartitions("total", out_name)
     )
 
 
 def distinct_names(sales: DataFrame, key: str, out_name: str) -> DataFrame:
     """A7/A8 as checkable rows: the sorted-distinct name list, exploded
     (SURVEY.md §5.1: emit rows, not arrays, in oracle-checked output)."""
-    return sales.select(F.col(key).alias(out_name)).distinct().orderBy(out_name)
+    return sales.select(F.col(key).alias(out_name)).distinct().repartition(1).sortWithinPartitions(out_name)
 
 
 def bottom_k_vendors(sales: DataFrame, k: int = 5) -> DataFrame:

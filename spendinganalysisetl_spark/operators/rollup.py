@@ -25,7 +25,7 @@ def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.grouping_id().alias("gid"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -37,5 +37,5 @@ def lineitem_cube(lineitem: DataFrame) -> DataFrame:
             round2(F.sum(revenue())).alias("revenue"),
             F.grouping_id().alias("gid"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("gid", "l_returnflag", "l_linestatus")
     )

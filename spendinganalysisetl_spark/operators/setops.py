@@ -22,15 +22,15 @@ def _supp_nations(supplier: DataFrame) -> DataFrame:
 
 def nations_union(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     """UNION (distinct): nations with a customer or a supplier."""
-    return _cust_nations(customer).union(_supp_nations(supplier)).distinct().orderBy("nationkey")
+    return _cust_nations(customer).union(_supp_nations(supplier)).distinct().repartition(1).sortWithinPartitions("nationkey")
 
 
 def nations_intersect(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     """INTERSECT: nations with both."""
-    return _cust_nations(customer).intersect(_supp_nations(supplier)).orderBy("nationkey")
+    return _cust_nations(customer).intersect(_supp_nations(supplier)).repartition(1).sortWithinPartitions("nationkey")
 
 
 def nations_except(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     """EXCEPT (distinct): customer nations with no supplier.
     ``subtract`` is Spark's EXCEPT DISTINCT."""
-    return _cust_nations(customer).subtract(_supp_nations(supplier)).orderBy("nationkey")
+    return _cust_nations(customer).subtract(_supp_nations(supplier)).repartition(1).sortWithinPartitions("nationkey")

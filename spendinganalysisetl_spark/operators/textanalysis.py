@@ -190,5 +190,5 @@ def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.round(F.avg("n_chars"), 2).alias("mean_chars"),
         )
-        .orderBy("lang", "source")
+        .repartition(1).sortWithinPartitions("lang", "source")
     )

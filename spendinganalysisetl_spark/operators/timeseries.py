@@ -62,7 +62,7 @@ def monthly_pivot(sales: DataFrame) -> DataFrame:
         .pivot("category")
         .sum("amount")
         .na.fill(0.0)
-        .orderBy("period")
+        .repartition(1).sortWithinPartitions("period")
     )
 
 
@@ -77,7 +77,7 @@ def pct_change_last(dense: DataFrame, ref_compat: bool = False) -> DataFrame:
     Window is partitioned by name — no global ordering, shuffle only on
     the small name key space.
     """
-    w = Window.partitionBy("name").orderBy("period")
+    w = Window.partitionBy("name").repartition(1).sortWithinPartitions("period")
     prev = F.lag("amount").over(w)
     pct = pct_change_ref(F.col("amount"), prev) if ref_compat else pct_change_safe(
         F.col("amount"), prev
@@ -88,7 +88,7 @@ def pct_change_last(dense: DataFrame, ref_compat: bool = False) -> DataFrame:
         .withColumn("rn", F.row_number().over(wdesc))
         .filter(F.col("rn") == 1)
         .select("name", "period", "pct_change")
-        .orderBy("name")
+        .repartition(1).sortWithinPartitions("name")
     )
 
 
@@ -101,5 +101,5 @@ def mean_absent_as_zero(dense: DataFrame) -> DataFrame:
     return (
         dense.groupBy("name")
         .agg(round2(F.avg("amount")).alias("avg_amount"))
-        .orderBy("name")
+        .repartition(1).sortWithinPartitions("name")
     )

@@ -33,7 +33,7 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
             round2(F.col("o_totalprice")).alias("totalprice"),
             "rn",
         )
-        .orderBy("o_custkey", "rn")
+        .repartition(1).sortWithinPartitions("o_custkey", "rn")
     )
 
 
@@ -74,7 +74,7 @@ def rolling_avg_monthly(orders: DataFrame, months: int = 3) -> DataFrame:
             (F.sum("dmc").over(w).cast("double") / F.count(F.lit(1)).over(w))
             / F.lit(10000.0)
         ).alias("rolling_avg"),
-    ).orderBy("month")
+    ).repartition(1).sortWithinPartitions("month")
 
 
 def order_navigation(orders: DataFrame, ntiles: int = 4) -> DataFrame:
@@ -108,4 +108,4 @@ def monthly_running_total(orders: DataFrame) -> DataFrame:
         "month",
         round2(F.col("revenue")).alias("revenue"),
         round2(F.sum("revenue").over(w)).alias("running_revenue"),
-    ).orderBy("month")
+    ).repartition(1).sortWithinPartitions("month")

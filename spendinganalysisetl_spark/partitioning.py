@@ -24,3 +24,4 @@ def spread(df: DataFrame) -> DataFrame:
     already parallelizes after the exchange.
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+

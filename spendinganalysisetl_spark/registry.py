@@ -70,6 +70,13 @@ def shared(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
 
 
 def _sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned by order_key BEFORE persisting: base_sales is all
+    # broadcast joins over a coarse file scan, so the cache would
+    # otherwise hold 1-2 partitions and every report-family query would
+    # scan it on 1-2 cores. The one-time exchange also makes every
+    # downstream groupBy involving order_key (round-then-sum,
+    # map-roundtrip) exchange-free, since HashPartitioning(order_key)
+    # satisfies any clustering that contains it.
     return shared(
         spark,
         sf_dir,
@@ -79,7 +86,7 @@ def _sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders"),
             load_table(spark, sf_dir, "part"),
             load_table(spark, sf_dir, "supplier"),
-        ),
+        ).repartition(spark.sparkContext.defaultParallelism, "order_key"),
     )
 
 
@@ -271,7 +278,7 @@ def q_monthly_category_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _dense_monthly(spark, sf_dir)
         .select("period", "name", (F.col("dmc") / F.lit(10000.0)).alias("amount"))
-        .orderBy("period", "name")
+        .repartition(1).sortWithinPartitions("period", "name")
     )
 
 
@@ -312,7 +319,7 @@ def q_monthly_pct_change_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wdesc))
         .filter(F.col("rn") == 1)
         .select("name", "period", "pct_change")
-        .orderBy("name")
+        .repartition(1).sortWithinPartitions("name")
     )
 
 
@@ -339,7 +346,7 @@ def q_monthly_avg_absent_as_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_amount"
             )
         )
-        .orderBy("name")
+        .repartition(1).sortWithinPartitions("name")
     )
 
 
@@ -1034,7 +1041,7 @@ def q_upsert_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     target = monthly(orders.filter(F.col("o_orderdate") < F.lit(_MERGE_CUTOFF)))
     batch = monthly(orders)
-    return merge_frames(target, batch).orderBy("begin_date")
+    return merge_frames(target, batch).repartition(1).sortWithinPartitions("begin_date")
 
 
 # --- wide dynamic pivot (SURVEY.md §2.4 A12 literal form) ---------------------
@@ -1062,7 +1069,7 @@ def q_monthly_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("period")
         .pivot("name")
         .sum("amount")
-        .orderBy("period")
+        .repartition(1).sortWithinPartitions("period")
     )
 
 
@@ -1229,7 +1236,7 @@ def q_vendor_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regr_slope(F.col("m_total"), F.col("midx").cast("double")), 4
             ).alias("slope"),
         )
-        .orderBy("vendor")
+        .repartition(1).sortWithinPartitions("vendor")
     )
 
 
@@ -1371,16 +1378,13 @@ def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spendinganalysisetl_spark.functions.scalars import decimicents
 
+    # _sales is cached pre-partitioned on order_key, so BOTH groupBys
+    # here run without any exchange: HashPartitioning(order_key)
+    # satisfies the (order_key, category) clustering too, and the
+    # per-order-category sum and per-order map build share the stage
+    # (measured 1.15 s → 0.63 s at sf0.1 when this stopped re-shuffling).
     sales = _sales(spark, sf_dir)
-    # One explicit repartition on order_key feeds BOTH groupBys without
-    # further exchange: HashPartitioning(order_key) satisfies the
-    # (order_key, category) clustering too, so the per-order-category
-    # sum and the per-order map build run in the same stage (two raw
-    # shuffles → one; measured 1.15 s → 0.63 s at sf0.1).
-    spread = sales.repartition(
-        spark.sparkContext.defaultParallelism, "order_key"
-    )
-    per_order = spread.groupBy("order_key", "category").agg(
+    per_order = sales.groupBy("order_key", "category").agg(
         F.sum(decimicents(F.col("amount"))).alias("dmc")
     )
     maps = per_order.groupBy("order_key").agg(
@@ -1394,7 +1398,7 @@ def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("name")
         .agg((F.sum("dmc_order") / F.lit(10000.0)).alias("total_4dp"))
-        .orderBy("total_4dp", "name")
+        .repartition(1).sortWithinPartitions("total_4dp", "name")
     )
 
 
@@ -1441,7 +1445,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ps")[2], 4).alias("p99"),
             "n",
         )
-        .orderBy("o_orderpriority")
+        .repartition(1).sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -1480,7 +1484,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("gid", "l_returnflag", "l_linestatus")
     )
 
 
