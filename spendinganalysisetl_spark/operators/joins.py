@@ -175,3 +175,27 @@ def asof_join(
         carried.filter(F.col("_is_left") == 1)
         .drop("_is_left", "_ts", *[f"_r_{c}" for c in right_vals])
     )
+
+
+def nation_counts_full_outer(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts — the
+    remaining join type in the family (inner/left/semi/anti elsewhere;
+    the MERGE upsert uses full-outer internally, this exposes it as a
+    query). Both sides pre-aggregate to nation grain before the join, so
+    the exchange carries ~25 rows regardless of input scale."""
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("nationkey")
+    )

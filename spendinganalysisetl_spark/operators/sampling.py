@@ -1,0 +1,90 @@
+"""Dataset-management operators for a training-data pipeline
+(north_star family, next to dedup/similarity/text-analysis): split
+assignment, stratified sampling, and corpus profiling.
+
+Why hash-split instead of random-split: a training/validation/test
+assignment must be (a) deterministic across runs and engines, (b) stable
+under re-partitioning and appends — a row's split never changes when the
+corpus grows — and (c) joinable from any table that carries the key.
+``rand()``-based splits violate all three. Hashing the key into buckets
+gives all of them, is embarrassingly parallel (a pure projection, no
+shuffle), and the md5 fold used here is engine-portable so DuckDB
+reproduces the assignment bit-for-bit (same device as the portable
+MinHash family, functions.text.hex_fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.text import hex_fold
+
+N_BUCKETS = 1000
+
+
+def split_bucket(key) -> F.Column:
+    """Deterministic [0, N_BUCKETS) bucket from any key column: fold the
+    first 7 hex chars of md5(key) (28 bits — fits a BIGINT fold exactly)
+    and take the modulus."""
+    return (hex_fold(F.md5(key.cast("string")), 1, 7) % N_BUCKETS).cast("int")
+
+
+def assign_splits(
+    documents: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Per-row train/val/test assignment (test gets the remainder)."""
+    b = split_bucket(F.col(key))
+    t_hi = int(train * N_BUCKETS)
+    v_hi = t_hi + int(val * N_BUCKETS)
+    split = (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.withColumn("split", split)
+
+
+def split_profile(documents: DataFrame) -> DataFrame:
+    """Aggregate profile of the split assignment: doc and char volume
+    per split — the sanity report every split job emits."""
+    return (
+        assign_splits(documents)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("split")
+    )
+
+
+def length_histogram(documents: DataFrame, bucket_width: int = 200) -> DataFrame:
+    """Doc-length histogram (fixed-width buckets on n_chars) — the
+    corpus-profiling scan that sizes tokenization/packing stages."""
+    lo = (F.floor(F.col("n_chars") / bucket_width) * bucket_width).cast("long")
+    return (
+        documents.groupBy(lo.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket_lo")
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-language stratified sample (``sampleBy``): down-weight
+    over-represented strata, e.g. balancing languages before training.
+    Engine-specific RNG → rows-only; determinism-for-a-seed and
+    per-stratum rate bounds are pinned in tests."""
+    return documents.sampleBy("lang", fractions, seed)

@@ -34,3 +34,32 @@ def nations_except(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     """EXCEPT (distinct): customer nations with no supplier.
     ``subtract`` is Spark's EXCEPT DISTINCT."""
     return _cust_nations(customer).subtract(_supp_nations(supplier)).repartition(1).sortWithinPartitions("nationkey")
+
+
+def priority_intersect_all(orders_a: DataFrame, orders_b: DataFrame) -> DataFrame:
+    """INTERSECT ALL: multiset intersection (min of per-side
+    multiplicities) — Catalyst plans it as a counted aggregate join,
+    no row-pair explosion."""
+    return (
+        orders_a.select("o_orderpriority")
+        .intersectAll(orders_b.select("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n_rows")
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+def priority_except_all(orders_a: DataFrame, orders_b: DataFrame) -> DataFrame:
+    """EXCEPT ALL: multiset difference (left multiplicity minus right,
+    floored at zero)."""
+    return (
+        orders_a.select("o_orderpriority")
+        .exceptAll(orders_b.select("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n_rows")
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )

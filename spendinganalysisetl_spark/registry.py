@@ -73,10 +73,12 @@ def _sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partitioned by order_key BEFORE persisting: base_sales is all
     # broadcast joins over a coarse file scan, so the cache would
     # otherwise hold 1-2 partitions and every report-family query would
-    # scan it on 1-2 cores. The one-time exchange also makes every
-    # downstream groupBy involving order_key (round-then-sum,
-    # map-roundtrip) exchange-free, since HashPartitioning(order_key)
-    # satisfies any clustering that contains it.
+    # scan it on 1-2 cores (measured: round-then-sum 1.2 s → 0.27 s from
+    # this alone). Note the partitioning itself is NOT reusable
+    # downstream — under AQE a cached plan reports unknown output
+    # partitioning, so aggregates still plan an ENSURE_REQUIREMENTS
+    # exchange — but that exchange ships partial-aggregate output; the
+    # win here is the parallel cache scan.
     return shared(
         spark,
         sf_dir,
@@ -257,9 +259,13 @@ def _dense_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         periods = monthly.select("period").distinct()
         names = monthly.select("name").distinct()
+        # Explicit broadcast: distinct-aggregate outputs carry no size
+        # stats, so the planner would otherwise fall back to
+        # CartesianProduct (partition-wise cross product) for the
+        # densification grid — caught by the catalog-wide plan lint.
         return (
-            periods.crossJoin(names)
-            .join(monthly, ["period", "name"], "left")
+            periods.crossJoin(F.broadcast(names))
+            .join(F.broadcast(monthly), ["period", "name"], "left")
             .select("period", "name", F.coalesce("dmc", F.lit(0)).alias("dmc"))
         )
 
@@ -1378,11 +1384,10 @@ def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spendinganalysisetl_spark.functions.scalars import decimicents
 
-    # _sales is cached pre-partitioned on order_key, so BOTH groupBys
-    # here run without any exchange: HashPartitioning(order_key)
-    # satisfies the (order_key, category) clustering too, and the
-    # per-order-category sum and per-order map build share the stage
-    # (measured 1.15 s → 0.63 s at sf0.1 when this stopped re-shuffling).
+    # _sales is cached pre-partitioned on order_key (parallel scan;
+    # both groupBys here ship partial-aggregate output through their
+    # exchanges — measured 1.15 s → 0.57 s at sf0.1 vs the unspread
+    # cache).
     sales = _sales(spark, sf_dir)
     per_order = sales.groupBy("order_key", "category").agg(
         F.sum(decimicents(F.col("amount"))).alias("dmc")
@@ -1865,3 +1870,207 @@ def q_similarity_brute_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.similarity import brute_force_topk_blas
 
     return brute_force_topk_blas(load_table(spark, sf_dir, "embeddings"), None, 5)
+
+
+# --- remaining relational surface: full outer, multiset set ops, correlated
+# --- scalar subquery, unpivot roundtrip --------------------------------------
+
+
+@register(
+    "join_full_outer_nation_counts",
+    """
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+           FROM supplier GROUP BY 1) s USING (nationkey)
+ORDER BY nationkey
+""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.joins import nation_counts_full_outer
+
+    return nation_counts_full_outer(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+_SETOP_ALL_CUT = "1995-06-01"
+
+
+@register(
+    "setop_intersect_all_priorities",
+    f"""
+SELECT o_orderpriority, count(*) AS n_rows FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderdate <  DATE '{_SETOP_ALL_CUT}'
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '{_SETOP_ALL_CUT}'
+) GROUP BY 1 ORDER BY o_orderpriority
+""",
+)
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — min of per-side counts), over
+    the two date halves of orders so multiplicities differ per side."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.setops import priority_intersect_all
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_SETOP_ALL_CUT).cast("date")
+    return priority_intersect_all(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+    )
+
+
+@register(
+    "setop_except_all_priorities",
+    f"""
+SELECT o_orderpriority, count(*) AS n_rows FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '{_SETOP_ALL_CUT}'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderdate <  DATE '{_SETOP_ALL_CUT}'
+) GROUP BY 1 ORDER BY o_orderpriority
+""",
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, floored at zero per value).
+    Left = the larger post-cutoff half so the surplus is non-empty and
+    the per-value counting semantics are actually exercised."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.setops import priority_except_all
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_SETOP_ALL_CUT).cast("date")
+    return priority_except_all(
+        orders.filter(F.col("o_orderdate") >= cut),
+        orders.filter(F.col("o_orderdate") < cut),
+    )
+
+
+@register(
+    "correlated_subquery_above_brand_avg",
+    """
+SELECT p_brand, count(*) AS n_above,
+       round(max(p_retailprice), 2) AS max_price
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts priced above their own brand's
+    average), expressed as SQL so Catalyst's decorrelation rewrites it —
+    the optimizer turns the per-row subquery into one brand-level
+    aggregate joined back (RewriteCorrelatedScalarSubquery), i.e. the
+    plan a hand-written join+agg would produce; no per-row re-execution
+    at any scale. SURVEY.md §4 notes the reference needs none of this —
+    it's part of the generalized query surface (§7 Phase 4)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_above,
+               round(max(p_retailprice), 2) AS max_price
+        FROM part_v p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part_v p2
+                               WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand ORDER BY p_brand
+        """
+    )
+
+
+@register(
+    "monthly_unpivot_roundtrip",
+    MONTHLY_CTE
+    + """
+SELECT period, name, dmc / 10000.0 AS amount
+FROM dense ORDER BY period, name
+""",
+)
+def q_monthly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT→UNPIVOT roundtrip: the wide month×category matrix melted
+    back to long form must reproduce the dense zero-filled long matrix
+    exactly (A12's two physical shapes are lossless inverses). Spark's
+    ``unpivot`` is the stack() relational operator — no shuffle, a
+    row-expanding projection."""
+    from pyspark.sql import functions as F
+
+    wide = (
+        _dense_monthly(spark, sf_dir)
+        .withColumn("amount", F.col("dmc") / F.lit(10000.0))
+        .groupBy("period")
+        .pivot("name")
+        .sum("amount")
+    )
+    return (
+        wide.unpivot("period", None, "name", "amount")
+        .repartition(1)
+        .sortWithinPartitions("period", "name")
+    )
+
+
+# --- dataset management: splits / sampling / profiling (north_star) -----------
+
+
+@register(
+    "split_profile",
+    f"""
+WITH b AS (
+  SELECT n_chars,
+         CAST({hex_fold_sql("md5(CAST(doc_id AS VARCHAR))", 1, 7)} % 1000 AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM b GROUP BY 1 ORDER BY split
+""",
+)
+def q_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment, profiled.
+    The md5 fold is engine-portable (functions.text.hex_fold), so the
+    oracle reproduces every row's assignment bit-for-bit — a property
+    rand()-based splits cannot have."""
+    from spendinganalysisetl_spark.operators.sampling import split_profile
+
+    return split_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_length_histogram",
+    """
+SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY 1 ORDER BY bucket_lo
+""",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spendinganalysisetl_spark.operators.sampling import length_histogram
+
+    return length_histogram(load_table(spark, sf_dir, "documents"), 200)
+
+
+@register("stratified_sample_by_lang")  # rows-only: Bernoulli sampling RNG is
+# engine-internal; determinism-per-seed and per-stratum rates are pinned
+# in tests/test_dedup_similarity.py.
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "fr": 0.5, "de": 0.5, "es": 0.5}
+    return (
+        stratified_sample(docs, fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )

@@ -227,3 +227,41 @@ def test_repetition_scores_pinned_example(spark):
     assert rows[1]["repetition_ratio"] == round(1 - 2 / 3, 4)
     assert (rows[2]["n_trigrams"], rows[2]["repetition_ratio"]) == (0, 0.0)
     assert (rows[3]["n_trigrams"], rows[3]["n_distinct_trigrams"]) == (2, 2)
+
+
+def test_hash_split_deterministic_and_stable(spark, documents):
+    """Split assignment must be a pure function of the key: identical
+    across runs, unchanged under repartitioning, and roughly sized to
+    the requested weights."""
+    from spendinganalysisetl_spark.operators.sampling import assign_splits
+
+    a = {r["doc_id"]: r["split"] for r in assign_splits(documents).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(documents.repartition(7)).collect()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 * n <= train <= 0.9 * n
+
+
+def test_stratified_sample_rates_and_determinism(spark, documents):
+    from spendinganalysisetl_spark.operators.sampling import stratified_sample
+
+    fractions = {"en": 0.25, "fr": 0.5, "de": 0.5, "es": 0.5}
+    s1 = stratified_sample(documents, fractions, seed=42).collect()
+    s2 = stratified_sample(documents, fractions, seed=42).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    from collections import Counter
+    sampled = Counter(r["lang"] for r in s1)
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) >= 50:
+            rate = sampled[lang] / totals[lang]
+            assert abs(rate - frac) < 0.2, (lang, rate, frac)

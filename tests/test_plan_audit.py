@@ -69,3 +69,73 @@ def test_grouped_sum_is_partial_final(spark, sf_dir):
     plan = _plan(df)
     # partial (map-side) + final HashAggregate pair around one exchange
     assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """Catalyst must rewrite the per-row scalar subquery into one
+    brand-level aggregate joined back — the plan may contain joins and
+    aggregates but NO per-row subquery execution node."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["correlated_subquery_above_brand_avg"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Subquery" not in plan, plan[:2000]
+    assert "Join" in plan and "Aggregate" in plan
+
+
+def test_sales_cache_scans_in_parallel(spark, sf_dir):
+    """The shared sales intermediate persists spread across the default
+    parallelism (its plan is all broadcast joins over a 1-file scan, so
+    without the explicit repartition the cache would hold 1-2 partitions
+    and every report-family query would scan it nearly serially)."""
+    from spendinganalysisetl_spark import registry
+
+    sales = registry._sales(spark, sf_dir)
+    assert (
+        sales.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_unpivot_plans_no_exchange(spark, sf_dir):
+    """UNPIVOT (melt) is a row-expanding projection — it must not add
+    any exchange over the wide input."""
+    import __spark_entry__ as entrymod
+
+    wide_to_long = entrymod.queries()["monthly_unpivot_roundtrip"](spark, sf_dir)
+    plan = _plan(wide_to_long)
+    # Unpivot lowers to Expand (a row-generating projection); the only
+    # hashpartitioning exchange in the whole plan is the pivot's own
+    # aggregation below it — nothing between the pivot output and the
+    # melt.
+    assert "Expand" in plan, plan[:2000]
+    above_agg = plan.split("HashAggregate")[0]
+    assert "Exchange hashpartitioning" not in above_agg, plan[:3000]
+
+
+def test_catalog_wide_plan_discipline(spark, sf_dir):
+    """Engine-wide physical-plan lint over the whole query catalog:
+
+    - no CartesianProduct anywhere (cross-shaped plans must broadcast —
+      BroadcastNestedLoopJoin — or be rewritten as equi-joins);
+    - no row-at-a-time Python UDFs (BatchEvalPython); Python is allowed
+      only through Arrow (ArrowEvalPython / MapInPandas), which is the
+      whole-stage-codegen-adjacent slow path the design brief permits.
+
+    Streaming queries are excluded (building them executes a stream);
+    everything else is plan-construction only.
+    """
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, qfn in entrymod.queries().items():
+        if name.startswith("stream_"):
+            continue
+        plan = _plan(qfn(spark, sf_dir))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
