@@ -94,7 +94,12 @@ def main() -> None:
     # over repetitions (the `timeit` convention) measures the plan's
     # steady-state cost; the max additionally folds in GC pauses and
     # hypervisor scheduling noise that are not properties of the plan.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Three reps (not two): a single full-GC pause in a long-lived JVM
+    # lands on 1-2 queries per run and inflates them 2-4x; with two reps
+    # a pause spanning both still poisons the min (observed run-to-run
+    # swings of +-1-3 s on individual queries), with three it almost
+    # never survives.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
