@@ -38,8 +38,11 @@ def assign_splits(
 ) -> DataFrame:
     """Per-row train/val/test assignment (test gets the remainder)."""
     b = split_bucket(F.col(key))
-    t_hi = int(train * N_BUCKETS)
-    v_hi = t_hi + int(val * N_BUCKETS)
+    # round(), not int(): float products truncate below the intended
+    # boundary for common fractions (0.7*1000 == 699.999..., so int()
+    # would put bucket 699 in the wrong split).
+    t_hi = round(train * N_BUCKETS)
+    v_hi = t_hi + round(val * N_BUCKETS)
     split = (
         F.when(b < t_hi, F.lit("train"))
         .when(b < v_hi, F.lit("val"))

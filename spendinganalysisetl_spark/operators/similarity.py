@@ -105,6 +105,8 @@ def brute_force_topk_blas(
         import pandas as pd
 
         rows = bc.value
+        if not rows:  # empty probe set: same empty result as the twin
+            return
         q_ids = np.array([r[0] for r in rows], dtype=np.int64)
         Q = np.array([r[1] for r in rows], dtype=np.float64)
         q_norm = np.sqrt((Q * Q).sum(axis=1))
@@ -114,8 +116,12 @@ def brute_force_topk_blas(
             C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_norm = np.sqrt((C * C).sum(axis=1))
-            # dot / (|c| * |q|): same formula shape as functions.vectors
-            sims = np.round(C @ Q.T / (c_norm[:, None] * q_norm[None, :]), 6)
+            # dot / (|c| * |q|): same formula shape as functions.vectors.
+            # Round HALF-UP (sign-aware) to match Spark F.round / DuckDB
+            # round — np.round is half-EVEN and would diverge from the
+            # shared oracle on exact 6th-decimal ties.
+            raw = C @ Q.T / (c_norm[:, None] * q_norm[None, :])
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
             out_q, out_c, out_s = [], [], []
             for j in range(len(q_ids)):
                 mask = c_ids != q_ids[j]

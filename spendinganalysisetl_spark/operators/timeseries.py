@@ -77,7 +77,7 @@ def pct_change_last(dense: DataFrame, ref_compat: bool = False) -> DataFrame:
     Window is partitioned by name — no global ordering, shuffle only on
     the small name key space.
     """
-    w = Window.partitionBy("name").repartition(1).sortWithinPartitions("period")
+    w = Window.partitionBy("name").orderBy("period")
     prev = F.lag("amount").over(w)
     pct = pct_change_ref(F.col("amount"), prev) if ref_compat else pct_change_safe(
         F.col("amount"), prev

@@ -91,7 +91,12 @@ def merge_frames(
     """
     cols = batch.columns
     on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key]
-    t_missing = F.col(f"t.{key[0]}").isNull()
+    # Side-presence tags, NOT key-nullness: with eqNullSafe a NULL key
+    # can legitimately match a NULL key, and testing t.key IS NULL would
+    # misread that matched row as "target missing".
+    s_tagged = batch.withColumn("_s_present", F.lit(1)).alias("s")
+    t_tagged = target.withColumn("_t_present", F.lit(1)).alias("t")
+    t_missing = F.col("t._t_present").isNull()
     batch_wins = F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}")
     take_batch = t_missing | batch_wins
     action = (
@@ -100,16 +105,14 @@ def merge_frames(
         .otherwise(F.lit("kept"))
     )
     sel = [
-        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+        F.when(F.col("s._s_present").isNotNull(), F.col(f"s.{c}"))
+        .otherwise(F.col(f"t.{c}"))
+        .alias(c)
         if c in key
         else F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in cols
     ]
-    return (
-        batch.alias("s")
-        .join(target.alias("t"), on, "full_outer")
-        .select(*sel, action.alias("action"))
-    )
+    return s_tagged.join(t_tagged, on, "full_outer").select(*sel, action.alias("action"))
 
 
 def merge_reports(
@@ -136,15 +139,22 @@ def merge_reports(
     # merge_frames): UPDATE keeps the target's id (stable PK across
     # updates) and refreshes created_at; INSERT mints a per-row uuid
     # (fixing the reference's process-constant uuid, SURVEY S5); the
-    # no-op leg passes target rows through untouched.
-    t_missing = F.col(f"t.{KEY[0]}").isNull()
+    # no-op leg passes target rows through untouched. Presence tags,
+    # not key-nullness — see merge_frames.
+    s_tagged = batch.withColumn("_s_present", F.lit(1)).alias("s")
+    t_tagged = target.withColumn("_t_present", F.lit(1)).alias("t")
+    t_missing = F.col("t._t_present").isNull()
     batch_wins = F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}")
     take_batch = t_missing | batch_wins
     cols = [f.name for f in target.schema.fields]
     sel = []
     for c in cols:
         if c in KEY:
-            sel.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            sel.append(
+                F.when(F.col("s._s_present").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
         elif c == "id":
             sel.append(
                 F.when(t_missing, F.expr("uuid()")).otherwise(F.col("t.id")).alias("id")
@@ -159,7 +169,7 @@ def merge_reports(
             sel.append(
                 F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             )
-    merged = batch.alias("s").join(target.alias("t"), on, "full_outer").select(*sel)
+    merged = s_tagged.join(t_tagged, on, "full_outer").select(*sel)
 
     # Filesystem-atomic commit: write staged, swap directories.
     staged = f"{sink_path}.__staged__{uuid.uuid4().hex}"

@@ -265,3 +265,33 @@ def test_stratified_sample_rates_and_determinism(spark, documents):
         if totals.get(lang, 0) >= 50:
             rate = sampled[lang] / totals[lang]
             assert abs(rate - frac) < 0.2, (lang, rate, frac)
+
+
+def test_blas_topk_empty_query_set(spark, embeddings):
+    """Empty probe set returns an empty frame (the expression twin's
+    behavior), not an executor crash."""
+    from spendinganalysisetl_spark.operators.similarity import brute_force_topk_blas
+
+    assert brute_force_topk_blas(embeddings, [], 5).count() == 0
+
+
+def test_hash_split_boundaries_not_truncated(spark, documents):
+    """train=0.7/val=0.2 must give boundaries 700/900 (float truncation
+    would give 699/898 and leak buckets across splits)."""
+    from spendinganalysisetl_spark.operators.sampling import (
+        assign_splits,
+        split_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    df = assign_splits(documents, train=0.7, val=0.2).withColumn(
+        "bucket", split_bucket(F.col("doc_id"))
+    )
+    per_split = {
+        r["split"]: (r["lo"], r["hi"])
+        for r in df.groupBy("split")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .collect()
+    }
+    assert per_split["train"][1] <= 699 and per_split["val"][0] >= 700
+    assert per_split["val"][1] <= 899 and per_split["test"][0] >= 900

@@ -80,3 +80,21 @@ def test_merge_frames_idempotent(spark):
     once = merge_frames(target, batch).drop("action")
     twice = merge_frames(once, batch).drop("action")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_frames_null_key_rows(spark):
+    """NULL range keys: eqNullSafe matches NULL==NULL, and the leg
+    classification must use side-presence, not key-nullness — a matched
+    null-key row where the batch LOSES the comparison stays 'kept' with
+    the target's values."""
+    from spendinganalysisetl_spark.sources.upsert import merge_frames
+
+    schema = "begin_date string, end_date string, total_transactions long, total_spent double"
+    target = spark.createDataFrame([(None, None, 10, 100.0), ("2024-01-01", "2024-01-31", 5, 50.0)], schema)
+    batch = spark.createDataFrame([(None, None, 3, 30.0), ("2024-01-01", "2024-01-31", 9, 90.0)], schema)
+    rows = {
+        (r["begin_date"], r["end_date"]): (r["total_transactions"], r["action"])
+        for r in merge_frames(target, batch).collect()
+    }
+    assert rows[(None, None)] == (10, "kept")
+    assert rows[("2024-01-01", "2024-01-31")] == (9, "updated")

@@ -107,3 +107,17 @@ def test_missing_dates_dropped(spark):
     row = global_summary(sales).collect()[0]
     assert row["total_transactions"] == 1
     assert row["begin_date"] == "2024-01-01"
+
+
+def test_pct_change_last_operator_direct(spark):
+    """Call the OPERATOR (not the registry's inlined twin): last-period
+    pct change per name over a dense matrix, W1+W2 semantics."""
+    from spendinganalysisetl_spark.operators.timeseries import pct_change_last
+
+    dense = spark.createDataFrame(
+        [("2024-01-01", "a", 10.0), ("2024-02-01", "a", 15.0),
+         ("2024-01-01", "b", 4.0), ("2024-02-01", "b", 2.0)],
+        "period string, name string, amount double",
+    )
+    got = {r["name"]: r["pct_change"] for r in pct_change_last(dense).collect()}
+    assert got == {"a": 0.5, "b": -0.5}
