@@ -54,9 +54,17 @@ def money_sum(c: Column) -> Column:
     per engine. Summing exact bigint decimicents is associative and
     engine-independent; the half-up happens in integer space.
 
-    SQL twin: ``registry.money_sum_sql``.
+    Sign-aware: ``floor((s+50)/100)`` alone rounds halves toward +inf,
+    which for a NEGATIVE total (refund-heavy group) disagrees with
+    HALF_UP (away from zero); applying the fold to ``abs(s)`` and
+    restoring the sign gives true half-away-from-zero on both signs.
+
+    SQL twin: ``registry.money_sum_sql`` (same formula, same fix).
     """
-    cents = F.floor((F.sum(decimicents(c)) + F.lit(50)) / F.lit(100.0)).cast("long")
+    s = F.sum(decimicents(c))
+    cents = (
+        F.signum(s) * F.floor((F.abs(s) + F.lit(50)) / F.lit(100.0))
+    ).cast("long")
     return cents / F.lit(100.0)
 
 

@@ -81,12 +81,21 @@ def char_shingles(norm: Column, n: int = 5) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), joined with single spaces."""
+    """Word n-gram shingles (distinct), joined with single spaces.
+    Sub-n documents shingle to the whole text; EMPTY documents shingle
+    to the empty array — NOT [''], which would make all contentless
+    docs Jaccard-1.0 near-dups of each other."""
     toks = ws_tokens(text)
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return (
+        F.when(cnt == 0, F.array().cast("array<string>"))
+        .when(cnt < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+            )
+        )
     )
 
 

@@ -119,21 +119,29 @@ def extract_features(media: DataFrame) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        def _fake_decode(payload: bytes) -> list[float]:
-            d = hashlib.sha256(payload).digest()
-            return [d[0] / 255.0, d[1] / 255.0]
-
         for pdf in batches:
-            payloads = pdf["payload"]
-            feats = [_fake_decode(bytes(p)) for p in payloads]
+            n_bytes, digests, f0, f1 = [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:  # payload is nullable in MEDIA_SCHEMA
+                    n_bytes.append(0)
+                    digests.append(None)
+                    f0.append(None)
+                    f1.append(None)
+                    continue
+                b = bytes(p)
+                d = hashlib.sha256(b).digest()  # hash ONCE per payload
+                n_bytes.append(len(b))
+                digests.append(d.hex())
+                f0.append(d[0] / 255.0)
+                f1.append(d[1] / 255.0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "digest": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
-                    "feat_0": [f[0] for f in feats],
-                    "feat_1": [f[1] for f in feats],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "digest": digests,
+                    "feat_0": pd.Series(f0, dtype="float64"),
+                    "feat_1": pd.Series(f1, dtype="float64"),
                 }
             )
 
@@ -151,7 +159,10 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
         for pdf in batches:
             out_id, out_idx, out_dig = [], [], []
             for _, row in pdf.iterrows():
-                if row["kind"] != "video" or row["meta"] is None:
+                # kind == 'video' is guaranteed by the scan-side filter
+                # below (kept there so it pushes down); meta/payload are
+                # nullable per MEDIA_SCHEMA.
+                if row["meta"] is None or row["payload"] is None:
                     continue
                 duration = row["meta"]["duration_ms"] or 0
                 for k in range(max(duration // every_ms, 1)):

@@ -42,12 +42,12 @@ def register(name: str, oracle: str | None = None):
 
 def money_sum_sql(expr: str) -> str:
     """SQL twin of ``functions.scalars.money_sum``: exact bigint
-    decimicent sum, half-up to cents in integer space, dollars out.
+    decimicent sum, half-away-from-zero to cents in integer space
+    (sign-aware, matching the Spark side), dollars out.
     Engine-independent for 4-decimal money values (see money_sum
     docstring for the empirical failure this avoids)."""
-    return (
-        f"floor((sum(CAST(floor(({expr})*10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0"
-    )
+    s = f"sum(CAST(floor(({expr})*10000 + 0.5) AS BIGINT))"
+    return f"sign({s}) * floor((abs({s}) + 50) / 100.0) / 100.0"
 
 
 # --- shared-intermediate cache ------------------------------------------------

@@ -15,18 +15,22 @@ statement semantically:
 
 Without a transactional table format on the classpath (no Delta in this
 environment — SURVEY.md §7 Phase 3), the same semantics are emulated
-over plain parquet as one distributed plan:
+over plain parquet as one distributed plan: ONE full-outer join on the
+range key carries all three MERGE legs (kept / updated / inserted) —
+see ``merge_frames``.
 
-    kept     = target ⟕(anti on key-AND-wins) batch   -- rows not replaced
-    replaced = batch ⋉ (target where batch wins)       -- update leg
-    inserts  = batch ▷ target                          -- insert leg
-    new sink = kept ∪ replaced ∪ inserts  → atomic dir swap
-
-Scale notes: both legs are equi-joins on the range key — at 100 TB the
+Scale notes: the join is an equi-join on the range key — at 100 TB the
 target would be a partitioned table and the join prunes to touched
-partitions; the batch side is typically small → broadcast. The write is
-staged to a temp dir then renamed, the classic filesystem-atomic commit
-(readers see old or new, never half).
+partitions; the batch side is typically small → broadcast.
+
+Commit protocol (the miniature table-format move Delta/Iceberg make):
+each merge writes a NEW immutable version directory ``v_<uuid>`` under
+the sink and then atomically ``os.replace``s the ``_CURRENT`` pointer
+file. Readers resolve the pointer first, so they always see a complete
+old or new version — never a missing or half-written table. The
+previous version is retained one generation for in-flight readers and
+GC'd on the next commit; a crash before the pointer flip leaves the old
+version live plus an orphan directory that the next commit removes.
 
 Reference bug faithfully NOT ported: ``id=str(uuid.uuid4())`` as a
 Python default arg (transformer.py:100) evaluates once per process, so
@@ -45,21 +49,63 @@ from pyspark.sql import functions as F
 
 KEY = ("begin_date", "end_date")
 
+_CURRENT = "_CURRENT"
+
+
+def _resolve_data_dir(path: str) -> str:
+    """Active data directory of a sink: pointer-resolved if the sink is
+    version-layout (``path/_CURRENT`` names the live ``v_*`` subdir),
+    else the path itself (plain layout / pre-migration)."""
+    ptr = os.path.join(path, _CURRENT)
+    if os.path.isfile(ptr):
+        with open(ptr) as fh:
+            return os.path.join(path, fh.read().strip())
+    return path
+
+
+def _commit_version(path: str, version: str) -> None:
+    """Atomically flip the sink's pointer to ``version`` (os.replace of
+    the pointer file — readers resolve old or new, never nothing), then
+    garbage-collect all but the newly-previous version so a reader that
+    resolved the old pointer an instant before the flip can still finish
+    its scan."""
+    prev = None
+    ptr = os.path.join(path, _CURRENT)
+    if os.path.isfile(ptr):
+        with open(ptr) as fh:
+            prev = fh.read().strip()
+    tmp = os.path.join(path, f".{_CURRENT}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, ptr)  # the atomic commit point
+    for name in os.listdir(path):
+        if (
+            name.startswith("v_")
+            and name not in (version, prev)
+            and os.path.isdir(os.path.join(path, name))
+        ):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
 
 def write_reports(df: DataFrame, path: str, mode: str = "append") -> None:
     """S5: append report rows; per-row uuid id + created_at stamp
     (README.md:44-51 DDL shape: id, begin_date, end_date, details,
-    fi_summary, created_at)."""
-    (
-        df.withColumn("id", F.expr("uuid()"))
-        .withColumn("created_at", F.current_date())
-        .write.mode(mode)
-        .parquet(path)
+    fi_summary, created_at). ``overwrite`` creates the versioned layout
+    (see ``merge_reports``); ``append`` adds files to the live version."""
+    stamped = df.withColumn("id", F.expr("uuid()")).withColumn(
+        "created_at", F.current_date()
     )
+    if mode == "overwrite":
+        os.makedirs(path, exist_ok=True)
+        version = f"v_{uuid.uuid4().hex}"
+        stamped.write.mode("overwrite").parquet(os.path.join(path, version))
+        _commit_version(path, version)
+    else:
+        stamped.write.mode(mode).parquet(_resolve_data_dir(path))
 
 
 def read_reports(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return spark.read.parquet(_resolve_data_dir(path))
 
 
 def merge_frames(
@@ -89,30 +135,42 @@ def merge_frames(
     (measured 0.97 s vs 0.37 s for this single-join plan at sf0.1, byte-
     identical output).
     """
-    cols = batch.columns
-    on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key]
-    # Side-presence tags, NOT key-nullness: with eqNullSafe a NULL key
-    # can legitimately match a NULL key, and testing t.key IS NULL would
-    # misread that matched row as "target missing".
-    s_tagged = batch.withColumn("_s_present", F.lit(1)).alias("s")
-    t_tagged = target.withColumn("_t_present", F.lit(1)).alias("t")
-    t_missing = F.col("t._t_present").isNull()
-    batch_wins = F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}")
-    take_batch = t_missing | batch_wins
+    joined, t_missing, batch_wins, take_batch = _merge_join(
+        batch, target, key, compare_col
+    )
     action = (
         F.when(t_missing, F.lit("inserted"))
         .when(batch_wins, F.lit("updated"))
         .otherwise(F.lit("kept"))
     )
-    sel = [
-        F.when(F.col("s._s_present").isNotNull(), F.col(f"s.{c}"))
-        .otherwise(F.col(f"t.{c}"))
-        .alias(c)
-        if c in key
-        else F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-        for c in cols
-    ]
-    return s_tagged.join(t_tagged, on, "full_outer").select(*sel, action.alias("action"))
+    sel = [_merged_col(c, key, take_batch) for c in batch.columns]
+    return joined.select(*sel, action.alias("action"))
+
+
+def _merge_join(batch, target, key, compare_col):
+    """The shared MERGE core: full-outer join on the range key with
+    side-presence tags, NOT key-nullness — with eqNullSafe a NULL key
+    can legitimately match a NULL key, and testing t.key IS NULL would
+    misread that matched row as "target missing"."""
+    on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key]
+    s_tagged = batch.withColumn("_s_present", F.lit(1)).alias("s")
+    t_tagged = target.withColumn("_t_present", F.lit(1)).alias("t")
+    joined = s_tagged.join(t_tagged, on, "full_outer")
+    t_missing = F.col("t._t_present").isNull()
+    batch_wins = F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}")
+    return joined, t_missing, batch_wins, t_missing | batch_wins
+
+
+def _merged_col(c: str, key: tuple[str, ...], take_batch) -> F.Column:
+    """Column rule shared by both merge entry points: key columns come
+    from whichever side is present; data columns from the winning side."""
+    if c in key:
+        return (
+            F.when(F.col("s._s_present").isNotNull(), F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+    return F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
 
 
 def merge_reports(
@@ -133,29 +191,15 @@ def merge_reports(
         return
 
     target = read_reports(spark, sink_path)
-    on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in KEY]
 
-    # One full-outer join carries all three MERGE legs (same shape as
-    # merge_frames): UPDATE keeps the target's id (stable PK across
+    # The shared MERGE core (see merge_frames), plus the sink-only
+    # column rules: UPDATE keeps the target's id (stable PK across
     # updates) and refreshes created_at; INSERT mints a per-row uuid
-    # (fixing the reference's process-constant uuid, SURVEY S5); the
-    # no-op leg passes target rows through untouched. Presence tags,
-    # not key-nullness — see merge_frames.
-    s_tagged = batch.withColumn("_s_present", F.lit(1)).alias("s")
-    t_tagged = target.withColumn("_t_present", F.lit(1)).alias("t")
-    t_missing = F.col("t._t_present").isNull()
-    batch_wins = F.col(f"s.{compare_col}") > F.col(f"t.{compare_col}")
-    take_batch = t_missing | batch_wins
-    cols = [f.name for f in target.schema.fields]
+    # (fixing the reference's process-constant uuid, SURVEY S5).
+    joined, t_missing, _, take_batch = _merge_join(batch, target, KEY, compare_col)
     sel = []
-    for c in cols:
-        if c in KEY:
-            sel.append(
-                F.when(F.col("s._s_present").isNotNull(), F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-            )
-        elif c == "id":
+    for c in [f.name for f in target.schema.fields]:
+        if c == "id":
             sel.append(
                 F.when(t_missing, F.expr("uuid()")).otherwise(F.col("t.id")).alias("id")
             )
@@ -166,15 +210,18 @@ def merge_reports(
                 .alias("created_at")
             )
         else:
-            sel.append(
-                F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-            )
-    merged = s_tagged.join(t_tagged, on, "full_outer").select(*sel)
+            sel.append(_merged_col(c, KEY, take_batch))
+    merged = joined.select(*sel)
 
-    # Filesystem-atomic commit: write staged, swap directories.
-    staged = f"{sink_path}.__staged__{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(staged)
-    backup = f"{sink_path}.__old__{uuid.uuid4().hex}"
-    os.rename(sink_path, backup)
-    os.rename(staged, sink_path)
-    shutil.rmtree(backup)
+    # Atomic commit via pointer flip: write the merged table as a NEW
+    # version directory, then os.replace the _CURRENT pointer file —
+    # a reader resolves the old version or the new one, never a missing
+    # path (the previous two-rename swap had a window with no sink at
+    # all, and a crash inside it lost the sink). The newly-previous
+    # version is retained one generation so in-flight readers finish;
+    # older generations are GC'd at the next commit. A crash before the
+    # pointer flip leaves the old version live and an orphan v_* dir
+    # that the next successful commit removes.
+    version = f"v_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(os.path.join(sink_path, version))
+    _commit_version(sink_path, version)

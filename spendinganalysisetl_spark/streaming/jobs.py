@@ -62,10 +62,17 @@ def read_event_stream(
     compared their event times to an oracle."""
     if ts_is_nanos is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        probe = spark.read.parquet(path).schema
-        ts_is_nanos = dict((f.name, f.dataType.simpleString()) for f in probe).get(
-            "ts"
-        ) == "bigint"
+        try:
+            probe = spark.read.parquet(path).schema
+            ts_is_nanos = dict(
+                (f.name, f.dataType.simpleString()) for f in probe
+            ).get("ts") == "bigint"
+        except Exception:
+            # Empty/not-yet-created source dir (routine for a file
+            # stream started before data lands): no footers to probe,
+            # assume the native µs schema — the common case — and let
+            # the stream start.
+            ts_is_nanos = False
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = StructType(

@@ -10,7 +10,6 @@ Arrow-vectorized (one call per key-batch, not per row).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -36,28 +35,63 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _update_user_totals(key, pdfs, state: GroupState):
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+IDLE_TIMEOUT_MS = 60 * 60 * 1000  # evict a user's state after 1h idle
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming running totals per user — emits the updated cumulative
-    (count, total) for each user seen in the micro-batch."""
+    (count, total) for each user seen in the micro-batch. Idle keys are
+    evicted after IDLE_TIMEOUT_MS of processing time (the bounded-state
+    contract every stateful op here follows).
+
+    The update function is a CLOSURE, not a module-level function:
+    module-level functions cloudpickle by reference and the Python
+    workers then need this package importable — which breaks when the
+    driver process runs from a different cwd (same lesson as
+    multimodal.ops).
+
+    EVENT-time timeout, not processing-time: processing-time timers
+    prevent an AvailableNow drain from terminating (the query idles
+    waiting for wall-clock timers — observed as a test hang), while
+    event-time timers are driven by the watermark, which is data-driven
+    and final once the input is drained."""
+
+    def _update_user_totals(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            # Idle key (watermark passed its timer): drop the state and
+            # emit nothing. This is the eviction that keeps the store
+            # O(active keys) — NoTimeout would grow it by every key
+            # ever seen.
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        # Evict when the event-time watermark moves IDLE_TIMEOUT_MS
+        # past this key's last activity.
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IDLE_TIMEOUT_MS)
+        # round HALF_UP (sign-aware) to match the batch twins' F.round;
+        # Python round() is banker's and diverges on half-cents.
+        rounded = math.copysign(math.floor(abs(total) * 100 + 0.5), total) / 100
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [rounded]}
+        )
+
     return (
-        events.groupBy("user_id")
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_totals,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -73,3 +73,27 @@ def test_merge_idempotent(spark, sink):
     for _ in range(2):
         merge_reports(spark, sink, batch)
         assert read_reports(spark, sink).count() == 1
+
+
+def test_versioned_commit_always_resolvable(spark, sink):
+    """The pointer-flip commit: after every merge the sink has a
+    _CURRENT pointer naming an existing version dir, the previous
+    version is retained one generation (in-flight readers), and older
+    generations are GC'd."""
+    import os
+
+    write_reports(
+        _batch(spark, [("2024-01-01", "2024-01-31", 10, 100.0)]), sink, mode="overwrite"
+    )
+    seen_versions = []
+    for n in (15, 20, 25):
+        merge_reports(
+            spark, sink, _batch(spark, [("2024-01-01", "2024-01-31", n, float(n))])
+        )
+        with open(os.path.join(sink, "_CURRENT")) as fh:
+            current = fh.read().strip()
+        assert os.path.isdir(os.path.join(sink, current))
+        seen_versions.append(current)
+        live = sorted(d for d in os.listdir(sink) if d.startswith("v_"))
+        assert current in live and len(live) <= 2
+    assert read_reports(spark, sink).collect()[0]["total_transactions"] == 25
