@@ -138,7 +138,10 @@ def click_purchase_interval_join(events: DataFrame, minutes: int = 30) -> DataFr
             F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
             round2(F.col("value")).alias("purchase_value"),
         )
-        .repartition(1).sortWithinPartitions("user_id", "click_ts", "purchase_ts")
+        # Deliberately UNSORTED: the output is O(matched click×purchase
+        # pairs) — unbounded in input size — so neither a global sort nor
+        # a single-partition sort belongs here (the driver's comparison
+        # is order-insensitive; large outputs stay unsorted, README).
     )
 
 

@@ -44,7 +44,11 @@ def assign_splits(
     t_hi = round(train * N_BUCKETS)
     v_hi = t_hi + round(val * N_BUCKETS)
     split = (
-        F.when(b < t_hi, F.lit("train"))
+        # NULL key -> NULL split, surfaced for the caller to handle:
+        # without this guard every when() is NULL (falsy) and otherwise()
+        # silently concentrates all broken-identity rows into 'test'.
+        F.when(F.col(key).isNull(), F.lit(None).cast("string"))
+        .when(b < t_hi, F.lit("train"))
         .when(b < v_hi, F.lit("val"))
         .otherwise(F.lit("test"))
     )

@@ -36,30 +36,29 @@ def nations_except(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     return _cust_nations(customer).subtract(_supp_nations(supplier)).repartition(1).sortWithinPartitions("nationkey")
 
 
-def priority_intersect_all(orders_a: DataFrame, orders_b: DataFrame) -> DataFrame:
-    """INTERSECT ALL: multiset intersection (min of per-side
-    multiplicities) — Catalyst plans it as a counted aggregate join,
-    no row-pair explosion."""
+def _priority_setop_all(orders_a: DataFrame, orders_b: DataFrame, op: str) -> DataFrame:
+    """Shared multiset set-op core: apply intersectAll/exceptAll on the
+    priority projection and count the surviving multiplicities."""
+    a = orders_a.select("o_orderpriority")
+    b = orders_b.select("o_orderpriority")
     return (
-        orders_a.select("o_orderpriority")
-        .intersectAll(orders_b.select("o_orderpriority"))
+        getattr(a, op)(b)
         .groupBy("o_orderpriority")
         .count()
         .withColumnRenamed("count", "n_rows")
         .repartition(1)
         .sortWithinPartitions("o_orderpriority")
     )
+
+
+def priority_intersect_all(orders_a: DataFrame, orders_b: DataFrame) -> DataFrame:
+    """INTERSECT ALL: multiset intersection (min of per-side
+    multiplicities) — Catalyst plans it as a counted aggregate join,
+    no row-pair explosion."""
+    return _priority_setop_all(orders_a, orders_b, "intersectAll")
 
 
 def priority_except_all(orders_a: DataFrame, orders_b: DataFrame) -> DataFrame:
     """EXCEPT ALL: multiset difference (left multiplicity minus right,
     floored at zero)."""
-    return (
-        orders_a.select("o_orderpriority")
-        .exceptAll(orders_b.select("o_orderpriority"))
-        .groupBy("o_orderpriority")
-        .count()
-        .withColumnRenamed("count", "n_rows")
-        .repartition(1)
-        .sortWithinPartitions("o_orderpriority")
-    )
+    return _priority_setop_all(orders_a, orders_b, "exceptAll")

@@ -27,6 +27,33 @@ from spendinganalysisetl_spark.functions.vectors import cosine, dot
 from spendinganalysisetl_spark.partitioning import spread as _spread
 
 
+def _probe(df: DataFrame, query_ids: list[int] | None, id_col: str = "vec_id"):
+    """The shared query-probe selection: explicit ids, or the default
+    vec_id < 10 probe set."""
+    return (
+        df.filter(F.col(id_col).isin(query_ids))
+        if query_ids is not None
+        else df.filter(F.col(id_col) < 10)
+    )
+
+
+def _topk_epilogue(scored: DataFrame, k: int) -> DataFrame:
+    """The shared top-k tail: rank per query by (cos desc — NULLS LAST,
+    Spark's desc default — then candidate id), keep k. Tiny result
+    (|queries|·k rows): single-partition sort avoids the
+    range-partitioner sampling pass a global orderBy inserts."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rnk")
+        .coalesce(1)
+        .sortWithinPartitions("q_id", "rnk")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
 ) -> DataFrame:
@@ -35,13 +62,8 @@ def brute_force_topk(
     query_ids defaults to vec_id < 10 (a small probe set). Deterministic
     tiebreak on candidate id. Self-matches excluded.
     """
-    queries = embeddings.select(
+    queries = _probe(embeddings, query_ids).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    queries = (
-        queries.filter(F.col("q_id").isin(query_ids))
-        if query_ids is not None
-        else queries.filter(F.col("q_id") < 10)
     )
     corpus = _spread(embeddings).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
@@ -55,16 +77,7 @@ def brute_force_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "c_id", "cos_sim", "rnk")
-        # Tiny result (|queries|·k rows): single-partition sort avoids
-        # the range-partitioner sampling pass a global orderBy inserts.
-        .coalesce(1)
-        .sortWithinPartitions("q_id", "rnk")
-    )
+    return _topk_epilogue(scored, k)
 
 
 def brute_force_topk_blas(
@@ -88,13 +101,7 @@ def brute_force_topk_blas(
     one final window pass picks the global winners.
     """
     spark = embeddings.sparkSession
-    q = embeddings.select("vec_id", "embedding")
-    q = (
-        q.filter(F.col("vec_id").isin(query_ids))
-        if query_ids is not None
-        else q.filter(F.col("vec_id") < 10)
-    )
-    q_rows = q.collect()  # probe-sized by contract (|Q| ~ 10)
+    q_rows = _probe(embeddings.select("vec_id", "embedding"), query_ids).collect()
     bc = spark.sparkContext.broadcast(
         [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in q_rows]
     )
@@ -116,33 +123,52 @@ def brute_force_topk_blas(
             C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_norm = np.sqrt((C * C).sum(axis=1))
-            # dot / (|c| * |q|): same formula shape as functions.vectors.
-            # Round HALF-UP (sign-aware) to match Spark F.round / DuckDB
-            # round — np.round is half-EVEN and would diverge from the
-            # shared oracle on exact 6th-decimal ties.
-            raw = C @ Q.T / (c_norm[:, None] * q_norm[None, :])
-            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = np.where(denom > 0, C @ Q.T / np.where(denom > 0, denom, 1.0), np.nan)
             out_q, out_c, out_s = [], [], []
             for j in range(len(q_ids)):
-                mask = c_ids != q_ids[j]
-                ids, s = c_ids[mask], sims[mask, j]
-                take = np.lexsort((ids, -s))[:kk]
-                out_q.extend([q_ids[j]] * len(take))
-                out_c.extend(ids[take])
-                out_s.extend(s[take])
-            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cos_sim": out_s})
+                not_self = c_ids != q_ids[j]
+                col = raw[:, j]
+                finite = not_self & np.isfinite(col)
+                ids, s = c_ids[finite], col[finite]
+                if len(s):
+                    # Select by RAW similarity, keeping every candidate
+                    # within 1e-6 of the k-th value: rounding happens
+                    # Spark-side with the exact F.round the expression
+                    # twin uses, and a candidate can only enter the
+                    # rounded top-k if its raw value is within one
+                    # rounding unit of the raw cut.
+                    order = np.lexsort((ids, -s))
+                    cut = s[order[min(kk, len(s)) - 1]] - 1e-6
+                    keep = order[: np.searchsorted(-s[order], -cut, side="right")]
+                    out_q.extend([q_ids[j]] * len(keep))
+                    out_c.extend(ids[keep])
+                    out_s.extend(s[keep])
+                # Zero-norm rows (candidate or query): the expression
+                # twin scores them NULL (cosine() NULL on zero denom),
+                # and NULLs rank last under desc — emit the k
+                # smallest-id nulls per batch as fillers so a query
+                # with fewer than k finite candidates matches exactly.
+                nulls = not_self & ~np.isfinite(col)
+                if nulls.any():
+                    nid = np.sort(c_ids[nulls])[:kk]
+                    out_q.extend([q_ids[j]] * len(nid))
+                    out_c.extend(nid)
+                    out_s.extend([None] * len(nid))
+            yield pd.DataFrame(
+                {
+                    "q_id": out_q,
+                    "c_id": out_c,
+                    "cos_sim": pd.array(out_s, dtype="Float64"),
+                }
+            )
 
     cand = _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
         _score, "q_id long, c_id long, cos_sim double"
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "c_id", "cos_sim", "rnk")
-        .coalesce(1)
-        .sortWithinPartitions("q_id", "rnk")
-    )
+    scored = cand.select("q_id", "c_id", F.round("cos_sim", 6).alias("cos_sim"))
+    return _topk_epilogue(scored, k)
 
 
 def _hyperplane_bit(vec, plane: int) -> F.Column:

@@ -2020,11 +2020,12 @@ def q_monthly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_profile",
     f"""
 WITH b AS (
-  SELECT n_chars,
+  SELECT doc_id, n_chars,
          CAST({hex_fold_sql("md5(CAST(doc_id AS VARCHAR))", 1, 7)} % 1000 AS INTEGER) AS bucket
   FROM documents
 )
-SELECT CASE WHEN bucket < 800 THEN 'train'
+SELECT CASE WHEN doc_id IS NULL THEN NULL
+            WHEN bucket < 800 THEN 'train'
             WHEN bucket < 900 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
