@@ -295,3 +295,29 @@ def test_hash_split_boundaries_not_truncated(spark, documents):
     }
     assert per_split["train"][1] <= 699 and per_split["val"][0] >= 700
     assert per_split["val"][1] <= 899 and per_split["test"][0] >= 900
+
+
+def test_blas_topk_zero_norm_vectors_match_expression_twin(spark):
+    """Zero-norm embeddings score NULL in the expression twin (cosine()
+    NULL on zero denominator, ranked last under desc); the GEMM kernel
+    must reproduce that exactly — including when NULL fillers enter the
+    top-k because fewer than k finite candidates exist."""
+    from spendinganalysisetl_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm candidate -> NULL cos
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0]),  # second zero-norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = [tuple(r) for r in brute_force_topk(emb, [0], 4).collect()]
+    b = [tuple(r) for r in brute_force_topk_blas(emb, [0], 4).collect()]
+    assert a == b
+    # NULL fillers occupy the tail ranks deterministically by id
+    assert [r[1] for r in a] == [1, 3, 2, 4]
+    assert a[2][2] is None and a[3][2] is None
