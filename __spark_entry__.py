@@ -43,8 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    # Driver-check order, not registration order: the driver oracle-checks
+    # only the first 50 entries, so oracle-backed queries with distinct
+    # semantics come first (see registry.ordered_queries).
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.ORACLE)
+    ordered = registry.ordered_queries()
+    return {n: registry.ORACLE[n] for n in ordered if n in registry.ORACLE}

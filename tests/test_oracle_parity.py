@@ -16,6 +16,13 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+# The driver materializes BOTH result sets through pandas before hashing
+# (VERDICT r1: DuckDB HUGEINT -> float64 made `12345.0` hash-differently
+# from Spark's `12345`). To be a predictive leading indicator this gate
+# must therefore compare pandas dtype KINDS as well as values: a Python
+# value compare alone treats 3 == 3.0 as equal and let the r1 typing bug
+# through.
+
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -47,6 +54,30 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas/numpy dtype to the kind the driver's hash is
+    sensitive to: int-vs-float is the r1 failure class; everything in
+    {object, string, bool, datetime} hashes by value either way."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "obj"
+
+
+def _pandas_sides(spark_df, ddb_res):
+    spdf = spark_df.toPandas()
+    oradf = ddb_res.df()
+    spdf.columns = [c.lower() for c in spdf.columns]
+    oradf.columns = [c.lower() for c in oradf.columns]
+    return spdf[sorted(spdf.columns)], oradf[sorted(oradf.columns)]
+
+
 def queries_with_oracles():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
@@ -58,22 +89,30 @@ def queries_with_oracles():
 )
 def test_query_matches_oracle(spark, ddb, name, qfn, sql):
     sdf = qfn(spark, SF_DIR)
-    spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spdf, oradf = _pandas_sides(sdf, ddb.execute(sql))
 
-    res = ddb.execute(sql)
-    ddb_cols = [d[0].lower() for d in res.description]
-    ddb_rows = res.fetchall()
+    assert list(spdf.columns) == list(oradf.columns), (
+        f"{name}: column mismatch {list(spdf.columns)} vs {list(oradf.columns)}"
+    )
+    assert len(spdf) == len(oradf), f"{name}: row count {len(spdf)} vs {len(oradf)}"
 
-    s_cols, s_rows = _norm_rows(spark_cols, spark_rows)
-    d_cols, d_rows = _norm_rows(ddb_cols, ddb_rows)
+    # Driver-predictive dtype check: int-vs-float64 (the DuckDB HUGEINT
+    # class) must fail HERE, not in CORRECTNESS_r{N}.json.
+    s_kinds = {c: _dtype_kind(spdf[c].dtype) for c in spdf.columns}
+    d_kinds = {c: _dtype_kind(oradf[c].dtype) for c in oradf.columns}
+    assert s_kinds == d_kinds, (
+        f"{name}: pandas dtype-kind mismatch (driver hash would differ): "
+        f"spark={s_kinds} oracle={d_kinds}"
+    )
 
-    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    s_cols, s_rows = _norm_rows(
+        list(spdf.columns), list(spdf.itertuples(index=False, name=None))
+    )
+    d_cols, d_rows = _norm_rows(
+        list(oradf.columns), list(oradf.itertuples(index=False, name=None))
     )
     for sr, dr in zip(s_rows, d_rows):
-        assert sr == pytest.approx(dr, rel=1e-9, abs=1e-9), (
+        assert sr == pytest.approx(dr, rel=1e-9, abs=1e-9, nan_ok=True), (
             f"{name}: value mismatch {sr} vs {dr}"
         )
 
