@@ -2,11 +2,15 @@
 """Benchmark harness (driver contract, BASELINE.md).
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Prints the full
+result object (summary + per-query map) on one stdout line, writes the
+same object to ``bench_queries.json``, and prints a compact summary as
+the FINAL stdout line (the driver's tail-capture window is bounded;
+round 1's full-object final line overflowed it)::
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+    {"metric": "total_query_wall_clock", "value": <total sec>,
+     "unit": "sec", "sf": 0.1, "n_queries": N,
+     "queries_file": "bench_queries.json"}
 
 Design notes (SURVEY.md §6):
 - ONE SparkSession reused across all queries — JVM startup would
@@ -110,14 +114,32 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Output contract, round-2 revision: the driver's stdout capture is a
+    # bounded TAIL window, and in round 1 the single JSON line (summary +
+    # 75-query map, ~4 KB) overflowed it — BENCH_r01.json recorded
+    # `parsed: null` with the stored tail beginning mid-object. So the
+    # FINAL line is now a compact summary guaranteed to fit, the full
+    # per-query map goes to a sidecar file, and the map is also printed
+    # on an EARLIER stdout line for a human reading the whole log.
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    with open(os.path.join(_HERE, "bench_queries.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "n_queries": len(timings),
+                "queries_file": "bench_queries.json",
             }
         )
     )

@@ -15,6 +15,8 @@ MinHash family, functions.text.hex_fold).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,11 +40,14 @@ def assign_splits(
 ) -> DataFrame:
     """Per-row train/val/test assignment (test gets the remainder)."""
     b = split_bucket(F.col(key))
-    # round(), not int(): float products truncate below the intended
-    # boundary for common fractions (0.7*1000 == 699.999..., so int()
-    # would put bucket 699 in the wrong split).
-    t_hi = round(train * N_BUCKETS)
-    v_hi = t_hi + round(val * N_BUCKETS)
+    # floor(x + 0.5), not int() and not round(): float products truncate
+    # below the intended boundary for common fractions (0.7*1000 ==
+    # 699.999..., so int() would put bucket 699 in the wrong split), and
+    # Python round() is banker's (half-to-even), which rounds an exact
+    # .5 product (train=0.1225 -> 122.5) DOWN — half-up is the
+    # documented convention here, same as the money path.
+    t_hi = math.floor(train * N_BUCKETS + 0.5)
+    v_hi = t_hi + math.floor(val * N_BUCKETS + 0.5)
     split = (
         # NULL key -> NULL split, surfaced for the caller to handle:
         # without this guard every when() is NULL (falsy) and otherwise()

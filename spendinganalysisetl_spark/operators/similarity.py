@@ -134,13 +134,19 @@ def brute_force_topk_blas(
                 ids, s = c_ids[finite], col[finite]
                 if len(s):
                     # Select by RAW similarity, keeping every candidate
-                    # within 1e-6 of the k-th value: rounding happens
-                    # Spark-side with the exact F.round the expression
-                    # twin uses, and a candidate can only enter the
-                    # rounded top-k if its raw value is within one
-                    # rounding unit of the raw cut.
+                    # within 2e-6 of the k-th value: rounding to 6dp
+                    # happens Spark-side with the exact F.round the
+                    # expression twin uses, so a candidate can only
+                    # enter the rounded top-k if its raw value is within
+                    # one 1e-6 rounding unit of the raw cut — the band
+                    # is twice that to absorb summation-order ulp
+                    # differences between this GEMM and the expression
+                    # twin's element-wise fold (a raw value sitting
+                    # exactly on a rounding boundary could otherwise
+                    # round differently between the kernels and starve
+                    # the final window of a tied candidate).
                     order = np.lexsort((ids, -s))
-                    cut = s[order[min(kk, len(s)) - 1]] - 1e-6
+                    cut = s[order[min(kk, len(s)) - 1]] - 2e-6
                     keep = order[: np.searchsorted(-s[order], -cut, side="right")]
                     out_q.extend([q_ids[j]] * len(keep))
                     out_c.extend(ids[keep])

@@ -1252,14 +1252,34 @@ def q_vendor_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming / multimodal (rows-only: no SQL twin by nature) ----------------
 
 
-@register("stream_tumbling_5min")  # rows-only: exercises the REAL
-# Structured Streaming path (AvailableNow over a file source); its
-# batch-equivalence is pinned by tests/test_streaming.py.
+@register(
+    "stream_tumbling_5min",
+    # Oracle-backed since round 2: the update-mode MERGE drain emits
+    # every window (append mode withheld the final unfinalized ones —
+    # 8951 vs the batch twin's 8953 rows in CORRECTNESS_r01), so the
+    # drained sink equals the batch aggregation exactly and shares its
+    # oracle.
+    """
+SELECT strftime(to_timestamp(floor(epoch(ts)/300)*300), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming path: AvailableNow drain of a file
+    source through the watermarked tumbling aggregation, update-mode
+    foreachBatch MERGE into a versioned parquet sink (the production
+    finalized-window drain — streaming/jobs.run_foreach_batch_upsert),
+    read back for comparison."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     from spendinganalysisetl_spark.catalog import table_path
+    from spendinganalysisetl_spark.sources.upsert import read_reports
     from spendinganalysisetl_spark.streaming.jobs import (
         read_event_stream,
-        run_to_memory,
+        run_foreach_batch_upsert,
         tumbling_agg_stream,
     )
 
@@ -1267,6 +1287,13 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob's non-wildcard prefix (sf_dir) satisfies it while matching
     # only the events table.
     stream = read_event_stream(spark, table_path(sf_dir, "events") + "*")
+    agged = tumbling_agg_stream(stream).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    sink = tempfile.mkdtemp(prefix="stream_tumbling_sink_")
     # State partitions = shuffle.partitions at stream start, and each
     # one pays a per-batch state-store commit. For this single-batch
     # AvailableNow drain, 8 partitions cut wall-clock 9.7s→1.7s at sf0.1
@@ -1275,10 +1302,20 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        run_to_memory(tumbling_agg_stream(stream), "stream_tumbling_out")
+        run_foreach_batch_upsert(
+            agged,
+            sink,
+            compare_col="n_events",
+            key=("window_start", "event_type"),
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_tumbling_out")
+    return (
+        read_reports(spark, sink)
+        .select("window_start", "event_type", "n_events", "total_value")
+        .repartition(1)
+        .sortWithinPartitions("window_start", "event_type")
+    )
 
 
 @register("multimodal_features")  # rows-only: binary payloads are
@@ -2077,6 +2114,155 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .repartition(1)
         .sortWithinPartitions("lang")
+    )
+
+
+# --- reference-parity pct_change with ±inf (SURVEY.md W1 quirk) ---------------
+
+
+VENDOR_MONTHLY_CTE = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS period,
+         s.s_name AS name,
+         sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount))*10000 + 0.5) AS BIGINT)) AS dmc
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT pr.period, nm.name, coalesce(m.dmc, 0) AS dmc
+  FROM (SELECT DISTINCT period FROM monthly) pr
+  CROSS JOIN (SELECT DISTINCT name FROM monthly) nm
+  LEFT JOIN monthly m ON m.period = pr.period AND m.name = nm.name
+)
+"""
+
+
+def _dense_monthly_vendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-densified month x vendor decimicent matrix — the vendor-dim
+    twin of ``_dense_monthly``. 100 vendors over ~80 months guarantees
+    empty cells (a 6-category matrix has none even at sf0.1), which is
+    exactly what the ±inf pct_change quirk needs to fire."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import decimicents, revenue
+
+    def build() -> DataFrame:
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        supplier = load_table(spark, sf_dir, "supplier")
+        monthly = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+            .groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                    "period"
+                ),
+                F.col("s_name").alias("name"),
+            )
+            .agg(F.sum(decimicents(revenue())).alias("dmc"))
+        )
+        periods = monthly.select("period").distinct()
+        names = monthly.select("name").distinct()
+        # Explicit broadcasts for the densification grid, as in
+        # _dense_monthly: distinct outputs carry no size stats and the
+        # planner would fall back to CartesianProduct otherwise.
+        return (
+            periods.crossJoin(F.broadcast(names))
+            .join(F.broadcast(monthly), ["period", "name"], "left")
+            .select("period", "name", F.coalesce("dmc", F.lit(0)).alias("dmc"))
+        )
+
+    return shared(spark, sf_dir, "dense_monthly_vendor", build)
+
+
+@register(
+    "monthly_pct_change_inf_ref",
+    VENDOR_MONTHLY_CTE
+    + """
+SELECT name, period,
+       CASE WHEN prev = 0 AND dmc > 0 THEN 'inf'
+            WHEN prev = 0 AND dmc < 0 THEN '-inf'
+            ELSE 'num' END AS pct_kind,
+       CASE WHEN prev IS NULL THEN 0.0
+            WHEN prev = 0 AND dmc = 0 THEN 0.0
+            WHEN prev = 0 THEN NULL
+            ELSE round((dmc - prev) / CAST(prev AS DOUBLE), 6) END AS pct_num
+FROM (
+  SELECT name, period, dmc,
+         lag(dmc) OVER (PARTITION BY name ORDER BY period) AS prev
+  FROM dense
+) ORDER BY name, period
+""",
+)
+def q_monthly_pct_change_inf_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ref-compat quirk, oracle-checked: pandas ``pct_change().fillna(0)``
+    keeps ±inf on the prev=0 cases (reference transformer.py:221-222 —
+    fillna only fills NaN). IEEE inf has no portable SQL literal, so the
+    cross-engine encoding is a kind column ('inf' | '-inf' | 'num') plus
+    the finite value (NULL on the inf rows); the Spark side derives the
+    kind FROM functions.scalars.pct_change_ref's actual ±inf output, so
+    the driver row pins the quirk function itself, not a re-derivation.
+    Vendor-dim dense matrix: empty vendor-months make prev=0 → ±inf
+    actually fire (the category matrix has no zero cells at any test SF)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import pct_change_ref
+
+    dense = _dense_monthly_vendor(spark, sf_dir)
+    w = Window.partitionBy("name").orderBy("period")
+    cur = F.col("dmc").cast("double")
+    prev = F.lag("dmc").over(w).cast("double")
+    pct = pct_change_ref(cur, prev)
+    kind = (
+        F.when(pct == F.lit(float("inf")), F.lit("inf"))
+        .when(pct == F.lit(float("-inf")), F.lit("-inf"))
+        .otherwise(F.lit("num"))
+    )
+    num = F.when(kind == "num", F.round(pct, 6)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return (
+        dense.select(
+            "name", "period", kind.alias("pct_kind"), num.alias("pct_num")
+        )
+        .repartition(1)
+        .sortWithinPartitions("name", "period")
+    )
+
+
+# --- approximate percentiles (100 TB path of percentile_prices_by_priority) ---
+
+
+@register("percentile_prices_approx")  # rows-only: the t-digest/KLL-style
+# sketch is engine-internal (DuckDB has no bit-compatible twin); accuracy
+# vs the exact percentile is pinned in tests/test_window_ext.py.
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for percentile_prices_by_priority: exact
+    ``percentile`` ships every value to its group's reducer (the partial
+    buffer is a value→count map — no map-side reduction), while
+    ``approx_percentile`` merges fixed-size sketches, so the shuffle is
+    O(groups × sketch), independent of row count. Same call shape, same
+    output schema as the exact query."""
+    from pyspark.sql import functions as F
+
+    ps = F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .agg(ps.alias("ps"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+            "n",
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
     )
 
 

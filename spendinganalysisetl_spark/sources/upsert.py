@@ -79,12 +79,45 @@ def _commit_version(path: str, version: str) -> None:
         fh.write(version)
     os.replace(tmp, ptr)  # the atomic commit point
     for name in os.listdir(path):
+        full = os.path.join(path, name)
         if (
             name.startswith("v_")
             and name not in (version, prev)
-            and os.path.isdir(os.path.join(path, name))
+            and os.path.isdir(full)
         ):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(f".{_CURRENT}.") and name != os.path.basename(tmp):
+            # Stale pointer tmp from a crash between write and
+            # os.replace — sweep it; the live pointer is `ptr`.
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+        elif prev is None and (
+            name.endswith(".parquet") or name.startswith("part-") or name == "_SUCCESS"
+        ):
+            # First migration of a plain-layout sink (created via
+            # write_reports mode='append') to the versioned layout:
+            # the pre-migration top-level data files are now unreachable
+            # through the pointer and would otherwise be retained
+            # forever. The merge that triggered this commit read them
+            # eagerly into the new version before the flip.
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+
+
+def _sink_is_empty(path: str) -> bool:
+    """True for a directory that exists but holds no committed sink yet
+    (no version pointer and no data files) — e.g. a caller-created temp
+    dir. Treated as a fresh sink, not a readable target."""
+    if os.path.isfile(os.path.join(path, _CURRENT)):
+        return False
+    return not any(
+        name.endswith(".parquet") or name.startswith("part-")
+        for name in os.listdir(path)
+    )
 
 
 def write_reports(df: DataFrame, path: str, mode: str = "append") -> None:
@@ -178,15 +211,17 @@ def merge_reports(
     sink_path: str,
     batch: DataFrame,
     compare_col: str = "total_transactions",
+    key: tuple[str, ...] = KEY,
 ) -> None:
     """S6+S7: conditional upsert of ``batch`` into the parquet sink.
 
     Update wins only when batch[compare_col] > target[compare_col]
     (the reference's late-data rule, transformer.py:53-69). Keyed on
-    (begin_date, end_date). Idempotent: re-merging the same batch is a
-    no-op (equal counts lose the comparison).
+    ``key`` — (begin_date, end_date) for the report sink; streaming
+    drains pass their window/grouping key. Idempotent: re-merging the
+    same batch is a no-op (equal counts lose the comparison).
     """
-    if not os.path.exists(sink_path):
+    if not os.path.exists(sink_path) or _sink_is_empty(sink_path):
         write_reports(batch, sink_path, mode="overwrite")
         return
 
@@ -196,7 +231,7 @@ def merge_reports(
     # column rules: UPDATE keeps the target's id (stable PK across
     # updates) and refreshes created_at; INSERT mints a per-row uuid
     # (fixing the reference's process-constant uuid, SURVEY S5).
-    joined, t_missing, _, take_batch = _merge_join(batch, target, KEY, compare_col)
+    joined, t_missing, _, take_batch = _merge_join(batch, target, key, compare_col)
     sel = []
     for c in [f.name for f in target.schema.fields]:
         if c == "id":
@@ -210,7 +245,7 @@ def merge_reports(
                 .alias("created_at")
             )
         else:
-            sel.append(_merged_col(c, KEY, take_batch))
+            sel.append(_merged_col(c, key, take_batch))
     merged = joined.select(*sel)
 
     # Atomic commit via pointer flip: write the merged table as a NEW

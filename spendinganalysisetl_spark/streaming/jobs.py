@@ -61,7 +61,14 @@ def read_event_stream(
     queries produced 1970-era windows for a while because nothing
     compared their event times to an oracle."""
     if ts_is_nanos is None:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Probe under nanosAsLong, then RESTORE the session conf when the
+        # source turns out to be MICROS: leaving it set session-wide would
+        # silently surface every later-read TIMESTAMP(NANOS) column as
+        # bigint in plain batch reads (catalog.load_table re-sets it
+        # itself when it needs it).
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
         try:
             probe = spark.read.parquet(path).schema
             ts_is_nanos = dict(
@@ -73,6 +80,11 @@ def read_event_stream(
             # assume the native µs schema — the common case — and let
             # the stream start.
             ts_is_nanos = False
+        if not ts_is_nanos:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = StructType(
@@ -137,6 +149,46 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
     q.awaitTermination()
 
 
+def run_with_processing_time(
+    stream_df: DataFrame,
+    name: str,
+    interval: str = "1 second",
+    idle_polls: int = 10,
+) -> None:
+    """ST1's other trigger form: a continuous ``processingTime`` cadence
+    (the direct analog of the reference's 5-minute Dagster cron,
+    pipelines/dagster_pipeline.py:17-22 — AvailableNow is the drain-and-
+    stop analog; this is the stay-up-and-tick one). Runs the stream on
+    the given cadence until the source is drained (no data available and
+    no batch in flight for ``idle_polls`` consecutive polls), then stops
+    — which is how a test or a bounded backfill uses a production
+    trigger. A real deployment would simply never call the stop half.
+    """
+    import time
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    try:
+        idle = 0
+        while idle < idle_polls:
+            s = q.status
+            if q.exception() is not None:
+                break
+            if s["isDataAvailable"] or s["isTriggerActive"]:
+                idle = 0
+            else:
+                idle += 1
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
 def interval_join_stream(
     clicks: DataFrame,
     purchases: DataFrame,
@@ -153,6 +205,16 @@ def interval_join_stream(
     evictable: a click older than (watermark + interval) can never match
     a future purchase and is dropped — the bounded-state contract every
     stateful op here follows.
+
+    ASSUMPTION (batch-equivalence): with ``maxFilesPerTrigger=1`` the
+    stream ingests file-by-file, so cross-file event-time disorder must
+    stay under the 60-minute default watermark or the stream can
+    legitimately drop matches its batch twin keeps. The current testdata
+    is a single events file per SF (zero cross-file disorder); if the
+    generator ever splits events across non-time-ordered files, size
+    ``watermark`` from the source's max observed disorder — the
+    stream-vs-batch equality test (tests/test_streaming.py) is the loud
+    failure that flags it.
     """
     c = (
         clicks.filter(F.col("event_type") == "click")
@@ -186,17 +248,29 @@ def interval_join_stream(
 
 
 def run_foreach_batch_upsert(
-    stream_df: DataFrame, sink_path: str, compare_col: str = "n_events"
+    stream_df: DataFrame,
+    sink_path: str,
+    compare_col: str = "n_events",
+    key: tuple[str, ...] | None = None,
 ) -> None:
     """ST2 sink rule: each micro-batch MERGEs into the parquet report
     sink via the same conditional-upsert used in batch — idempotent
     across replays (re-delivered batches lose the compare), which is the
-    exactly-once story for a non-transactional sink."""
-    from spendinganalysisetl_spark.sources.upsert import merge_reports
+    exactly-once story for a non-transactional sink.
+
+    Driven in UPDATE mode this is also the finalized-window drain: the
+    watermark withholds unfinalized windows from an append-mode sink
+    (round 1: 8951 vs the batch twin's 8953 rows), but update mode
+    emits every changed window each batch and the MERGE keeps the
+    latest value per key, so after an AvailableNow drain the sink holds
+    exactly the batch aggregation — no held-back rows."""
+    from spendinganalysisetl_spark.sources.upsert import KEY, merge_reports
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        merge_reports(spark, sink_path, batch_df, compare_col=compare_col)
+        merge_reports(
+            spark, sink_path, batch_df, compare_col=compare_col, key=key or KEY
+        )
 
     q = (
         stream_df.writeStream.outputMode("update")

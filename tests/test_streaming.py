@@ -63,6 +63,47 @@ def test_tumbling_stream_matches_batch(spark, events_dir):
     )
 
 
+def test_tumbling_drain_merge_equals_batch_exactly(spark, events_dir, tmp_path):
+    """The UPDATE-mode foreachBatch MERGE drain must emit EVERY window —
+    including the final ones append mode withholds (r1: 8951 vs 8953) —
+    so the drained sink equals the batch aggregation row-for-row."""
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.operators.events import tumbling_counts
+    from spendinganalysisetl_spark.sources.upsert import read_reports
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_foreach_batch_upsert,
+        tumbling_agg_stream,
+    )
+
+    agged = tumbling_agg_stream(read_event_stream(spark, events_dir)).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    sink = str(tmp_path / "tumbling_drain_sink")
+    run_foreach_batch_upsert(
+        agged, sink, compare_col="n_events", key=("window_start", "event_type")
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    got = (
+        read_reports(spark, sink)
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols[:2])
+        .reset_index(drop=True)
+    )
+    want = (
+        tumbling_counts(load_table(spark, SF, "events"), 5)
+        .toPandas()
+        .sort_values(cols[:2])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got.equals(want), "drained sink must equal batch agg exactly"
+
+
 def test_stream_dedup(spark, events_dir):
     from spendinganalysisetl_spark.streaming.jobs import (
         dedup_stream,
@@ -165,6 +206,34 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     )
     want = Counter(tuple(r[c] for c in cols) for r in batch.collect())
     assert got == want and sum(want.values()) > 0
+
+
+def test_processing_time_trigger_drains_source(spark, events_dir):
+    """ST1's continuous-cadence form (trigger(processingTime=...), the
+    direct analog of the reference's Dagster cron) must drain the
+    bounded source to the same result the AvailableNow form produces:
+    every event exactly once through the dedup stream."""
+    from spendinganalysisetl_spark.streaming.jobs import (
+        dedup_stream,
+        read_event_stream,
+        run_with_processing_time,
+    )
+
+    run_with_processing_time(
+        dedup_stream(read_event_stream(spark, events_dir)),
+        "dedup_pt_out",
+        interval="200 milliseconds",
+    )
+    out = spark.sql(
+        "SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_pt_out"
+    ).collect()[0]
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert out["n"] == out["d"] == want
 
 
 def test_event_stream_reader_probes_timestamp_resolution(spark, events_dir):

@@ -125,3 +125,40 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB sketch path (percentile_prices_approx) must track the
+    exact query rank-wise: approx_percentile returns an actual element
+    whose rank is within the sketch's rank-error bound of the target, so
+    the estimate must land inside the exact [q-0.02, q+0.02] quantile
+    bracket (value-relative tolerances are wrong at small n, where
+    neighbor-element gaps dominate)."""
+    from spendinganalysisetl_spark import registry
+    from spendinganalysisetl_spark.catalog import load_table
+
+    approx = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["percentile_prices_approx"](spark, SF).collect()
+    }
+    eps = 0.02
+    brackets = {
+        r["o_orderpriority"]: r
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                f"percentile(o_totalprice, array({0.5 - eps}, {0.5 + eps},"
+                f" {0.9 - eps}, {0.9 + eps}, {0.99 - eps}, 1.0))"
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(brackets) == set(approx)
+    for k, b in brackets.items():
+        a = approx[k]
+        assert a["n"] == b["n"]
+        lo_hi = [(b["b"][0], b["b"][1]), (b["b"][2], b["b"][3]), (b["b"][4], b["b"][5])]
+        for q, (lo, hi) in zip(("p50", "p90", "p99"), lo_hi):
+            assert lo <= a[q] <= hi, (k, q, a[q], lo, hi)
