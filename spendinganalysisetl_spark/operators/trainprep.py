@@ -1,0 +1,273 @@
+"""Training-data preparation operators (SURVEY.md §2.11 / north_star):
+benchmark decontamination, cross-document boilerplate detection,
+sequence packing, PII scrubbing, and domain-mixture weighting.
+
+These are the corpus-level passes a pretraining pipeline runs between
+"raw documents" and "token shards", beyond the per-document quality /
+dedup families in :mod:`operators.textanalysis` and
+:mod:`operators.dedup`. Everything stays in built-in Catalyst
+expressions (functions.text) so the 100 TB scan is whole-stage codegen
+and every operator has a DuckDB oracle twin (registry).
+
+The reference pipeline has no counterpart for any of these (it is a
+spending-report ETL, /root/reference/transformer.py); they exist because
+the north_star scope is "the operations a large-scale training-data
+pipeline would need".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.text import word_shingles, ws_tokens
+from spendinganalysisetl_spark.partitioning import spread as _spread
+
+# PII regexes shared by the Spark operator and the DuckDB oracle
+# (registry). Deliberately restricted to syntax with identical semantics
+# in Java regex and RE2: character classes, bounded repetition, \d, \b —
+# no lookaround, no backreferences (RE2 has neither).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\+1-\d{3}-\d{3}-\d{4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+PII_REDACTIONS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "phone": "<PHONE>",
+    "ssn": "<SSN>",
+}
+
+
+def decontaminate(
+    documents: DataFrame,
+    n: int = 8,
+    bench_mod: int = 20,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with the held-out benchmark slice.
+
+    The standard pretraining hygiene pass (13-gram overlap in GPT-3's
+    appendix; ``n`` is a knob — default 8 suits the short synthetic
+    docs). The benchmark here is the deterministic ``doc_id % bench_mod
+    == 0`` slice standing in for an eval-set table; a real deployment
+    passes its eval corpus through the same n-gram pipeline.
+
+    Output per TRAINING doc: distinct n-gram count, how many of those
+    grams also occur anywhere in the benchmark, the overlap ratio, and
+    the contamination flag (any hit).
+
+    Scale shape: real benchmark suites are MB-scale against a 100 TB
+    corpus, so the benchmark gram set is built once and BROADCAST; the
+    exploded training grams then probe it map-side — the big side never
+    shuffles for the join, and the per-doc count that follows partially
+    aggregates before its exchange. Both explodes sit behind
+    ``spread`` so coarse file splits don't serialize the shingling.
+    """
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    grams = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
+    )
+    bench_grams = (
+        grams.filter(is_bench).select("gram").distinct().withColumn("hit", F.lit(1))
+    )
+    train_grams = grams.filter(~is_bench)
+    joined = train_grams.join(F.broadcast(bench_grams), "gram", "left")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_hits"),
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias(
+            "overlap_ratio"
+        ),
+        (F.col("n_hits") > 0).cast("int").alias("is_contaminated"),
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+def boilerplate_stats(
+    documents: DataFrame, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document boilerplate detection: for every document, the
+    fraction of its distinct word ``n``-grams that occur in at least
+    ``min_docs`` documents corpus-wide (CCNet-style shared-text removal,
+    the cross-doc complement of the within-doc ``repetition_scores``).
+
+    Two shuffles, both on the gram key: (1) document frequency per gram
+    (grams are distinct within a doc, so ``count(*)`` IS the document
+    frequency — no ``count distinct``), with map-side partial
+    aggregation; (2) the gram→df join back, again partial-aggregated
+    into the per-doc rollup. Gram keys are near-uniform (text n-grams),
+    so neither shuffle skews. At 100 TB the gram string itself is the
+    shuffle payload — the scale path hashes each gram to a 64-bit key
+    (xxhash64) first; the portable string form here is what the DuckDB
+    oracle can replicate.
+    """
+    grams = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
+    )
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    joined = grams.join(df_counts, "gram")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_grams"), 6
+            ).alias("boiler_ratio"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = 512, n_buckets: int | None = None
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``doc_id``
+    order and cut the token stream into fixed-``budget`` bins; each
+    document belongs to the bin where it STARTS (documents may straddle
+    a boundary — the concatenate-and-chunk contract).
+
+    Per bin: document count, token sum, and the first/last doc ids.
+
+    Scale shape — a distributed prefix sum, NOT a global window. A naive
+    ``Window.orderBy(doc_id)`` with no partition key funnels the whole
+    corpus through ONE task. Instead: (1) range-bucket by ``doc_id``
+    (width from the max id — a single-row bounded aggregate, not a data
+    collect); (2) per-bucket token totals — one tiny row per bucket —
+    come back to the driver and prefix-sum into per-bucket offsets;
+    (3) a within-bucket window (partitioned ⇒ parallel) plus the
+    broadcast bucket offset yields every document's global token
+    offset in one pass over the data. Same two-phase scan a 1000-node
+    job uses for order-dependent assignment.
+    """
+    spark = documents.sparkSession
+    base = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tok")
+    )
+    max_id = base.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [],
+            "bin_id long, n_docs long, n_tokens long, first_doc long, last_doc long",
+        )
+    nb = n_buckets or spark.sparkContext.defaultParallelism
+    width = max(1, (int(max_id) + nb) // nb)
+    bucketed = base.withColumn(
+        "bucket", F.floor(F.col("doc_id") / F.lit(width))
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("s")).collect()
+    offsets, running = [], 0
+    for row in sorted(per_bucket, key=lambda r: r["bucket"]):
+        offsets.append((int(row["bucket"]), running))
+        running += int(row["s"])
+    off_df = spark.createDataFrame(offsets, "bucket long, bucket_off long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    positioned = (
+        bucketed.join(F.broadcast(off_df), "bucket")
+        .withColumn(
+            "offset",
+            F.col("bucket_off") + F.coalesce(F.sum("n_tok").over(w), F.lit(0)),
+        )
+        .withColumn("bin_id", F.floor(F.col("offset") / F.lit(budget)))
+    )
+    return (
+        positioned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bin_id")
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII (email / phone / SSN patterns) from ``text_col`` and
+    count each class. Returns the input columns with ``<class>``
+    occurrence counts, the redacted text, and its length.
+
+    Counts are measured on the ORIGINAL text per pattern independently;
+    redaction applies the patterns in a fixed order (email → phone →
+    ssn). Pure ``regexp_extract_all`` / ``regexp_replace`` — a
+    single codegen'd projection, embarrassingly parallel at any scale,
+    and expressible identically in RE2 for the oracle (see
+    ``PII_PATTERNS`` syntax note).
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = text
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, PII_REDACTIONS[name])
+    return df.select(
+        *df.columns,
+        *counts,
+        redacted.alias("clean_text"),
+        F.length(redacted).alias("clean_len"),
+    )
+
+
+def domain_mix_weights(
+    documents: DataFrame, max_weight: float = 5.0
+) -> DataFrame:
+    """Domain-mixture weighting: per language, observed token share vs a
+    uniform target share, and the resampling weight ``min(target /
+    observed, max_weight)`` — the computation behind "upsample
+    low-resource languages to a target mixture" in a pretraining data
+    recipe (the cap bounds repetition of tiny domains).
+
+    One grouped aggregation (map-side combined) plus a broadcast of the
+    one-row corpus total — group count is the number of languages, so
+    everything after the first shuffle is effectively free at any scale.
+    """
+    per_lang = (
+        _spread(documents.select("lang", "text"))
+        .select("lang", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    obs = F.col("n_tokens").cast("double") / F.col("corpus_tokens")
+    target = F.lit(1.0) / F.col("n_langs")
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(obs, 6).alias("obs_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(F.least(target / obs, F.lit(max_weight)), 4).alias(
+                "mix_weight"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )

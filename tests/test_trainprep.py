@@ -1,0 +1,182 @@
+"""Semantics tests for operators/trainprep.py on planted inputs
+(the oracle-parity gate covers the registry queries on real testdata;
+these pin behavior on constructed edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.operators.trainprep import (
+    boilerplate_stats,
+    decontaminate,
+    domain_mix_weights,
+    pack_sequences,
+    pii_scrub,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_exact_copy_of_benchmark(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [
+            (0, bench_text, "en"),  # benchmark slice (doc_id % 20 == 0)
+            (1, bench_text, "en"),  # training copy — fully contaminated
+            (2, "one two three four five six seven eight nine ten", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, n=8, bench_mod=20).collect()}
+    assert set(out) == {1, 2}  # benchmark doc excluded from output
+    assert out[1]["is_contaminated"] == 1
+    assert out[1]["overlap_ratio"] == 1.0
+    assert out[2]["is_contaminated"] == 0
+    assert out[2]["n_hits"] == 0
+
+
+def test_decontaminate_subn_doc_matches_whole_text(spark):
+    # A sub-n doc shingles to its whole text; contamination requires the
+    # benchmark to contain the identical whole-text gram.
+    docs = _docs(spark, [(0, "tiny doc", "en"), (3, "tiny doc", "en")])
+    out = decontaminate(docs, n=8, bench_mod=20).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3
+    assert out[0]["is_contaminated"] == 1 and out[0]["n_grams"] == 1
+
+
+def test_boilerplate_marks_shared_grams_only(spark):
+    shared = "lorem ipsum dolor sit amet consectetur"
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " unique one tail here now", "en"),
+            (2, shared + " other distinct ending words here", "en"),
+            (3, "completely different text with no overlap at all", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in boilerplate_stats(docs, n=5, min_docs=2).collect()}
+    assert out[1]["n_boiler"] == 2  # the two 5-grams inside `shared`
+    assert out[2]["n_boiler"] == 2
+    assert out[3]["n_boiler"] == 0
+    assert out[3]["boiler_ratio"] == 0.0
+
+
+def test_pack_sequences_bins_and_conservation(spark):
+    # 10 docs x 4 tokens, budget 8 -> docs start at offsets 0,4,8,... ->
+    # bins of exactly 2 docs each.
+    rows = [(i, "a b c d", "en") for i in range(10)]
+    out = pack_sequences(_docs(spark, rows), budget=8, n_buckets=3).collect()
+    assert [r["bin_id"] for r in out] == [0, 1, 2, 3, 4]
+    assert all(r["n_docs"] == 2 for r in out)
+    assert sum(r["n_tokens"] for r in out) == 40
+    # contiguity: first_doc of bin k follows last_doc of bin k-1
+    for prev, cur in zip(out, out[1:]):
+        assert cur["first_doc"] == prev["last_doc"] + 1
+
+
+def test_pack_sequences_straddle_assigns_to_start_bin(spark):
+    # doc0: 5 tokens (offset 0, bin 0); doc1: 5 tokens (offset 5 -> bin 0
+    # even though it straddles into bin 1); doc2: offset 10 -> bin 1.
+    rows = [(i, "t1 t2 t3 t4 t5", "en") for i in range(3)]
+    out = {r["bin_id"]: r for r in pack_sequences(_docs(spark, rows), budget=8).collect()}
+    assert out[0]["n_docs"] == 2 and out[1]["n_docs"] == 1
+    assert out[0]["last_doc"] == 1 and out[1]["first_doc"] == 2
+
+
+def test_pack_sequences_empty_input(spark):
+    out = pack_sequences(_docs(spark, []), budget=8)
+    assert out.count() == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.io or call +1-555-123-4567"),
+            (2, "ssn 123-45-6789 twice 987-65-4321"),
+            (3, "clean text no pii"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ssn"] == 0
+    assert "<EMAIL>" in out[1]["clean_text"] and "<PHONE>" in out[1]["clean_text"]
+    assert "jo.doe" not in out[1]["clean_text"]
+    assert out[2]["n_ssn"] == 2
+    assert out[2]["clean_text"] == "ssn <SSN> twice <SSN>"
+    assert out[3]["clean_text"] == "clean text no pii"
+
+
+def test_pii_ssn_not_confused_with_phone(spark):
+    df = spark.createDataFrame(
+        [(1, "+1-555-123-4567 and 111-22-3333")], "id long, text string"
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r["n_phone"] == 1 and r["n_ssn"] == 1
+    assert r["clean_text"] == "<PHONE> and <SSN>"
+
+
+def test_domain_mix_weights_cap_and_shares(spark):
+    # en: 90 tokens, fr: 10 tokens -> obs .9/.1, target .5 each;
+    # fr weight = .5/.1 = 5.0 (at cap), en = .5/.9
+    rows = [(i, " ".join(["w"] * 9), "en") for i in range(10)] + [
+        (100 + i, "w", "fr") for i in range(10)
+    ]
+    out = {r["lang"]: r for r in domain_mix_weights(_docs(spark, rows)).collect()}
+    assert out["en"]["obs_share"] == 0.9 and out["fr"]["obs_share"] == 0.1
+    assert out["fr"]["mix_weight"] == 5.0  # capped
+    assert out["en"]["mix_weight"] == pytest.approx(0.5 / 0.9, abs=1e-4)
+    assert out["en"]["n_tokens"] == 90 and out["fr"]["n_tokens"] == 10
+
+
+def test_domain_mix_weight_cap_binds(spark):
+    rows = [(i, " ".join(["w"] * 99), "en") for i in range(10)] + [(100, "w", "fr")]
+    out = {r["lang"]: r for r in domain_mix_weights(_docs(spark, rows)).collect()}
+    assert out["fr"]["mix_weight"] == 5.0
+
+
+@pytest.mark.parametrize("budget,n_buckets", [(7, 2), (16, 3), (64, 5)])
+def test_pack_sequences_matches_python_reference(spark, budget, n_buckets):
+    """The distributed prefix sum must agree with a straight sequential
+    reference for sparse ids, zero-token docs, and varied bucket
+    widths."""
+    import random
+
+    rng = random.Random(42)
+    ids = sorted(rng.sample(range(1000), 40))
+    rows = [(i, " ".join(["w"] * rng.randint(0, 9)), "en") for i in ids]
+    out = {
+        r["bin_id"]: r
+        for r in pack_sequences(
+            _docs(spark, rows), budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+
+    expect: dict[int, dict] = {}
+    off = 0
+    for i, text, _ in rows:
+        ntok = len(text.split()) if text else 0
+        b = off // budget
+        e = expect.setdefault(
+            b, {"n_docs": 0, "n_tokens": 0, "first_doc": i, "last_doc": i}
+        )
+        e["n_docs"] += 1
+        e["n_tokens"] += ntok
+        e["last_doc"] = i
+        off += ntok
+    assert set(out) == set(expect)
+    for b, e in expect.items():
+        for k, v in e.items():
+            assert out[b][k] == v, (b, k, out[b][k], v)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must probe as a broadcast join — the
+    training side (100 TB at scale) must not shuffle for it."""
+    from spendinganalysisetl_spark.catalog import load_table
+
+    plan = decontaminate(load_table(spark, sf_dir, "documents"))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
