@@ -23,7 +23,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spendinganalysisetl_spark.functions.text import (
@@ -56,6 +56,47 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .repartition(1).sortWithinPartitions("keep_id")
         .select("keep_id", "n_copies")
+    )
+
+
+def incremental_dedup(documents: DataFrame, batch_mod: int = 10, batch_rem: int = 7) -> DataFrame:
+    """Append-batch dedup: decide keep/drop for a NEW batch of documents
+    against the already-ingested corpus WITHOUT re-deduplicating the
+    corpus — the nightly-ingest shape (only the delta pays compute).
+    The batch here is the deterministic ``doc_id % batch_mod ==
+    batch_rem`` slice standing in for an arrival partition; history is
+    everything else.
+
+    A new doc is dropped if its fingerprint already exists in history
+    (``in_history``) or if an earlier doc in the same batch has it
+    (``batch_dup`` — lowest doc_id wins, the same survivor rule as
+    ``exact_dedup``). ``keep = NOT in_history AND NOT batch_dup``.
+
+    Scale shape: one hash-shuffle of the (small) batch and a
+    fingerprint-keyed join against the history index. In production the
+    history side is the stored fingerprint column of the corpus table —
+    bucketed by fp, so this join co-locates with zero shuffle of the
+    100 TB side; here it is derived in-plan. Within-batch election is a
+    window over fp on the batch only.
+    """
+    fps = documents.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    in_batch = (F.col("doc_id") % batch_mod) == batch_rem
+    hist = fps.filter(~in_batch).select("fp").distinct().withColumn("seen", F.lit(1))
+    batch = fps.filter(in_batch)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        batch.withColumn("rn", F.row_number().over(w))
+        .join(hist, "fp", "left")
+        .select(
+            "doc_id",
+            F.coalesce("seen", F.lit(0)).alias("in_history"),
+            (F.col("rn") > 1).cast("int").alias("batch_dup"),
+            (F.col("seen").isNull() & (F.col("rn") == 1)).cast("int").alias("keep"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -387,6 +387,87 @@ def ivf_topk(
     )
 
 
+def clustered_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    nlist: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style clustered embedding near-dup pairs — the SCALE
+    path for ``cosine_near_dup_pairs``: a spherical-k-means coarse
+    quantizer (same deterministic sample-train recipe as ``ivf_topk``)
+    partitions the corpus into ``nlist`` cells, and pairwise cosine is
+    computed only WITHIN a cell, where near-duplicates land together.
+    Quadratic cost drops from O(N²) to O(Σ|cell|²); missed cross-cell
+    pairs are the approximation (recall vs the exact ground truth is
+    pinned in tests — approximate by design → rows-only check).
+
+    Physical shape: assignment is one Arrow-batched matmul per batch
+    against the broadcast centroid matrix (no shuffle); the corpus then
+    shuffles ONCE on cell id into ``applyInPandas``, where each cell
+    computes its local ``Xn @ Xn.T`` GEMM and emits only pairs above
+    threshold — the N² candidate matrix never materializes outside the
+    executor-local numpy kernel. At 100 TB, oversized cells are the
+    skew risk: raise ``nlist`` (FAISS-style √N cells) or sub-shard a
+    cell and add a cross-shard band pass.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        embeddings.select("embedding").orderBy("vec_id").limit(4096).collect()
+    )
+    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = sn[rng.choice(len(sn), size=min(nlist, len(sn)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sn[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cmat = cent.copy()
+
+    @pandas_udf("int")
+    def _cell(batch):
+        x = np.asarray(batch.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(xn @ cmat.T, axis=1).astype("int32"))
+
+    thr = float(threshold)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = xn @ xn.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= thr - 5e-7  # pre-round band; final round below
+        a, b, s = iu[0][keep], iu[1][keep], sims[iu][keep]
+        out = pd.DataFrame(
+            {"id_a": ids[a], "id_b": ids[b], "cos_sim": np.round(s, 6)}
+        )
+        return out[out["cos_sim"] >= thr]
+
+    assigned = embeddings.select(
+        "vec_id", "embedding", _cell(F.col("embedding")).alias("cell")
+    )
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(_pairs, "id_a long, id_b long, cos_sim double")
+        .coalesce(1)
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.45, id_cap: int | None = 500
 ) -> DataFrame:

@@ -65,3 +65,22 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink. Columnar like parquet (stripe-level min/max indexes →
+    the same predicate-pushdown and column-pruning story); offered
+    because warehouse estates standardized on ORC (Hive lineage) are a
+    common interchange target. Engine-internal storage stays parquet —
+    this is a boundary connector, not an alternative default."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC source. Schema optional: unlike CSV/JSONL, ORC embeds its
+    schema in the file footer (no inference pass, no drift) — passing
+    one just asserts/projects, same as parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

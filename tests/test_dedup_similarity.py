@@ -321,3 +321,49 @@ def test_blas_topk_zero_norm_vectors_match_expression_twin(spark):
     # NULL fillers occupy the tail ranks deterministically by id
     assert [r[1] for r in a] == [1, 3, 2, 4]
     assert a[2][2] is None and a[3][2] is None
+
+
+def test_incremental_dedup_batch_decisions(spark):
+    """Planted fixture: batch ids are % 10 == 7. doc 7 is a copy of
+    history doc 1 (dropped via in_history); docs 17 and 27 are copies of
+    each other but new to history (17 kept, 27 dropped as batch_dup);
+    doc 37 is fresh (kept)."""
+    from spendinganalysisetl_spark.operators.dedup import incremental_dedup
+
+    rows = [
+        (1, "seen before text body"),
+        (2, "other history text"),
+        (7, "seen before text body"),
+        (17, "new pair text"),
+        (27, "new pair text"),
+        (37, "completely fresh text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in incremental_dedup(docs).collect()}
+    assert set(out) == {7, 17, 27, 37}
+    assert out[7]["in_history"] == 1 and out[7]["keep"] == 0
+    assert out[17]["in_history"] == 0 and out[17]["batch_dup"] == 0 and out[17]["keep"] == 1
+    assert out[27]["batch_dup"] == 1 and out[27]["keep"] == 0
+    assert out[37]["keep"] == 1
+
+
+def test_clustered_cosine_pairs_recall_and_scores(spark, embeddings):
+    """SemDeDup-style clustered pairs: every emitted pair must carry the
+    exact cosine (within rounding), and recall vs the uncapped exact
+    ground truth must be substantial (near-dups co-cluster)."""
+    from spendinganalysisetl_spark.operators.similarity import (
+        clustered_cosine_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    exact = cosine_near_dup_pairs(embeddings, threshold=0.45, id_cap=None).collect()
+    approx = clustered_cosine_pairs(embeddings, threshold=0.45, nlist=8).collect()
+    exact_map = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in exact}
+    approx_map = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in approx}
+    # no false positives: every clustered pair exists in the exact set
+    for key, sim in approx_map.items():
+        assert key in exact_map, f"pair {key} not in exact ground truth"
+        assert sim == pytest.approx(exact_map[key], abs=2e-6)
+    if exact_map:
+        recall = len(approx_map) / len(exact_map)
+        assert recall >= 0.3, f"clustered recall collapsed: {recall}"

@@ -73,3 +73,20 @@ def test_csv_failfast_on_malformed(spark, tmp_out):
     schema = StructType([StructField("a", LongType()), StructField("b", LongType())])
     with pytest.raises(Exception):
         read_csv(spark, f"{tmp_out}/bad.csv", schema).collect()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_out):
+    from spendinganalysisetl_spark.sources.formats import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_orc(orders, f"{tmp_out}/orders_orc")
+    back = read_orc(spark, f"{tmp_out}/orders_orc")
+    assert back.schema.simpleString() == orders.schema.simpleString()
+    assert back.count() == orders.count()
+    # predicate + projection reach the ORC scan
+    q = back.filter(F.col("o_orderkey") == 7).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
+    got = q.collect()
+    want = orders.filter(F.col("o_orderkey") == 7).select("o_orderkey", "o_totalprice").collect()
+    assert got == want

@@ -68,7 +68,7 @@ def test_pack_sequences_bins_and_conservation(spark):
     # 10 docs x 4 tokens, budget 8 -> docs start at offsets 0,4,8,... ->
     # bins of exactly 2 docs each.
     rows = [(i, "a b c d", "en") for i in range(10)]
-    out = pack_sequences(_docs(spark, rows), budget=8, n_buckets=3).collect()
+    out = pack_sequences(_docs(spark, rows), budget=8, bucket_width=4).collect()
     assert [r["bin_id"] for r in out] == [0, 1, 2, 3, 4]
     assert all(r["n_docs"] == 2 for r in out)
     assert sum(r["n_tokens"] for r in out) == 40
@@ -137,11 +137,11 @@ def test_domain_mix_weight_cap_binds(spark):
     assert out["fr"]["mix_weight"] == 5.0
 
 
-@pytest.mark.parametrize("budget,n_buckets", [(7, 2), (16, 3), (64, 5)])
-def test_pack_sequences_matches_python_reference(spark, budget, n_buckets):
+@pytest.mark.parametrize("budget,bucket_width", [(7, 16), (16, 64), (64, 1 << 16)])
+def test_pack_sequences_matches_python_reference(spark, budget, bucket_width):
     """The distributed prefix sum must agree with a straight sequential
     reference for sparse ids, zero-token docs, and varied bucket
-    widths."""
+    widths (incl. everything landing in one bucket)."""
     import random
 
     rng = random.Random(42)
@@ -150,7 +150,7 @@ def test_pack_sequences_matches_python_reference(spark, budget, n_buckets):
     out = {
         r["bin_id"]: r
         for r in pack_sequences(
-            _docs(spark, rows), budget=budget, n_buckets=n_buckets
+            _docs(spark, rows), budget=budget, bucket_width=bucket_width
         ).collect()
     }
 
