@@ -148,6 +148,63 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int,height:int,duration_ms:int>"
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 24) -> DataFrame:
+    """Resize for image rows: payload→payload transform that keeps the
+    MEDIA_SCHEMA shape (so resize composes with extract_features /
+    downstream sinks) and rewrites meta.width/height to the target.
+
+    The resize kernel is the DETERMINISTIC FAKE (a real one is
+    PIL.Image.resize((w,h)) — not available in this container): output
+    payload = sha256(payload ‖ "w×h") tiled to ceil(w·h·3/32) blocks, so
+    output size scales with the target dimensions like a real raster
+    would and the transform is bit-reproducible for tests. Kind filter
+    stays scan-side (pushes down); non-image rows are excluded rather
+    than passed through — callers union kinds back if needed.
+    """
+    import math
+
+    n_blocks = max(1, math.ceil(width * height * 3 / 32))  # sha256 = 32 bytes/block
+    tag = f"{width}x{height}".encode()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    payloads.append(None)
+                else:
+                    d = hashlib.sha256(bytes(row["payload"]) + tag).digest()
+                    payloads.append((d * n_blocks)[: width * height * 3])
+                m = row["meta"]
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None if m is None else m["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """Frame sampling for video rows: emits one row per sampled frame
     index (a row-expanding mapInPandas — the UDTF shape). Frame digests

@@ -118,21 +118,11 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
-def curate_corpus(documents: DataFrame, min_quality: float = 0.75) -> DataFrame:
-    """End-to-end corpus curation in ONE plan — what a pretraining data
-    pipeline actually runs nightly: score every doc (the exact
-    ``quality_scores`` composite), gate on the quality threshold, then
-    exact-dedup the survivors (smallest doc_id per normalized-text
-    fingerprint wins). Output = the curated keep-list with its lang and
-    score.
-
-    Scale shape: the input is spread (coarse file splits would serialize
-    the tokenization-heavy scoring projection); the gate filters BEFORE
-    the dedup shuffle so only quality docs pay the exchange; survivor
-    election is one hash-shuffle on the 128-bit fingerprint (uniform
-    keys — no skew) using a window row_number rather than a
-    groupBy+self-join re-read.
-    """
+def curated_docs(documents: DataFrame, min_quality: float = 0.75) -> DataFrame:
+    """Presentation-free core of ``curate_corpus`` (also composed into
+    ``trainprep.build_training_shards``): quality-gate then exact-dedup
+    survivor election, no output sort/coalesce so downstream stages keep
+    full parallelism."""
     from pyspark.sql import Window
 
     _, _, _, score = _quality_parts()
@@ -148,6 +138,26 @@ def curate_corpus(documents: DataFrame, min_quality: float = 0.75) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars", "quality_score")
+    )
+
+
+def curate_corpus(documents: DataFrame, min_quality: float = 0.75) -> DataFrame:
+    """End-to-end corpus curation in ONE plan — what a pretraining data
+    pipeline actually runs nightly: score every doc (the exact
+    ``quality_scores`` composite), gate on the quality threshold, then
+    exact-dedup the survivors (smallest doc_id per normalized-text
+    fingerprint wins). Output = the curated keep-list with its lang and
+    score.
+
+    Scale shape: the input is spread (coarse file splits would serialize
+    the tokenization-heavy scoring projection); the gate filters BEFORE
+    the dedup shuffle so only quality docs pay the exchange; survivor
+    election is one hash-shuffle on the 128-bit fingerprint (uniform
+    keys — no skew) using a window row_number rather than a
+    groupBy+self-join re-read.
+    """
+    return (
+        curated_docs(documents, min_quality)
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )

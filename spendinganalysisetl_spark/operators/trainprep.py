@@ -39,6 +39,28 @@ PII_REDACTIONS: dict[str, str] = {
 }
 
 
+def decon_counts(
+    documents: DataFrame, n: int = 8, bench_mod: int = 20
+) -> DataFrame:
+    """Presentation-free core of ``decontaminate`` (also composed into
+    ``build_training_shards``): per TRAINING doc (docs with at least one
+    gram; the benchmark slice is excluded), distinct-gram count and
+    benchmark-overlap count."""
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    grams = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
+    )
+    bench_grams = (
+        grams.filter(is_bench).select("gram").distinct().withColumn("hit", F.lit(1))
+    )
+    train_grams = grams.filter(~is_bench)
+    joined = train_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_hits"),
+    )
+
+
 def decontaminate(
     documents: DataFrame,
     n: int = 8,
@@ -64,19 +86,7 @@ def decontaminate(
     aggregates before its exchange. Both explodes sit behind
     ``spread`` so coarse file splits don't serialize the shingling.
     """
-    is_bench = (F.col("doc_id") % bench_mod) == 0
-    grams = _spread(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
-    )
-    bench_grams = (
-        grams.filter(is_bench).select("gram").distinct().withColumn("hit", F.lit(1))
-    )
-    train_grams = grams.filter(~is_bench)
-    joined = train_grams.join(F.broadcast(bench_grams), "gram", "left")
-    out = joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.count("hit").alias("n_hits"),
-    )
+    out = decon_counts(documents, n, bench_mod)
     return out.select(
         "doc_id",
         "n_grams",
@@ -196,6 +206,39 @@ def pack_sequences(
     )
 
 
+def build_training_shards(
+    documents: DataFrame,
+    budget: int = 512,
+    min_quality: float = 0.75,
+    n: int = 8,
+    bench_mod: int = 20,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """The end-to-end shard build a pretraining pipeline runs nightly,
+    as ONE declarative plan: quality-gate → exact-dedup survivor
+    election (``textanalysis.curated_docs``) → benchmark
+    decontamination (``decon_counts``: keep training docs with zero
+    benchmark n-gram overlap; the benchmark slice itself never ships) →
+    concatenate-and-chunk sequence packing of the surviving stream
+    (``pack_sequences``). Output = per-bin packing manifest.
+
+    Composability is the point: each stage is the presentation-free
+    core of its standalone operator, so Catalyst sees one tree — the
+    quality gate prunes before the dedup shuffle, the decon verdict is
+    a doc_id join (ids only, not text), and nothing materializes or
+    sorts between stages. At 100 TB each stage's scale shape is
+    unchanged from its standalone form (see the respective docstrings).
+    """
+    from spendinganalysisetl_spark.operators.textanalysis import curated_docs
+
+    keep = curated_docs(documents, min_quality).select("doc_id")
+    clean = decon_counts(documents, n, bench_mod).filter(
+        F.col("n_hits") == 0
+    ).select("doc_id")
+    shard_docs = documents.join(keep, "doc_id").join(clean, "doc_id")
+    return pack_sequences(shard_docs, budget=budget, bucket_width=bucket_width)
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact PII (email / phone / SSN patterns) from ``text_col`` and
     count each class. Returns the input columns with ``<class>``
@@ -221,6 +264,38 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         *counts,
         redacted.alias("clean_text"),
         F.length(redacted).alias("clean_len"),
+    )
+
+
+def vocab_top_terms(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace tokens
+    with total count, document frequency, and corpus rank — the first
+    pass of building a tokenizer vocabulary (and the sanity report every
+    corpus refresh prints).
+
+    One explode → one hash aggregation on the token (map-side combined;
+    token keys follow a Zipf distribution, but partial aggregation
+    collapses the head BEFORE the shuffle, so the hot keys ship one row
+    per map partition — skew-safe without salting). The top-k is
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject (per-
+    partition heaps merged at the driver), so the full vocabulary is
+    never globally sorted or moved to one task; ranks are then numbered
+    on the k surviving rows. Ties break lexicographically.
+    """
+    toks = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    head = vocab.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        head.withColumn("rank", F.row_number().over(w))
+        .select("rank", "token", "n_occurrences", "n_docs")
+        .repartition(1)
+        .sortWithinPartitions("rank")
     )
 
 

@@ -1333,6 +1333,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_resize_pipeline")  # rows-only: binary payloads are
+# engine-internal (deterministic fake resize+decode — multimodal.ops).
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed media pipeline: resize (payload→payload, media schema
+    preserved) → feature extraction — two chained mapInPandas stages in
+    one plan, the decode-resize-featurize shape of a real image
+    pipeline (multimodal/ops.py:resize_images)."""
+    from spendinganalysisetl_spark.multimodal.ops import (
+        extract_features,
+        fake_media_table,
+        resize_images,
+    )
+
+    return (
+        extract_features(resize_images(fake_media_table(spark, 64), 32, 24))
+        .coalesce(1)
+        .sortWithinPartitions("media_id")
+    )
+
+
 # --- as-of join (SURVEY.md §2.3 gap note — operator Spark lacks natively) -----
 
 
@@ -2467,6 +2487,102 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_weights(load_table(spark, sf_dir, "documents"), max_weight=5.0)
 
 
+# Quality-score + fingerprint CTEs — DuckDB twin of
+# textanalysis._quality_parts + fingerprint (same formulas as the
+# corpus_curation oracle; duplicated there verbatim).
+_QUALITY_SCORED_CTES = """
+feats AS (
+  SELECT doc_id, lang, n_chars,
+         len(regexp_extract_all(lower(text), '\\S+', 0)) AS n_toks,
+         length(regexp_replace(lower(text), '\\s', '', 'g')) AS len_no_ws,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+', 0),
+             t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+         length(regexp_replace(text, '[^!-:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         length(text) AS len_all,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, n_chars, fp,
+         round(CAST(
+           (CASE WHEN n_chars >= 200 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_toks > 0 AND CAST(len_no_ws AS DOUBLE)/n_toks >= 3.0
+                  AND CAST(len_no_ws AS DOUBLE)/n_toks <= 10.0 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_toks > 0 AND CAST(n_stop AS DOUBLE)/n_toks >= 0.05 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN len_all = 0 OR CAST(n_punct AS DOUBLE)/len_all <= 0.1 THEN 0.25 ELSE 0.0 END)
+           AS DOUBLE), 2) AS quality_score
+  FROM feats
+)
+"""
+
+
+@register(
+    "training_shard_pipeline",
+    f"""
+WITH {_QUALITY_SCORED_CTES},
+survivors AS (
+  SELECT doc_id FROM scored WHERE quality_score >= 0.75
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+),
+grams AS ({_gram_sql(8)}),
+g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+decon AS (
+  SELECT t.doc_id, count(b.gram) AS n_hits
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0) t
+  LEFT JOIN bench b USING (gram) GROUP BY t.doc_id
+),
+clean AS (
+  SELECT s.doc_id FROM survivors s JOIN decon d USING (doc_id) WHERE d.n_hits = 0
+),
+toks AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\\S+', 0)) AS n_tok
+  FROM documents JOIN clean USING (doc_id)
+),
+pos AS (SELECT doc_id, n_tok,
+        COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM toks)
+SELECT CAST(floor(off / 512.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM pos GROUP BY bin_id ORDER BY bin_id
+""",
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed pipeline: quality gate → exact-dedup survivor
+    election → benchmark decontamination → sequence packing, all in ONE
+    Catalyst tree (operators/trainprep.py:build_training_shards) — the
+    nightly raw-corpus→token-shards build."""
+    from spendinganalysisetl_spark.operators.trainprep import build_training_shards
+
+    return build_training_shards(load_table(spark, sf_dir, "documents"), budget=512)
+
+
+@register(
+    "vocab_top_terms",
+    """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS token
+              FROM documents),
+vocab AS (SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+          FROM toks GROUP BY token),
+head AS (SELECT * FROM vocab ORDER BY n_occurrences DESC, token ASC LIMIT 100)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank,
+       token, n_occurrences, n_docs
+FROM head ORDER BY rank
+""",
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary head: top-k corpus tokens by frequency with
+    doc frequency and deterministic rank; TakeOrderedAndProject top-k —
+    the full vocabulary never single-tasks
+    (operators/trainprep.py:vocab_top_terms)."""
+    from spendinganalysisetl_spark.operators.trainprep import vocab_top_terms
+
+    return vocab_top_terms(load_table(spark, sf_dir, "documents"), k=100)
+
+
 @register(
     "incremental_dedup_batch",
     f"""
@@ -2557,6 +2673,8 @@ _CHECK_FIRST: list[str] = [
     "pii_scrub_documents",
     "domain_mix_weights",
     "incremental_dedup_batch",
+    "training_shard_pipeline",
+    "vocab_top_terms",
 ]
 
 _CHECK_LATE: list[str] = [

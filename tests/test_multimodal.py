@@ -37,3 +37,34 @@ def test_sample_frames_expansion(spark):
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     for idxs in per.values():
         assert sorted(idxs) == list(range(len(idxs))), "frame indices contiguous from 0"
+
+
+def test_resize_images_shape_and_composability(spark):
+    """resize keeps the media schema (composes with extract_features),
+    scales payload bytes with the target raster, updates meta, and is
+    deterministic."""
+    from spendinganalysisetl_spark.multimodal.ops import (
+        extract_features,
+        fake_media_table,
+        resize_images,
+    )
+
+    media = fake_media_table(spark, 24)
+    small = resize_images(media, width=8, height=6)
+    rows = {r["media_id"]: r for r in small.collect()}
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    for r in rows.values():
+        assert r["kind"] == "image"
+        assert len(r["payload"]) == 8 * 6 * 3
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: r for r in resize_images(media, width=8, height=6).collect()}
+    assert all(bytes(again[i]["payload"]) == bytes(rows[i]["payload"]) for i in rows)
+    # different target -> different bytes and size
+    big = {r["media_id"]: r for r in resize_images(media, width=16, height=12).collect()}
+    assert all(len(big[i]["payload"]) == 16 * 12 * 3 for i in big)
+    # composes: features over resized media run unchanged
+    feats = extract_features(resize_images(media, width=8, height=6)).collect()
+    assert len(feats) == n_images
+    assert all(f["n_bytes"] == 8 * 6 * 3 for f in feats)

@@ -180,3 +180,52 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
     plan = decontaminate(load_table(spark, sf_dir, "documents"))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_build_training_shards_composition(spark):
+    """Planted fixture for the composed pipeline: a benchmark copy
+    contaminates its training twin; a low-quality doc is gated; a
+    duplicate loses survivor election; the rest pack in doc_id order."""
+    from spendinganalysisetl_spark.operators.trainprep import build_training_shards
+
+    text_a = "the quick brown fox jumps over the lazy dog and runs far away now"
+    text_b = "a calm river flows down the green valley toward the open sea today"
+    text_c = "the wind moves softly over an old stone bridge near the tall mill"
+    rows = [
+        (0, text_a, "en"),  # benchmark slice (0 % 20 == 0)
+        (1, text_a, "en"),  # contaminated twin of the benchmark -> dropped
+        (2, text_b, "en"),  # clean survivor
+        (3, "bad", "en"),   # low quality -> gated
+        (4, text_b, "en"),  # dup of 2 -> loses survivor election
+        (5, text_c, "en"),  # clean survivor
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    out = build_training_shards(docs, budget=10).collect()
+    for r in out:
+        assert r["first_doc"] <= r["last_doc"]
+    assert sum(r["n_docs"] for r in out) == 2  # exactly docs 2 and 5
+    assert sum(r["n_tokens"] for r in out) == len(text_b.split()) + len(text_c.split())
+    assert out[0]["first_doc"] == 2
+    assert out[-1]["last_doc"] == 5
+
+
+def test_vocab_top_terms_counts_and_plan(spark):
+    from spendinganalysisetl_spark.operators.trainprep import vocab_top_terms
+
+    rows = [
+        (1, "apple banana apple", "en"),
+        (2, "apple cherry", "en"),
+        (3, "banana apple banana", "en"),
+    ]
+    out = vocab_top_terms(_docs(spark, rows), k=2).collect()
+    assert [(r["rank"], r["token"], r["n_occurrences"], r["n_docs"]) for r in out] == [
+        (1, "apple", 4, 3),
+        (2, "banana", 3, 2),
+    ]
+    # top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    # not a global sort of the vocabulary
+    plan = vocab_top_terms(_docs(spark, rows), k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
