@@ -228,6 +228,13 @@ def build_training_shards(
     a doc_id join (ids only, not text), and nothing materializes or
     sorts between stages. At 100 TB each stage's scale shape is
     unchanged from its standalone form (see the respective docstrings).
+
+    The branches deliberately RE-SCAN the documents parquet (the static
+    plan shows one FileScan per branch) rather than caching the shared
+    projection: a (doc_id, text) cache IS the corpus — at 100 TB it
+    spills to executor disk and a columnar re-scan with column pruning
+    is cheaper than a disk-cache round-trip; identical scan+spread
+    subtrees also dedupe at runtime via AQE exchange reuse.
     """
     from spendinganalysisetl_spark.operators.textanalysis import curated_docs
 
@@ -296,6 +303,71 @@ def vocab_top_terms(documents: DataFrame, k: int = 100) -> DataFrame:
         .select("rank", "token", "n_occurrences", "n_docs")
         .repartition(1)
         .sortWithinPartitions("rank")
+    )
+
+
+def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
+    """Collocation mining: pointwise mutual information over adjacent
+    token pairs — ``log2((c_ab/B) / ((c_a/N)(c_b/N)))`` with unigram
+    totals ``N`` and bigram totals ``B`` — the standard phrase-detection
+    pass (word2vec-style "new_york" merging) a corpus build runs before
+    tokenizer training. Only pairs with ``c_ab >= min_count`` are
+    emitted (PMI is noise below a support floor).
+
+    Scale shape: two explode→hash-aggregations (unigrams, bigrams) with
+    map-side combine; totals are unpartitioned windows OVER THE
+    AGGREGATED tables (vocabulary-sized, not corpus-sized); the
+    unigram-count joins key on a token each — uniform hash joins. The
+    log2 identity is computed as one double expression identically in
+    the DuckDB twin; PMI rounds at 4dp (log ulp-safety margin).
+    """
+    toks = _spread(documents.select("text")).select(
+        ws_tokens(F.col("text")).alias("toks")
+    )
+    unigrams = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    wall = Window.partitionBy()
+    unig = unigrams.withColumn("n_total", F.sum("c_w").over(wall))
+    cnt = F.size(F.col("toks"))
+    pairs = toks.filter(cnt >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), cnt - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bigr = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .withColumn("b_total", F.sum("c_ab").over(wall))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    ua = unig.select(
+        F.col("w").alias("w1"), F.col("c_w").alias("c_a"), "n_total"
+    )
+    ub = unig.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    num = F.col("c_ab").cast("double") * F.col("n_total") * F.col("n_total")
+    den = F.col("b_total").cast("double") * F.col("c_a") * F.col("c_b")
+    return (
+        bigr.join(ua, "w1")
+        .join(ub, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(F.log2(num / den), 4).alias("pmi"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("w1", "w2")
     )
 
 

@@ -2561,6 +2561,38 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_pmi_collocations",
+    """
+WITH toks AS (SELECT regexp_extract_all(lower(text), '\\S+', 0) AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM toks),
+unigrams AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+unig AS (SELECT w, c_w, sum(c_w) OVER () AS n_total FROM unigrams),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || chr(9) || toks[i+1])) AS p
+  FROM toks WHERE len(toks) >= 2
+),
+bigr0 AS (SELECT split_part(p, chr(9), 1) AS w1, split_part(p, chr(9), 2) AS w2,
+                 count(*) AS c_ab
+          FROM pairs GROUP BY 1, 2),
+bigr AS (SELECT w1, w2, c_ab, sum(c_ab) OVER () AS b_total FROM bigr0)
+SELECT b.w1, b.w2, b.c_ab, a.c_w AS c_a, c.c_w AS c_b,
+       round(log2((CAST(b.c_ab AS DOUBLE) * a.n_total * a.n_total)
+                  / (CAST(b.b_total AS DOUBLE) * a.c_w * c.c_w)), 4) AS pmi
+FROM bigr b JOIN unig a ON b.w1 = a.w JOIN unig c ON b.w2 = c.w
+WHERE b.c_ab >= 5
+ORDER BY b.w1, b.w2
+""",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI over adjacent token pairs with a support
+    floor — the phrase-detection pass before tokenizer training
+    (operators/trainprep.py:bigram_pmi)."""
+    from spendinganalysisetl_spark.operators.trainprep import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"), min_count=5)
+
+
+@register(
     "vocab_top_terms",
     """
 WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS token
@@ -2675,6 +2707,12 @@ _CHECK_FIRST: list[str] = [
     "incremental_dedup_batch",
     "training_shard_pipeline",
     "vocab_top_terms",
+    # Must-keep driver rows the round-2 additions would otherwise push
+    # out of the 50-slot window: the only streaming oracle row, the
+    # as-of join headline, and the W1 inf-quirk pin.
+    "stream_tumbling_5min",
+    "asof_join_click_purchase",
+    "monthly_pct_change_inf_ref",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -2684,10 +2722,13 @@ _CHECK_LATE: list[str] = [
     "events_tumbling_5min",  # oracle shared with stream_tumbling_5min (in-window, r1 green)
     # Demoted r1 greens whose mechanism is pinned by an in-window sibling
     # (making room for the round-2 trainprep family).
-    "cube_returnflag_linestatus",  # grouping_sets_revenue generalizes cube (rollup stays in-window)
+    "cube_returnflag_linestatus",  # grouping_sets_revenue generalizes cube
+    "rollup_returnflag_linestatus",  # grouping_sets_revenue generalizes rollup too
     "setop_union_nations",  # distinct-union; ALL-form setops + unique-election in-window
     "join_anti_customers_without_orders",  # anti leg runs inside upsert_merge_monthly's insert arm
     "window_top_orders_per_customer",  # row_number top-k == corpus_curation's survivor election
+    "window_monthly_running_total",  # cumulative frame == window_rolling_3mo_avg's (in-window)
+    "dedup_exact_survivors",  # fp survivor election runs inside corpus_curation, incremental_dedup_batch, training_shard_pipeline (all in-window)
     # Pure variants of an in-window sibling.
     "category_totals_ref_roundsum",  # category_totals + round-then-sum quirk (unit-pinned)
     "top5_vendors",  # sort-flip of bottom5_vendors_ref_compat

@@ -229,3 +229,24 @@ def test_vocab_top_terms_counts_and_plan(spark):
     # not a global sort of the vocabulary
     plan = vocab_top_terms(_docs(spark, rows), k=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_pmi_planted_collocation(spark):
+    """'new york' always adjacent -> strongly positive PMI; a pair that
+    co-occurs at chance in a shuffled tail gets lower PMI. Exact values
+    checked against a hand computation."""
+    import math
+
+    from spendinganalysisetl_spark.operators.trainprep import bigram_pmi
+
+    rows = [(i, "new york " * 5, "en") for i in range(3)]  # 30 tokens, 27 pairs
+    out = bigram_pmi(_docs(spark, rows), min_count=5).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    # corpus: N=30 unigrams (15 new, 15 york); B=27 pairs:
+    # (new,york) x15, (york,new) x12
+    r = got[("new", "york")]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (15, 15, 15)
+    expect = round(math.log2((15 / 27) / ((15 / 30) * (15 / 30))), 4)
+    assert r["pmi"] == expect
+    assert got[("york", "new")]["c_ab"] == 12
+    assert r["pmi"] > got[("york", "new")]["pmi"]
