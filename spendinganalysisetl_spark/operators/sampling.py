@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spendinganalysisetl_spark.functions.text import hex_fold
@@ -88,6 +88,55 @@ def length_histogram(documents: DataFrame, bucket_width: int = 200) -> DataFrame
         .repartition(1)
         .sortWithinPartitions("bucket_lo")
     )
+
+
+def shuffle_shards(
+    documents: DataFrame,
+    n_shards: int = 8,
+    seed: int = 42,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into ``n_shards`` training
+    shards: every row gets a shard assignment and a position within its
+    shard, both derived only from ``(seed, key)``.
+
+    This is the "shuffle the corpus before training" step of a data
+    pipeline, done the way a distributed job must do it: not an actual
+    random permutation (which would need a global sort over corpus-sized
+    state and change on every run) but a hash shuffle — ``h =
+    fold(md5(seed:key))`` gives a pseudo-random 56-bit sort key, the
+    shard is ``h % n_shards``, and the intra-shard order is ``(h,
+    key)``. Same determinism/stability/engine-portability argument as
+    ``assign_splits`` (module docstring): re-runs, re-partitions, and
+    appends never move an existing row's shard, and the DuckDB oracle
+    reproduces every assignment bit-for-bit.
+
+    Scale shape: the assignment is a pure projection (no shuffle); the
+    position is a ``row_number`` window PARTITIONED by shard — one
+    exchange on the shard key, then shards number independently in
+    parallel. One shard flows through one task, which is exactly the
+    contract "one shard = one ordered output file" implies — at 100 TB
+    you pick ``n_shards`` so a shard is file-sized (hundreds of MB), so
+    tasks stay uniform (md5 is unskewed by construction). A writer that
+    doesn't need explicit positions drops the window entirely:
+    ``df.repartition(n_shards, h).sortWithinPartitions(h, key)`` feeds
+    the same order straight to the sink with no second exchange.
+
+    NULL keys hash to NULL and land in a NULL shard with NULL
+    positions, surfaced for the caller (same policy as assign_splits).
+    """
+    h = hex_fold(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))),
+        1,
+        14,
+    )
+    with_key = documents.withColumn("h", h).withColumn(
+        "shard_id", (F.col("h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard_id").orderBy("h", key)
+    return with_key.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("h")
 
 
 def stratified_sample(

@@ -2118,6 +2118,34 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(load_table(spark, sf_dir, "documents"), 200)
 
 
+@register(
+    "corpus_shuffle_shards",
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         {hex_fold_sql("md5('42:' || CAST(doc_id AS VARCHAR))", 1, 14)} AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % 8 AS INTEGER) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM k
+""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training corpus shuffle: pseudo-random shard
+    assignment + intra-shard order from the portable md5 fold alone
+    (operators/sampling.py:shuffle_shards) — re-run-stable,
+    append-stable, and reproduced bit-for-bit by the oracle."""
+    from spendinganalysisetl_spark.operators.sampling import shuffle_shards
+
+    return shuffle_shards(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        n_shards=8,
+        seed=42,
+    )
+
+
 @register("stratified_sample_by_lang")  # rows-only: Bernoulli sampling RNG is
 # engine-internal; determinism-per-seed and per-stratum rates are pinned
 # in tests/test_dedup_similarity.py.

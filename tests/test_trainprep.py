@@ -250,3 +250,45 @@ def test_bigram_pmi_planted_collocation(spark):
     assert r["pmi"] == expect
     assert got[("york", "new")]["c_ab"] == 12
     assert r["pmi"] > got[("york", "new")]["pmi"]
+
+
+def test_shuffle_shards_deterministic_partition(spark):
+    from spendinganalysisetl_spark.operators.sampling import shuffle_shards
+
+    docs = _docs(spark, [(i, f"doc {i}", "en") for i in range(100)])
+    out = shuffle_shards(docs.select("doc_id"), n_shards=4, seed=7)
+    rows = out.collect()
+    # every doc exactly once, shards in range
+    assert sorted(r["doc_id"] for r in rows) == list(range(100))
+    assert all(0 <= r["shard_id"] < 4 for r in rows)
+    # positions are contiguous 1..size within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # deterministic: a second run (different partitioning) is identical
+    again = shuffle_shards(
+        docs.select("doc_id").repartition(13), n_shards=4, seed=7
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different seed produces a different permutation
+    other = shuffle_shards(docs.select("doc_id"), n_shards=4, seed=8).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_shuffle_shards_append_stable(spark):
+    from spendinganalysisetl_spark.operators.sampling import shuffle_shards
+
+    docs = _docs(spark, [(i, f"doc {i}", "en") for i in range(50)])
+    grown = _docs(spark, [(i, f"doc {i}", "en") for i in range(80)])
+    small = {
+        r["doc_id"]: r["shard_id"]
+        for r in shuffle_shards(docs.select("doc_id"), n_shards=4, seed=7).collect()
+    }
+    big = {
+        r["doc_id"]: r["shard_id"]
+        for r in shuffle_shards(grown.select("doc_id"), n_shards=4, seed=7).collect()
+    }
+    # appends never move an existing row's shard (positions may shift)
+    assert all(big[k] == v for k, v in small.items())
