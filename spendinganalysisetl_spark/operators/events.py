@@ -167,3 +167,35 @@ def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .select("user_id", "session_start", "n_events")
         .repartition(1).sortWithinPartitions("user_id", "session_start")
     )
+
+
+def props_value_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction (SURVEY.md F5 beyond the sink
+    boundary): parse the ``props`` JSON-string column and aggregate its
+    ``k`` field per event type — the metadata-parsing step every event
+    pipeline runs on its property bags.
+
+    ``from_json`` with an explicit schema, not ``get_json_object``: one
+    typed parse per row into a struct Catalyst can prune and reuse
+    across any number of extracted fields (``get_json_object`` re-parses
+    the string per field). Parsing happens scan-side inside codegen, so
+    at 100 TB this is an embarrassingly parallel projection; the
+    aggregation that follows is an ordinary map-side-combined hash agg
+    on the (low-cardinality) event_type key. Malformed or missing JSON
+    yields NULL (Spark PERMISSIVE mode ≡ DuckDB json_extract NULL),
+    surfaced via ``n_with_k`` vs ``n_events``.
+    """
+    parsed = events.withColumn("p", F.from_json("props", "k BIGINT"))
+    k = F.col("p.k")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(k).alias("n_with_k"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .repartition(1).sortWithinPartitions("event_type")
+    )

@@ -539,3 +539,54 @@ def pairwise_dot_stats(embeddings: DataFrame, id_cap: int = 50) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
+
+
+def label_centroid_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding audit: class size, mean vector norm, and the
+    L2 norm of the label centroid — the drift/coherence report a
+    training-data pipeline runs over a labeled embedding table (unit
+    vectors: centroid_norm → 1 means the class is tight, → 0 means the
+    label carries no geometric signal).
+
+    Two independent aggregations, joined on the label key:
+    - per-vector norms fold INSIDE the array (``F.aggregate`` — no
+      explode, one row per vector flows into a map-side-combined agg);
+    - the centroid needs per-position means, so posexplode → hash agg on
+      (label, pos) — dim×labels rows after the partial combine, tiny at
+      any corpus scale — then a second reduce over pos per label.
+    The join right side is labels-cardinality, so it broadcasts. Float32
+    elements are cast to double BEFORE any summation on both engines so
+    the 6dp rounding compares like against like.
+    """
+    vec_sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    base = (
+        _spread(embeddings.select("label", "embedding"))
+        .select("label", F.sqrt(vec_sq).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("mean_norm"),
+        )
+    )
+    per_pos = (
+        _spread(embeddings.select("label", "embedding"))
+        .select(
+            "label",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    centroid = per_pos.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    return (
+        base.join(F.broadcast(centroid), "label")
+        .repartition(1).sortWithinPartitions("label")
+    )

@@ -2146,6 +2146,67 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_props_json_stats",
+    """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction over the events property bag
+    (operators/events.py:props_value_stats): one typed ``from_json``
+    parse scan-side, then an ordinary hash aggregation — F5's parse
+    direction, which the reference only exercises at the sink
+    (loader.py serializes; nothing in the reference parses)."""
+    from spendinganalysisetl_spark.operators.events import props_value_stats
+
+    return props_value_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "embedding_label_audit",
+    """
+WITH raw AS (
+  SELECT label, unnest(embedding) AS xf,
+         unnest(range(1, len(embedding)+1)) AS pos
+  FROM embeddings
+), e AS (SELECT label, CAST(xf AS DOUBLE) AS x, pos FROM raw),
+cent AS (
+  SELECT label, round(sqrt(sum(m*m)), 6) AS centroid_norm
+  FROM (SELECT label, pos, avg(x) AS m FROM e GROUP BY label, pos)
+  GROUP BY label
+),
+base AS (
+  SELECT label, count(*) AS n_vecs,
+         round(avg(sqrt(list_sum(list_transform(embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS mean_norm
+  FROM embeddings GROUP BY label
+)
+SELECT b.label AS label, b.n_vecs, b.mean_norm, c.centroid_norm
+FROM base b JOIN cent c USING (label) ORDER BY label
+""",
+)
+def q_embedding_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding audit (class size, mean vector norm, centroid
+    L2 norm — operators/similarity.py:label_centroid_stats): the
+    coherence/drift report over a labeled embedding table; float32
+    elements cast to double before summation on both engines."""
+    from spendinganalysisetl_spark.operators.similarity import label_centroid_stats
+
+    return label_centroid_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("stratified_sample_by_lang")  # rows-only: Bernoulli sampling RNG is
 # engine-internal; determinism-per-seed and per-stratum rates are pinned
 # in tests/test_dedup_similarity.py.

@@ -367,3 +367,25 @@ def test_clustered_cosine_pairs_recall_and_scores(spark, embeddings):
     if exact_map:
         recall = len(approx_map) / len(exact_map)
         assert recall >= 0.3, f"clustered recall collapsed: {recall}"
+
+
+def test_label_centroid_stats_planted_geometry(spark):
+    from spendinganalysisetl_spark.operators.similarity import label_centroid_stats
+
+    # label 0: all vectors identical unit e1 -> centroid_norm == 1.
+    # label 1: e1 and -e1 cancel -> centroid_norm == 0.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 0),
+        (4, [1.0, 0.0], 1),
+        (5, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in label_centroid_stats(df).collect()}
+    assert out[0]["n_vecs"] == 3
+    assert out[0]["mean_norm"] == 1.0 and out[0]["centroid_norm"] == 1.0
+    assert out[1]["n_vecs"] == 2
+    assert out[1]["mean_norm"] == 1.0 and out[1]["centroid_norm"] == 0.0

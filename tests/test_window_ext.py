@@ -162,3 +162,23 @@ def test_approx_percentile_tracks_exact(spark):
         lo_hi = [(b["b"][0], b["b"][1]), (b["b"][2], b["b"][3]), (b["b"][4], b["b"][5])]
         for q, (lo, hi) in zip(("p50", "p90", "p99"), lo_hi):
             assert lo <= a[q] <= hi, (k, q, a[q], lo, hi)
+
+
+def test_props_json_stats_malformed_and_missing(spark):
+    from spendinganalysisetl_spark.operators.events import props_value_stats
+
+    rows = [
+        (1, "click", '{"k": 10}'),
+        (2, "click", '{"k": 32}'),
+        (3, "click", "not json"),   # malformed -> NULL k
+        (4, "click", '{"other": 5}'),  # missing field -> NULL k
+        (5, "view", None),          # NULL props -> NULL k
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    out = {r["event_type"]: r for r in props_value_stats(df).collect()}
+    c = out["click"]
+    assert (c["n_events"], c["n_with_k"]) == (4, 2)
+    assert (c["sum_k"], c["min_k"], c["max_k"]) == (42, 10, 32)
+    assert c["avg_k"] == 21.0
+    v = out["view"]
+    assert (v["n_events"], v["n_with_k"], v["sum_k"]) == (1, 0, None)
