@@ -202,3 +202,46 @@ def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("lang", "source")
     )
+
+
+def source_quality_report(documents: DataFrame) -> DataFrame:
+    """Per-source curation leaderboard: document count, mean composite
+    quality, and the share of documents that are corpus-wide normalized
+    duplicates — the report that decides which crawl/source feeds get
+    up- or down-weighted in the next corpus build.
+
+    "Duplicate" means the doc's normalized-text fingerprint occurs >= 2
+    times ANYWHERE in the corpus (not just within the source), so a
+    source that plagiarizes another one is charged for it. Scale shape:
+    one scored projection (spread, codegen), one hash aggregation on
+    the uniform 128-bit fingerprint for corpus-wide document frequency,
+    one shuffle join back on the same key, then the per-source rollup
+    (low-cardinality key, map-side combined). The df table is
+    corpus-sized, so it is NOT broadcast — both sides hash-partition on
+    fp, which AQE can also satisfy from the aggregation's own exchange.
+    """
+    _, _, _, score = _quality_parts()
+    scored = _spread(
+        documents.select("doc_id", "source", "n_chars", "text")
+    ).select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.round(score, 2).alias("q"),
+    )
+    fp_df = scored.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    is_dup = (F.col("df") >= 2).cast("int")
+    return (
+        scored.join(fp_df, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).cast("long").alias("n_dup_docs"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )

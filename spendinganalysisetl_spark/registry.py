@@ -2581,7 +2581,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_curation oracle; duplicated there verbatim).
 _QUALITY_SCORED_CTES = """
 feats AS (
-  SELECT doc_id, lang, n_chars,
+  SELECT doc_id, lang, source, n_chars,
          len(regexp_extract_all(lower(text), '\\S+', 0)) AS n_toks,
          length(regexp_replace(lower(text), '\\s', '', 'g')) AS len_no_ws,
          len(list_filter(regexp_extract_all(lower(text), '\\S+', 0),
@@ -2591,7 +2591,7 @@ feats AS (
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
   FROM documents
 ), scored AS (
-  SELECT doc_id, lang, n_chars, fp,
+  SELECT doc_id, lang, source, n_chars, fp,
          round(CAST(
            (CASE WHEN n_chars >= 200 THEN 0.25 ELSE 0.0 END)
          + (CASE WHEN n_toks > 0 AND CAST(len_no_ws AS DOUBLE)/n_toks >= 3.0
@@ -2647,6 +2647,33 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.trainprep import build_training_shards
 
     return build_training_shards(load_table(spark, sf_dir, "documents"), budget=512)
+
+
+@register(
+    "source_quality_report",
+    f"""
+WITH {_QUALITY_SCORED_CTES},
+df AS (SELECT fp, count(*) AS c FROM scored GROUP BY fp)
+SELECT s.source AS source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       round(avg(s.quality_score), 6) AS mean_quality,
+       round(CAST(sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_rate
+FROM scored s JOIN df d USING (fp)
+GROUP BY s.source ORDER BY source
+""",
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation leaderboard: doc count, mean composite
+    quality, corpus-wide duplicate share
+    (operators/textanalysis.py:source_quality_report) — the report that
+    reweights crawl feeds in the next corpus build."""
+    from spendinganalysisetl_spark.operators.textanalysis import (
+        source_quality_report,
+    )
+
+    return source_quality_report(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -292,3 +292,31 @@ def test_shuffle_shards_append_stable(spark):
     }
     # appends never move an existing row's shard (positions may shift)
     assert all(big[k] == v for k, v in small.items())
+
+
+def test_source_quality_report_cross_source_duplicates(spark):
+    from spendinganalysisetl_spark.operators.textanalysis import (
+        source_quality_report,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs far "
+        "away to the hills where it waits for the next day to come around"
+    ) * 2
+    rows = [
+        (1, good, "en", "srcA", len(good)),
+        (2, good, "en", "srcB", len(good)),     # cross-source duplicate
+        (3, good + " extra", "en", "srcB", len(good) + 6),
+        (4, "!!! ??? ###", "en", "srcB", 11),   # junk, unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in source_quality_report(df).collect()}
+    # srcA's only doc duplicates srcB's — both sides are charged
+    assert out["srcA"]["n_docs"] == 1 and out["srcA"]["n_dup_docs"] == 1
+    assert out["srcA"]["dup_rate"] == 1.0
+    assert out["srcB"]["n_docs"] == 3 and out["srcB"]["n_dup_docs"] == 1
+    assert out["srcB"]["dup_rate"] == round(1 / 3, 6)
+    # junk doc drags srcB's mean quality below srcA's
+    assert out["srcB"]["mean_quality"] < out["srcA"]["mean_quality"]
