@@ -314,38 +314,63 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
     tokenizer training. Only pairs with ``c_ab >= min_count`` are
     emitted (PMI is noise below a support floor).
 
-    Scale shape: two explode→hash-aggregations (unigrams, bigrams) with
-    map-side combine; totals are unpartitioned windows OVER THE
-    AGGREGATED tables (vocabulary-sized, not corpus-sized); the
-    unigram-count joins key on a token each — uniform hash joins. The
-    log2 identity is computed as one double expression identically in
-    the DuckDB twin; PMI rounds at 4dp (log ulp-safety margin).
+    Scale shape: ONE corpus tokenize feeds ONE explode→hash-aggregation.
+    Each token occurrence is emitted exactly once — as the first member
+    ``(w1, w2)`` of its following bigram, or as a terminal ``(w1, NULL)``
+    marker for a document's last token — so unigram counts are recovered
+    from the bigram table by re-aggregating on ``w1`` (vocabulary-sized
+    input), never by a second corpus pass. Totals are unpartitioned
+    windows OVER THE AGGREGATED tables (vocabulary-sized, not
+    corpus-sized); the unigram-count joins key on a token each — uniform
+    hash joins. The log2 identity is computed as one double expression
+    identically in the DuckDB twin; PMI rounds at 4dp (log ulp-safety
+    margin).
     """
     toks = _spread(documents.select("text")).select(
         ws_tokens(F.col("text")).alias("toks")
     )
+    cnt = F.size(F.col("toks"))
+    # (w_i, w_{i+1}) for i < n, plus (w_n, NULL): every occurrence appears
+    # exactly once in the w1 position.
+    pair_structs = F.when(
+        cnt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), cnt - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = (
+        toks.filter(cnt >= 1)
+        .select(
+            F.explode(
+                F.concat(
+                    pair_structs,
+                    F.array(
+                        F.struct(
+                            F.element_at("toks", cnt).alias("w1"),
+                            F.lit(None).cast("string").alias("w2"),
+                        )
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    agg = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     unigrams = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_w"))
+        agg.groupBy("w1")
+        .agg(F.sum("c").alias("c_w"))
+        .withColumnRenamed("w1", "w")
+        .withColumn("c_w", F.col("c_w").cast("long"))
     )
     wall = Window.partitionBy()
     unig = unigrams.withColumn("n_total", F.sum("c_w").over(wall))
-    cnt = F.size(F.col("toks"))
-    pairs = toks.filter(cnt >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), cnt - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
     bigr = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+        agg.filter(F.col("w2").isNotNull())
+        .withColumnRenamed("c", "c_ab")
         .withColumn("b_total", F.sum("c_ab").over(wall))
         .filter(F.col("c_ab") >= min_count)
     )
