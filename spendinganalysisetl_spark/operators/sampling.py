@@ -90,6 +90,42 @@ def length_histogram(documents: DataFrame, bucket_width: int = 200) -> DataFrame
     )
 
 
+def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """``ANALYZE TABLE``-style numeric column profile: one row per
+    column with count, null count, min, max, mean, and sample stddev
+    (4dp) — the stats pass that feeds partition sizing, skew detection,
+    and data-quality gates before a big job runs.
+
+    Scale shape: ONE full-scan aggregation computes every statistic for
+    every column simultaneously (6·k scalar aggregates, all map-side
+    combined into one row), then a k-row ``stack`` unpivots it — the
+    table is scanned once no matter how many columns are profiled, and
+    only k·6 numbers ever move.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__count"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.round(F.avg(col), 4).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(col), 4).alias(f"{c}__stddev"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__count, {c}__nulls, {c}__min, {c}__max, {c}__mean, {c}__stddev"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_values, n_nulls, min_value, max_value, mean_value, stddev_value)"
+        )
+    ).repartition(1).sortWithinPartitions("column_name")
+
+
 def shuffle_shards(
     documents: DataFrame,
     n_shards: int = 8,

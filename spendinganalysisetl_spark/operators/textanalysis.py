@@ -245,3 +245,92 @@ def source_quality_report(documents: DataFrame) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("source")
     )
+
+
+def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus unigram
+    distribution: ``H(d) = -(1/|d|) Σ_w c_d(w) · log2(p_corpus(w))`` —
+    the language-model-free analog of CCNet's perplexity filtering
+    (documents whose token mix diverges from the corpus score HIGH and
+    are prune candidates; boilerplate scores low).
+
+    Scale shape: one corpus tokenize → one (doc_id, token) hash
+    aggregation (map-side combined); the corpus distribution is a
+    SECOND aggregation of that vocab-keyed table (never a second corpus
+    pass), its total via an unpartitioned window over the vocabulary;
+    the probability join keys on the token — a uniform hash join whose
+    build side is vocabulary-sized. Docs with zero tokens have no
+    distribution and are excluded (identically in the oracle).
+    """
+    dc = (
+        _spread(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    vocab = (
+        dc.groupBy("w")
+        .agg(F.sum("c").alias("c_w"))
+        .withColumn("n_total", F.sum("c_w").over(wall))
+    )
+    p_w = F.col("c_w").cast("double") / F.col("n_total").cast("double")
+    return (
+        dc.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("c") * F.log2(p_w)) / F.sum("c"), 4
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF: ``tf = c_d(w)/|d|``,
+    ``idf = ln(N/df(w))``, ranked per doc on the ROUNDED score (6dp)
+    with a lexicographic tiebreak so ranking is deterministic and
+    engine-portable — keyword extraction for corpus exploration and
+    topic tagging.
+
+    Scale shape: the same single-tokenize (doc_id, token) aggregation as
+    ``unigram_cross_entropy``; document frequency and the doc count are
+    aggregations of vocab-/doc-keyed tables; the per-doc top-k is a
+    row_number window partitioned by doc_id — the corpus is hash-
+    partitioned on doc_id for it, never globally sorted.
+    """
+    from pyspark.sql import Window
+
+    dc = (
+        _spread(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = dc.groupBy("doc_id").agg(F.sum("c").alias("len_d"))
+    docfreq = dc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = lens.select(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        (F.col("c").cast("double") / F.col("len_d"))
+        * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        6,
+    )
+    ranked = (
+        dc.join(lens, "doc_id")
+        .join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", score)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tfidf").desc(), F.col("term").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select("doc_id", "rank", "term", "tfidf")

@@ -40,8 +40,10 @@ every insert in a run shares one PK. Here ids are per-row
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +52,7 @@ from pyspark.sql import functions as F
 KEY = ("begin_date", "end_date")
 
 _CURRENT = "_CURRENT"
+_LOG = "_LOG"
 
 
 def _resolve_data_dir(path: str) -> str:
@@ -63,37 +66,79 @@ def _resolve_data_dir(path: str) -> str:
     return path
 
 
-def _commit_version(path: str, version: str) -> None:
+def _append_log(path: str, version: str, op: str) -> None:
+    """Append a commit record to the sink's ``_LOG`` (JSONL, oldest
+    first). Rewrite-and-replace keeps the append atomic: a reader sees
+    the whole old log or the whole new log."""
+    log_path = os.path.join(path, _LOG)
+    lines: list[str] = []
+    if os.path.isfile(log_path):
+        with open(log_path) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    lines.append(json.dumps({"version": version, "op": op, "ts": time.time()}))
+    tmp = os.path.join(path, f".{_LOG}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, log_path)
+
+
+def history(path: str) -> list[dict]:
+    """Commit history of a versioned sink, oldest first. Each entry is
+    ``{"version", "op", "ts", "live"}`` — ``live`` is False once the
+    version directory has been garbage-collected (readable snapshots are
+    the ``live`` ones; the log itself is never trimmed). Plain-layout
+    sinks (pre-migration) have no log and return []."""
+    log_path = os.path.join(path, _LOG)
+    if not os.path.isfile(log_path):
+        return []
+    out = []
+    with open(log_path) as fh:
+        for ln in fh.read().splitlines():
+            if not ln.strip():
+                continue
+            rec = json.loads(ln)
+            rec["live"] = os.path.isdir(os.path.join(path, rec["version"]))
+            out.append(rec)
+    return out
+
+
+def _commit_version(path: str, version: str, retain: int = 1, op: str = "merge") -> None:
     """Atomically flip the sink's pointer to ``version`` (os.replace of
-    the pointer file — readers resolve old or new, never nothing), then
-    garbage-collect all but the newly-previous version so a reader that
-    resolved the old pointer an instant before the flip can still finish
-    its scan."""
-    prev = None
+    the pointer file — readers resolve old or new, never nothing), log
+    the commit, then garbage-collect all but the newest ``retain``
+    previous generations so a reader that resolved an old pointer an
+    instant before the flip can still finish its scan (``retain > 1``
+    additionally keeps older generations readable as time-travel
+    snapshots — see ``read_reports(version=...)``)."""
     ptr = os.path.join(path, _CURRENT)
-    if os.path.isfile(ptr):
-        with open(ptr) as fh:
-            prev = fh.read().strip()
     tmp = os.path.join(path, f".{_CURRENT}.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         fh.write(version)
+    had_pointer = os.path.isfile(ptr)
     os.replace(tmp, ptr)  # the atomic commit point
+    _append_log(path, version, op)
+    # Commit-log order (not mtime) decides which previous generations
+    # survive GC: the newest `retain` distinct versions before this one.
+    committed = [rec["version"] for rec in history(path)]
+    keep = {version}
+    for v in reversed(committed):
+        if len(keep) >= retain + 1:
+            break
+        keep.add(v)
     for name in os.listdir(path):
         full = os.path.join(path, name)
-        if (
-            name.startswith("v_")
-            and name not in (version, prev)
-            and os.path.isdir(full)
-        ):
+        if name.startswith("v_") and name not in keep and os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith(f".{_CURRENT}.") and name != os.path.basename(tmp):
-            # Stale pointer tmp from a crash between write and
+        elif (
+            name.startswith(f".{_CURRENT}.") or name.startswith(f".{_LOG}.")
+        ) and name != os.path.basename(tmp):
+            # Stale pointer/log tmp from a crash between write and
             # os.replace — sweep it; the live pointer is `ptr`.
             try:
                 os.remove(full)
             except OSError:
                 pass
-        elif prev is None and (
+        elif not had_pointer and (
             name.endswith(".parquet") or name.startswith("part-") or name == "_SUCCESS"
         ):
             # First migration of a plain-layout sink (created via
@@ -120,7 +165,9 @@ def _sink_is_empty(path: str) -> bool:
     )
 
 
-def write_reports(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_reports(
+    df: DataFrame, path: str, mode: str = "append", retain: int = 1
+) -> None:
     """S5: append report rows; per-row uuid id + created_at stamp
     (README.md:44-51 DDL shape: id, begin_date, end_date, details,
     fi_summary, created_at). ``overwrite`` creates the versioned layout
@@ -132,13 +179,34 @@ def write_reports(df: DataFrame, path: str, mode: str = "append") -> None:
         os.makedirs(path, exist_ok=True)
         version = f"v_{uuid.uuid4().hex}"
         stamped.write.mode("overwrite").parquet(os.path.join(path, version))
-        _commit_version(path, version)
+        _commit_version(path, version, retain=retain, op="overwrite")
     else:
         stamped.write.mode(mode).parquet(_resolve_data_dir(path))
 
 
-def read_reports(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(_resolve_data_dir(path))
+def read_reports(
+    spark: SparkSession, path: str, version: int | str | None = None
+) -> DataFrame:
+    """Read the sink — the live table by default, or a time-travel
+    snapshot when ``version`` is given: a ``v_*`` directory name, or an
+    index into ``history(path)`` (0 = oldest commit, negative Python
+    indices work, so ``-2`` is "the table one commit ago"). Snapshots
+    survive exactly as long as the commit ``retain`` policy keeps their
+    directory; reading a GC'd version raises ``FileNotFoundError``."""
+    if version is None:
+        return spark.read.parquet(_resolve_data_dir(path))
+    if isinstance(version, int):
+        log = history(path)
+        if not log:
+            raise FileNotFoundError(f"{path} has no commit log (plain layout?)")
+        version = log[version]["version"]
+    full = os.path.join(path, version)
+    if not os.path.isdir(full):
+        raise FileNotFoundError(
+            f"snapshot {version} was garbage-collected (raise `retain` at "
+            f"commit time to keep more generations readable)"
+        )
+    return spark.read.parquet(full)
 
 
 def merge_frames(
@@ -146,23 +214,32 @@ def merge_frames(
     batch: DataFrame,
     key: tuple[str, ...] = KEY,
     compare_col: str = "total_transactions",
+    delete_where: F.Column | None = None,
 ) -> DataFrame:
-    """S6+S7 as a pure relational plan (no files): the three MERGE legs
-    over two frames with identical schemas, returning the merged rows
-    plus an ``action`` column ('kept' | 'updated' | 'inserted').
+    """S6+S7 as a pure relational plan (no files): the MERGE legs over
+    two frames with identical schemas, returning the merged rows plus an
+    ``action`` column ('kept' | 'updated' | 'inserted' | 'deleted').
 
     - updated:  batch row whose key exists and whose compare_col GREW
       (the reference's late-data rule, transformer.py:53-69)
     - inserted: batch row with no existing key
     - kept:     target row not replaced (missing from batch, or the
       comparison did not fire — the reference's no-op leg, :64-65)
+    - deleted:  matched row where ``delete_where`` fires — the
+      ``WHEN MATCHED AND <cond> THEN DELETE`` leg (retention purges,
+      right-to-be-forgotten). The predicate is a Column over the join's
+      ``s.`` (batch) / ``t.`` (target) aliases and takes precedence over
+      the update comparison; deleted rows carry the TARGET's values
+      (the row being removed). ``merge_reports`` drops them from the new
+      version; this relational form keeps them tagged so the leg is
+      auditable (and oracle-checkable).
 
     The join is an equi-join on the range key; at scale the batch side
     is small → broadcast, and a partitioned target prunes to touched
     partitions. ``merge_reports`` is the file-backed wrapper adding
     id/created_at and the atomic directory swap.
 
-    All three legs come out of ONE full-outer join: a per-leg formulation
+    All legs come out of ONE full-outer join: a per-leg formulation
     (inner + anti + anti) re-executes both inputs once per leg — for
     aggregated inputs that's 4-5 redundant scans of the fact table
     (measured 0.97 s vs 0.37 s for this single-join plan at sf0.1, byte-
@@ -171,11 +248,14 @@ def merge_frames(
     joined, t_missing, batch_wins, take_batch = _merge_join(
         batch, target, key, compare_col
     )
-    action = (
-        F.when(t_missing, F.lit("inserted"))
-        .when(batch_wins, F.lit("updated"))
-        .otherwise(F.lit("kept"))
-    )
+    matched = F.col("s._s_present").isNotNull() & F.col("t._t_present").isNotNull()
+    action = F.when(t_missing, F.lit("inserted"))
+    if delete_where is not None:
+        action = action.when(matched & delete_where, F.lit("deleted"))
+        # Deleted rows show the target side; the update comparison must
+        # not steal them, so gate take_batch on NOT deleted.
+        take_batch = take_batch & ~(matched & delete_where)
+    action = action.when(batch_wins, F.lit("updated")).otherwise(F.lit("kept"))
     sel = [_merged_col(c, key, take_batch) for c in batch.columns]
     return joined.select(*sel, action.alias("action"))
 
@@ -212,6 +292,8 @@ def merge_reports(
     batch: DataFrame,
     compare_col: str = "total_transactions",
     key: tuple[str, ...] = KEY,
+    delete_where: F.Column | None = None,
+    retain: int = 1,
 ) -> None:
     """S6+S7: conditional upsert of ``batch`` into the parquet sink.
 
@@ -220,9 +302,13 @@ def merge_reports(
     ``key`` — (begin_date, end_date) for the report sink; streaming
     drains pass their window/grouping key. Idempotent: re-merging the
     same batch is a no-op (equal counts lose the comparison).
+    ``delete_where`` adds a ``WHEN MATCHED AND <cond> THEN DELETE`` leg
+    (see ``merge_frames``); ``retain`` keeps that many previous
+    generations readable as time-travel snapshots (``read_reports``
+    with ``version=``).
     """
     if not os.path.exists(sink_path) or _sink_is_empty(sink_path):
-        write_reports(batch, sink_path, mode="overwrite")
+        write_reports(batch, sink_path, mode="overwrite", retain=retain)
         return
 
     target = read_reports(spark, sink_path)
@@ -232,6 +318,12 @@ def merge_reports(
     # updates) and refreshes created_at; INSERT mints a per-row uuid
     # (fixing the reference's process-constant uuid, SURVEY S5).
     joined, t_missing, _, take_batch = _merge_join(batch, target, key, compare_col)
+    if delete_where is not None:
+        matched = (
+            F.col("s._s_present").isNotNull() & F.col("t._t_present").isNotNull()
+        )
+        joined = joined.filter(~(matched & delete_where))
+        take_batch = take_batch & ~(matched & delete_where)
     sel = []
     for c in [f.name for f in target.schema.fields]:
         if c == "id":
@@ -259,4 +351,35 @@ def merge_reports(
     # that the next successful commit removes.
     version = f"v_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(os.path.join(sink_path, version))
-    _commit_version(sink_path, version)
+    _commit_version(sink_path, version, retain=retain, op="merge")
+
+
+def compact_sink(
+    spark: SparkSession, sink_path: str, target_files: int = 1, retain: int = 1
+) -> int:
+    """Small-files compaction: rewrite the live version into
+    ``target_files`` parquet files and commit it as a new version (same
+    pointer-flip protocol — readers never see a half-compacted table).
+    Returns the number of data files before compaction.
+
+    This is the table-maintenance pass every streaming/append sink needs:
+    a foreachBatch MERGE per micro-batch or repeated ``mode='append'``
+    writes accrete one small file per task per commit, and at 100 TB the
+    resulting file-listing + per-file open cost dominates scans.
+    ``coalesce`` (not ``repartition``) does the rewrite without a
+    shuffle — each output task reads a handful of input files and
+    streams them back out. At real scale ``target_files`` is sized from
+    ``bytes / 128MB``, and compaction of a partitioned sink runs
+    per-partition; content is byte-identical, so the compacted version
+    is also a valid time-travel snapshot."""
+    data_dir = _resolve_data_dir(sink_path)
+    n_before = sum(
+        1 for f in os.listdir(data_dir) if f.endswith(".parquet") or f.startswith("part-")
+    )
+    df = spark.read.parquet(data_dir)
+    version = f"v_{uuid.uuid4().hex}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(
+        os.path.join(sink_path, version)
+    )
+    _commit_version(sink_path, version, retain=retain, op="compact")
+    return n_before

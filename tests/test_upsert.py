@@ -97,3 +97,131 @@ def test_versioned_commit_always_resolvable(spark, sink):
         live = sorted(d for d in os.listdir(sink) if d.startswith("v_"))
         assert current in live and len(live) <= 2
     assert read_reports(spark, sink).collect()[0]["total_transactions"] == 25
+
+
+def test_time_travel_snapshots(spark, sink):
+    """retain=N keeps N previous generations readable; history() orders
+    commits oldest-first and marks GC'd versions dead; read_reports with
+    an int index time-travels through the log."""
+    import os
+
+    from spendinganalysisetl_spark.sources.upsert import history
+
+    write_reports(
+        _batch(spark, [("2024-01-01", "2024-01-31", 10, 100.0)]),
+        sink,
+        mode="overwrite",
+        retain=2,
+    )
+    for n in (15, 20):
+        merge_reports(
+            spark,
+            sink,
+            _batch(spark, [("2024-01-01", "2024-01-31", n, float(n))]),
+            retain=2,
+        )
+    log = history(sink)
+    assert [rec["op"] for rec in log] == ["overwrite", "merge", "merge"]
+    assert all(rec["live"] for rec in log), "retain=2 keeps all three"
+    # snapshot reads: index 0 = initial write, -1 = live table
+    assert read_reports(spark, sink, version=0).collect()[0]["total_transactions"] == 10
+    assert read_reports(spark, sink, version=1).collect()[0]["total_transactions"] == 15
+    assert read_reports(spark, sink, version=-1).collect()[0]["total_transactions"] == 20
+    # one more merge at retain=1 GCs the two oldest; reading them raises
+    merge_reports(
+        spark, sink, _batch(spark, [("2024-01-01", "2024-01-31", 30, 30.0)]), retain=1
+    )
+    log = history(sink)
+    assert len(log) == 4 and not log[0]["live"] and not log[1]["live"]
+    assert log[2]["live"] and log[3]["live"]
+    with pytest.raises(FileNotFoundError):
+        read_reports(spark, sink, version=0)
+    live_dirs = [d for d in os.listdir(sink) if d.startswith("v_")]
+    assert len(live_dirs) == 2
+
+
+def test_merge_delete_leg(spark, sink):
+    """WHEN MATCHED AND <cond> THEN DELETE: retention purge removes
+    matched rows the predicate selects, never insert-leg rows."""
+    from pyspark.sql import functions as F
+
+    write_reports(
+        _batch(
+            spark,
+            [
+                ("2023-01-01", "2023-01-31", 10, 100.0),  # old: purged
+                ("2024-01-01", "2024-01-31", 10, 100.0),  # recent: kept
+            ],
+        ),
+        sink,
+        mode="overwrite",
+    )
+    merge_reports(
+        spark,
+        sink,
+        _batch(
+            spark,
+            [
+                ("2023-01-01", "2023-01-31", 10, 999.0),  # matched+old → deleted
+                ("2024-01-01", "2024-01-31", 15, 150.0),  # matched, grew → updated
+                ("2024-02-01", "2024-02-29", 5, 50.0),    # new key → inserted
+            ],
+        ),
+        delete_where=F.col("t.begin_date") < F.lit("2024-01-01"),
+    )
+    rows = {r["begin_date"]: r for r in read_reports(spark, sink).collect()}
+    assert set(rows) == {"2024-01-01", "2024-02-01"}
+    assert rows["2024-01-01"]["total_transactions"] == 15
+
+
+def test_merge_frames_delete_action(spark):
+    """Relational form tags the delete leg with action='deleted' and
+    carries the TARGET's values for those rows."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.upsert import merge_frames
+
+    target = _batch(
+        spark,
+        [("2023-01-01", "2023-01-31", 10, 100.0), ("2024-01-01", "2024-01-31", 10, 100.0)],
+    )
+    batch = _batch(
+        spark,
+        [("2023-01-01", "2023-01-31", 99, 999.0), ("2024-02-01", "2024-02-29", 5, 50.0)],
+    )
+    out = {
+        r["begin_date"]: r
+        for r in merge_frames(
+            target,
+            batch,
+            delete_where=F.col("t.begin_date") < F.lit("2024-01-01"),
+        ).collect()
+    }
+    assert out["2023-01-01"]["action"] == "deleted"
+    # delete takes precedence over the (otherwise firing) update leg and
+    # keeps the target's values
+    assert out["2023-01-01"]["total_spent"] == 100.0
+    assert out["2024-01-01"]["action"] == "kept"
+    assert out["2024-02-01"]["action"] == "inserted"
+
+
+def test_compact_sink(spark, sink):
+    """Compaction rewrites the live version into target_files files via
+    a new commit; content identical, history records op='compact'."""
+    import os
+
+    from spendinganalysisetl_spark.sources.upsert import compact_sink, history
+
+    df = _batch(
+        spark, [(f"2024-{m:02d}-01", f"2024-{m:02d}-28", m, float(m)) for m in range(1, 13)]
+    ).repartition(8)
+    write_reports(df, sink, mode="overwrite")
+    before = read_reports(spark, sink).orderBy("begin_date").collect()
+    n_before = compact_sink(spark, sink, target_files=1)
+    assert n_before >= 2
+    after = read_reports(spark, sink).orderBy("begin_date").collect()
+    assert [r["begin_date"] for r in after] == [r["begin_date"] for r in before]
+    data_dir = os.path.join(sink, history(sink)[-1]["version"])
+    files = [f for f in os.listdir(data_dir) if f.startswith("part-")]
+    assert len(files) == 1
+    assert history(sink)[-1]["op"] == "compact"
