@@ -354,6 +354,28 @@ def merge_reports(
     _commit_version(sink_path, version, retain=retain, op="merge")
 
 
+def rollback_sink(path: str, version: int | str) -> str:
+    """Roll the live table back to an earlier snapshot by committing it
+    again as the NEW current version (the Delta/Iceberg RESTORE move):
+    the pointer flips to the old version directory and the rollback is
+    itself a logged commit, so history stays append-only and a rollback
+    can be rolled back. ``version`` addresses ``history(path)`` like
+    ``read_reports``. Returns the version name now live. No data is
+    copied — the snapshot directory is simply re-pointed, so this is
+    O(1) regardless of table size."""
+    log = history(path)
+    if not log:
+        raise FileNotFoundError(f"{path} has no commit log (plain layout?)")
+    name = log[version]["version"] if isinstance(version, int) else version
+    if not os.path.isdir(os.path.join(path, name)):
+        raise FileNotFoundError(f"snapshot {name} was garbage-collected")
+    # retain high enough that the rollback target and the rolled-back-from
+    # version both survive their own GC pass.
+    live = sum(1 for rec in log if rec["live"])
+    _commit_version(path, name, retain=live, op="rollback")
+    return name
+
+
 def compact_sink(
     spark: SparkSession, sink_path: str, target_files: int = 1, retain: int = 1
 ) -> int:

@@ -205,6 +205,31 @@ def test_merge_frames_delete_action(spark):
     assert out["2024-02-01"]["action"] == "inserted"
 
 
+def test_rollback_sink(spark, sink):
+    """RESTORE: rollback re-points the live table at an old snapshot via
+    a logged commit; a rollback can itself be rolled back."""
+    from spendinganalysisetl_spark.sources.upsert import history, rollback_sink
+
+    write_reports(
+        _batch(spark, [("2024-01-01", "2024-01-31", 10, 100.0)]),
+        sink,
+        mode="overwrite",
+        retain=2,
+    )
+    merge_reports(
+        spark, sink, _batch(spark, [("2024-01-01", "2024-01-31", 20, 20.0)]), retain=2
+    )
+    assert read_reports(spark, sink).collect()[0]["total_transactions"] == 20
+    rollback_sink(sink, 0)
+    assert read_reports(spark, sink).collect()[0]["total_transactions"] == 10
+    log = history(sink)
+    assert log[-1]["op"] == "rollback"
+    assert log[-1]["version"] == log[0]["version"]
+    # roll forward again (rollback of the rollback)
+    rollback_sink(sink, 1)
+    assert read_reports(spark, sink).collect()[0]["total_transactions"] == 20
+
+
 def test_compact_sink(spark, sink):
     """Compaction rewrites the live version into target_files files via
     a new commit; content identical, history records op='compact'."""
