@@ -12,5 +12,6 @@ from spendinganalysisetl_spark.multimodal.ops import (  # noqa: F401
     MEDIA_SCHEMA,
     extract_features,
     fake_media_table,
+    ingest_media_dir,
     sample_frames,
 )

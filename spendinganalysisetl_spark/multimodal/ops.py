@@ -97,6 +97,65 @@ def fake_media_table(
     )
 
 
+_EXT_KINDS = {
+    "jpg": "image",
+    "jpeg": "image",
+    "png": "image",
+    "wav": "audio",
+    "mp3": "audio",
+    "flac": "audio",
+    "mp4": "video",
+    "mkv": "video",
+    "webm": "video",
+}
+
+
+def ingest_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest a directory of raw media files into the MEDIA_SCHEMA shape
+    via Spark's built-in ``binaryFile`` source: each file becomes one row
+    with its bytes as the ``payload`` column — the standard first hop
+    from an object-store media drop to a typed table.
+
+    - ``media_id`` is ``xxhash64(path)``: deterministic, stable across
+      re-ingests, and join-safe from any sidecar metadata table keyed the
+      same way (a sequential id would depend on listing order).
+    - ``kind`` comes from the file extension (unknown → 'binary').
+    - ``meta`` dimensions are NULL at ingest — real width/height come
+      from the decode stage (``extract_features``), not file listing.
+
+    Scale shape: binaryFile is a real FileFormat — listing distributes,
+    ``pathGlobFilter`` prunes before read, and each task reads only its
+    files (sized by ``maxPartitionBytes``). The 2 GiB per-file limit is
+    the source's documented bound; media corpora shard above that.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind_expr = F.coalesce(
+        *[
+            F.when(ext == e, F.lit(k))
+            for e, k in _EXT_KINDS.items()
+        ],
+        F.lit("binary"),
+    )
+    meta = F.struct(
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        kind_expr.alias("kind"),
+        F.col("content").alias("payload"),
+        meta.alias("meta"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """DETERMINISTIC FAKE of a media decode. A real implementation would
     be e.g. PIL.Image.open(io.BytesIO(payload)) — not available in this

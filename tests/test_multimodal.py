@@ -7,8 +7,43 @@ from __future__ import annotations
 from spendinganalysisetl_spark.multimodal import (
     extract_features,
     fake_media_table,
+    ingest_media_dir,
     sample_frames,
 )
+
+
+def test_ingest_media_dir_binaryfile(spark, tmp_path):
+    """binaryFile ingestion: raw files → MEDIA_SCHEMA rows with
+    deterministic path-hash ids and extension-derived kinds, composable
+    straight into extract_features."""
+    payloads = {
+        "a.jpg": b"\x01\x02\x03",
+        "b.wav": b"\x04\x05",
+        "c.mp4": b"\x06" * 10,
+        "d.unknownext": b"\x07",
+        "skip.txt": b"ignored",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    media = ingest_media_dir(spark, str(tmp_path), glob="*.{jpg,wav,mp4,unknownext}")
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.jpg", "b.wav", "c.mp4", "d.unknownext"}
+    assert rows["a.jpg"]["kind"] == "image"
+    assert rows["b.wav"]["kind"] == "audio"
+    assert rows["c.mp4"]["kind"] == "video"
+    assert rows["d.unknownext"]["kind"] == "binary"
+    assert bytes(rows["b.wav"]["payload"]) == b"\x04\x05"
+    assert rows["c.mp4"]["n_bytes"] == 10
+    # ids deterministic across re-ingest
+    again = {r["source_path"]: r["media_id"] for r in ingest_media_dir(
+        spark, str(tmp_path), glob="*.{jpg,wav,mp4,unknownext}").collect()}
+    for r in rows.values():
+        assert again[r["source_path"]] == r["media_id"]
+    # composes into the decode stage
+    feats = extract_features(
+        media.select("media_id", "kind", "payload", "meta")
+    ).collect()
+    assert len(feats) == 4 and all(r["digest"] for r in feats)
 
 
 def test_extract_features_contract(spark):
