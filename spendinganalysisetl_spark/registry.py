@@ -2986,6 +2986,60 @@ def q_numeric_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_monthly_refresh",
+    _MERGE_MONTHLY.format(where="") + " ORDER BY begin_date",
+)
+def q_incremental_monthly_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the stored monthly
+    rollup (built from orders before the cutoff) is refreshed by folding
+    in ONLY the delta slice's partial aggregates
+    (sources/upsert.py:merge_additive) — one scan of the new data plus an
+    aggregate-sized join, never a recompute. The oracle is the FULL
+    recompute over all orders: matching proves the incremental fold is
+    exact. Money stays in exact bigint decimicents inside the view and
+    rounds to cents only at presentation — fold-then-round equals
+    recompute-then-round by integer associativity, where folding
+    pre-rounded partials would drift up to a cent per month."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import decimicents
+    from spendinganalysisetl_spark.sources.upsert import merge_additive
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "begin_date"
+            ),
+            F.date_format(
+                F.last_day(F.date_trunc("month", "o_orderdate")), "yyyy-MM-dd"
+            ).alias("end_date"),
+        ).agg(
+            F.count(F.lit(1)).alias("total_transactions"),
+            F.sum(decimicents(F.col("o_totalprice"))).alias("spent_dc"),
+        )
+
+    view = partial(orders.filter(F.col("o_orderdate") < F.lit(_MERGE_CUTOFF)))
+    delta = partial(orders.filter(F.col("o_orderdate") >= F.lit(_MERGE_CUTOFF)))
+    folded = merge_additive(
+        view, delta, sum_cols=("total_transactions", "spent_dc")
+    )
+    s = F.col("spent_dc")
+    cents = (F.signum(s) * F.floor((F.abs(s) + F.lit(50)) / F.lit(100.0))).cast("long")
+    return (
+        folded.select(
+            "begin_date",
+            "end_date",
+            "total_transactions",
+            (cents / F.lit(100.0)).alias("total_spent"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("begin_date")
+    )
+
+
+@register(
     "vocab_zipf_fit",
     """
 WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS token
@@ -3133,6 +3187,7 @@ _CHECK_FIRST: list[str] = [
     "tfidf_top_terms",
     "numeric_profile_lineitem",
     "vocab_zipf_fit",
+    "incremental_monthly_refresh",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -3162,6 +3217,7 @@ _CHECK_LATE: list[str] = [
     "point_query_order",  # predicate pushdown plan-audited; r1 green
     "upsert_merge_monthly",  # MERGE legs pinned by merge_delete_retention + upsert_time_travel (in-window)
     "text_lang_id",  # r1 green; closed-form marker projection — no join/agg mechanism that isn't already in-window
+    "corpus_curation",  # r1 green; training_shard_pipeline (in-window) composes the same quality-gate → dedup election
     # Pure variants of an in-window sibling.
     "category_totals_ref_roundsum",  # category_totals + round-then-sum quirk (unit-pinned)
     "top5_vendors",  # sort-flip of bottom5_vendors_ref_compat

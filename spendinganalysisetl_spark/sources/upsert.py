@@ -354,6 +354,46 @@ def merge_reports(
     _commit_version(sink_path, version, retain=retain, op="merge")
 
 
+def merge_additive(
+    target: DataFrame,
+    delta: DataFrame,
+    key: tuple[str, ...] = KEY,
+    sum_cols: tuple[str, ...] = ("total_transactions", "total_spent"),
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a DELTA batch's
+    partial aggregates into the stored aggregate table —
+    ``new = coalesce(t, 0) + coalesce(s, 0)`` per summable column, keys
+    union'd — so refreshing a 100 TB-derived rollup costs one scan of
+    the NEW data plus a join against the (aggregate-sized) view, never a
+    full recompute. Correctness contract: for sum/count aggregates,
+    incremental refresh ≡ full recompute (associativity), which is
+    exactly what the ``incremental_monthly_refresh`` oracle checks.
+
+    Same single full-outer-join shape as ``merge_frames``; the delta
+    side is one period of data → broadcast at scale."""
+    joined, _, _, _ = _merge_join(delta, target, key, sum_cols[0])
+    sel = []
+    for c in delta.columns:
+        if c in key:
+            sel.append(
+                F.when(F.col("s._s_present").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        elif c in sum_cols:
+            sel.append(
+                (
+                    F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                ).alias(c)
+            )
+        else:
+            sel.append(
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            )
+    return joined.select(*sel)
+
+
 def rollback_sink(path: str, version: int | str) -> str:
     """Roll the live table back to an earlier snapshot by committing it
     again as the NEW current version (the Delta/Iceberg RESTORE move):

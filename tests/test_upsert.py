@@ -205,6 +205,32 @@ def test_merge_frames_delete_action(spark):
     assert out["2024-02-01"]["action"] == "inserted"
 
 
+def test_merge_additive_folds_partials(spark):
+    """Incremental view maintenance: overlapping keys sum, disjoint keys
+    pass through from either side."""
+    from spendinganalysisetl_spark.sources.upsert import merge_additive
+
+    view = _batch(
+        spark,
+        [("2024-01-01", "2024-01-31", 10, 100.0), ("2024-02-01", "2024-02-29", 5, 50.0)],
+    )
+    delta = _batch(
+        spark,
+        [("2024-02-01", "2024-02-29", 3, 30.0), ("2024-03-01", "2024-03-31", 7, 70.0)],
+    )
+    out = {
+        r["begin_date"]: r
+        for r in merge_additive(
+            view, delta, sum_cols=("total_transactions", "total_spent")
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out["2024-01-01"]["total_transactions"] == 10  # view-only key
+    assert out["2024-02-01"]["total_transactions"] == 8   # folded
+    assert out["2024-02-01"]["total_spent"] == 80.0
+    assert out["2024-03-01"]["total_transactions"] == 7   # delta-only key
+
+
 def test_rollback_sink(spark, sink):
     """RESTORE: rollback re-points the live table at an old snapshot via
     a logged commit; a rollback can itself be rolled back."""
