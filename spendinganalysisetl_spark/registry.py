@@ -3099,6 +3099,43 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+), s AS (
+  SELECT vec_id, xs, list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+  FROM base
+), qq AS (
+  SELECT vec_id, xs, scale,
+         list_transform(xs, x -> CASE WHEN scale = 0 THEN 0
+           ELSE CAST(greatest(-127.0, least(127.0,
+                sign(x) * floor(abs(x) / scale + 0.5))) AS INT) END) AS q
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+       round(coalesce(list_max(list_transform(xs, x ->
+         abs(x - (CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(greatest(-127.0, least(127.0,
+                       sign(x) * floor(abs(x) / scale + 0.5))) AS INT) END) * scale))),
+         0.0), 6) AS max_recon_err
+FROM qq ORDER BY vec_id
+""",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x storage cut): every op
+    is bit-deterministic IEEE arithmetic, so the quantized values —
+    summarized by flat audit scalars — reproduce exactly in the oracle
+    (operators/similarity.py:quantize_int8)."""
+    from spendinganalysisetl_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("kmeans_cluster_profile")  # rows-only: full-corpus Lloyd cells are
 # engine-internal (deterministic init + iteration, but no DuckDB twin can fit
 # the same model); the distributed fit is differentially pinned against a

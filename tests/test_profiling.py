@@ -71,3 +71,25 @@ def test_cross_entropy_flags_divergent_doc(spark):
     out = {r["doc_id"]: r["cross_entropy"] for r in unigram_cross_entropy(docs).collect()}
     assert out[9] == max(out.values())
     assert out[1] == min(out.values())
+
+
+def test_quantize_int8_edges(spark):
+    from spendinganalysisetl_spark.operators.similarity import quantize_int8
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),          # zero vector: scale 0, all-zero q
+            (1, [1.0, -1.0, 0.5]),         # max element maps to ±127
+            (2, [0.002, 0.254]),           # small values quantize near 1/127
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(vecs).collect()}
+    assert out[0]["scale"] == 0.0 and out[0]["q_sum"] == 0 and out[0]["q_l1"] == 0
+    assert out[0]["max_recon_err"] == 0.0
+    # vec 1: scale = 1/127; q = [127, -127, 64 (0.5*127=63.5 → half-away 64)]
+    assert out[1]["q_l1"] == 127 + 127 + 64
+    assert out[1]["q_sum"] == 127 - 127 + 64
+    # error bounded by scale/2 (half-away rounding, no clamping active)
+    assert out[1]["max_recon_err"] <= (1.0 / 127) / 2 + 1e-9
+    assert out[2]["q_l1"] == 1 + 127
