@@ -199,3 +199,182 @@ def props_value_stats(events: DataFrame) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("event_type")
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame, user_cap: int = 20, value_col: str = "value"
+) -> DataFrame:
+    """Time-series densification (the hypertable ``time_bucket_gapfill``
+    operation): per user, an hourly grid spanning first→last activity,
+    with ``n_events = 0`` for silent hours and the last observed hourly
+    value CARRIED FORWARD (``last(..., ignorenulls)`` over an unbounded-
+    preceding frame) — the regularization step before any fixed-step
+    model consumes an irregular event stream.
+
+    Scale shape: the grid derives from a per-user min/max aggregate
+    (tiny) exploded via ``sequence`` — never a calendar cross join; the
+    fill join is an equi-join on (user, hour); the carry-forward window
+    partitions by user. ``user_cap`` bounds this oracle ground-truth
+    form; uncapped, the same plan streams per-user — state is one row.
+    """
+    hourly = (
+        events.filter(F.col("user_id") < user_cap)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round2(F.sum(value_col)).alias("hour_value"),
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("carried_value"),
+        )
+    )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel over the event stream: a user converts
+    step k only with an event of that type STRICTLY AFTER their step-k−1
+    conversion time (min-time semantics, the standard product-analytics
+    funnel). Output: one row per step with reached-user counts and the
+    step-over-step conversion rate.
+
+    Scale shape: one conditional-aggregation pass per user (3 min-CASE
+    aggregates in a single groupBy — map-side combined), then a
+    3-row summary; no self-joins, no per-step scans of the stream.
+    """
+    s1, s2, s3 = FUNNEL_STEPS
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1"),
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"all_{s}")
+            for s in (s2, s3)
+        ],
+    )
+    # step-2/3 times must follow the previous step: re-derive with the
+    # dependency in one more conditional agg pass over the same stream.
+    steps = (
+        events.join(
+            per_user.select("user_id", "t1"), "user_id"
+        )
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    steps3 = (
+        events.join(steps.select("user_id", "t1", "t2"), "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    counts = steps3.agg(
+        F.count(F.col("t1")).alias("n1"),
+        F.count(F.col("t2")).alias("n2"),
+        F.count(F.col("t3")).alias("n3"),
+    )
+    rate = lambda cur, prev: F.round(
+        F.when(prev == 0, F.lit(None)).otherwise(
+            cur.cast("double") / prev.cast("double")
+        ),
+        4,
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit(s1).alias("event_type"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(None).cast("double").alias("conversion"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit(s2).alias("event_type"),
+                    F.col("n2").alias("n_users"),
+                    rate(F.col("n2"), F.col("n1")).alias("conversion"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit(s3).alias("event_type"),
+                    F.col("n3").alias("n_users"),
+                    rate(F.col("n3"), F.col("n2")).alias("conversion"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.event_type", "s.n_users", "s.conversion")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity DATE
+    (the cohort), then for each day-offset the count of cohort members
+    active that day and the retention rate vs cohort size — the daily
+    form of the classic weekly retention triangle (this stream spans 30
+    days).
+
+    Scale shape: first-activity is one min-aggregate per user; activity
+    days one distinct-aggregate per (user, day); the matrix is an
+    aggregate of their (cohort-sized) join — the raw stream is scanned
+    twice and never self-joined.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_date")
+    )
+    active = events.select(
+        "user_id", F.to_date("ts").alias("active_date")
+    ).distinct()
+    cohort_sizes = firsts.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_date")
+        .select(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            "day_offset",
+            "n_active",
+            "cohort_users",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_users"), 4
+            ).alias("retention"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cohort_date", "day_offset")
+    )

@@ -90,6 +90,40 @@ def length_histogram(documents: DataFrame, bucket_width: int = 200) -> DataFrame
     )
 
 
+def length_buckets(documents: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Length-bucketed batching plan: assign every doc to one of
+    ``n_buckets`` equal-count buckets by character length (``ntile``
+    over a deterministic (n_chars, doc_id) order) and profile each
+    bucket — the pre-pass that groups similar-length sequences so a
+    training batch pads to its bucket's max instead of the corpus max
+    (padding waste ∝ intra-batch length spread).
+
+    Scale note: ntile needs a total order, which Spark plans as a global
+    sort — acceptable here because this is a PLANNING pass over doc
+    lengths (two longs per doc, not text), and the alternative
+    (approx-percentile boundaries + a range join) loses the exact
+    equal-count property the batch scheduler wants. The profile output
+    is n_buckets rows."""
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        documents.select("doc_id", "n_chars")
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+            # padding waste if each bucket pads to its max
+            (F.max("n_chars") * F.count(F.lit(1)) - F.sum("n_chars"))
+            .cast("long")
+            .alias("pad_waste_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
 def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """``ANALYZE TABLE``-style numeric column profile: one row per
     column with count, null count, min, max, mean, and sample stddev

@@ -128,6 +128,33 @@ def tumbling_agg_stream(events: DataFrame, minutes: int = 5, watermark: str = "1
     )
 
 
+def session_agg_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "60 minutes"
+) -> DataFrame:
+    """Streaming gap-based sessionization via the NATIVE
+    ``session_window`` primitive — the streaming twin of
+    ``operators.events.session_window_agg`` (same gap convention, same
+    output grain). Sessions merge inside the stateful aggregation
+    operator as events arrive; state is bounded by the watermark: a
+    session finalizes (and is emitted, append mode) once the watermark
+    passes its close (last event + gap), so per-user open-session state
+    never outlives ``watermark`` beyond the gap. Same cross-file
+    disorder assumption as ``interval_join_stream`` — see that
+    docstring."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "session_start", "n_events", "last_ts")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Exactly-once-ish ingest: drop duplicate event_ids within the
     watermark horizon — bounded state, the streaming analog of the
@@ -252,6 +279,7 @@ def run_foreach_batch_upsert(
     sink_path: str,
     compare_col: str = "n_events",
     key: tuple[str, ...] | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """ST2 sink rule: each micro-batch MERGEs into the parquet report
     sink via the same conditional-upsert used in batch — idempotent
@@ -272,10 +300,14 @@ def run_foreach_batch_upsert(
             spark, sink_path, batch_df, compare_col=compare_col, key=key or KEY
         )
 
-    q = (
-        stream_df.writeStream.outputMode("update")
-        .foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream_df.writeStream.outputMode("update").foreachBatch(_merge)
+    if checkpoint is not None:
+        # With a checkpointLocation the drain is RESTARTABLE: a later run
+        # against the same checkpoint restores window state and source
+        # offsets, processes only new files, and emits updated CUMULATIVE
+        # window values — which the MERGE folds in (growth wins). This is
+        # the production incremental-drain loop; without it each run
+        # recomputes from scratch (fine for the one-shot bench drains).
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()

@@ -1,0 +1,96 @@
+"""Planted-value tests for the event-analytics operators: hourly
+gap-fill + carry-forward, ordered funnel conversion (strictly-after
+semantics), and daily retention cohorts."""
+
+from __future__ import annotations
+
+import datetime
+
+from spendinganalysisetl_spark.operators.events import (
+    funnel_conversion,
+    gap_fill_hourly,
+    retention_cohorts,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + datetime.timedelta(minutes=m), u, t, v, None)
+            for i, (m, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_gap_fill_dense_grid_and_carry(spark):
+    # user 1: events at 10:xx, 13:xx — hours 11 and 12 are silent
+    ev = _ev(
+        spark,
+        [(5, 1, "click", 10.0), (10, 1, "view", 20.0), (185, 1, "click", 40.0)],
+    )
+    out = {r["hour"]: r for r in gap_fill_hourly(ev, user_cap=10).collect()}
+    assert len(out) == 4  # 10:00 .. 13:00 inclusive
+    assert out["2024-01-01 10:00:00"]["n_events"] == 2
+    assert out["2024-01-01 10:00:00"]["carried_value"] == 30.0
+    # silent hours: zero events, value carried forward
+    for h in ("2024-01-01 11:00:00", "2024-01-01 12:00:00"):
+        assert out[h]["n_events"] == 0
+        assert out[h]["carried_value"] == 30.0
+    assert out["2024-01-01 13:00:00"]["carried_value"] == 40.0
+
+
+def test_funnel_strictly_after_semantics(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (0, 1, "signup", 1.0),
+            (1, 1, "click", 1.0),
+            (2, 1, "purchase", 1.0),
+            # user 2: purchase BEFORE click — step 3 must NOT count
+            (0, 2, "signup", 1.0),
+            (1, 2, "purchase", 1.0),
+            (2, 2, "click", 1.0),
+            # user 3: click only, never signed up — no steps at all
+            (0, 3, "click", 1.0),
+            # user 4: signup only
+            (0, 4, "signup", 1.0),
+        ],
+    )
+    out = {r["step"]: r for r in funnel_conversion(ev).collect()}
+    assert out[1]["n_users"] == 3          # users 1, 2, 4
+    assert out[2]["n_users"] == 2          # users 1, 2 (click after signup)
+    assert out[3]["n_users"] == 1          # only user 1
+    assert out[2]["conversion"] == round(2 / 3, 4)
+    assert out[3]["conversion"] == 0.5
+
+
+def test_retention_cohort_matrix(spark):
+    day = 24 * 60
+    ev = _ev(
+        spark,
+        [
+            # cohort day 0: users 1,2; user 1 returns day1, user 2 returns day2
+            (0, 1, "view", 1.0),
+            (day + 1, 1, "view", 1.0),
+            (0, 2, "view", 1.0),
+            (2 * day + 1, 2, "view", 1.0),
+            # cohort day 1: user 3, never returns
+            (day, 3, "view", 1.0),
+        ],
+    )
+    out = {
+        (r["cohort_date"], r["day_offset"]): r
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 0)]["retention"] == 1.0
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-01", 2)]["n_active"] == 1
+    assert out[("2024-01-02", 0)]["cohort_users"] == 1
+    assert ("2024-01-02", 1) not in out

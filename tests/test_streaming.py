@@ -104,6 +104,59 @@ def test_tumbling_drain_merge_equals_batch_exactly(spark, events_dir, tmp_path):
     assert got.equals(want), "drained sink must equal batch agg exactly"
 
 
+def test_session_stream_matches_batch_on_finalized(spark, events_dir):
+    """Native session_window in a REAL stream: append-mode output equals
+    the batch session aggregation on every session the watermark
+    finalized (close = last event + gap ≤ max event time − watermark)."""
+    import datetime
+
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory,
+        session_agg_stream,
+    )
+
+    gap_min, wm_min = 30, 60
+    stream = session_agg_stream(
+        read_event_stream(spark, events_dir), gap_min, f"{wm_min} minutes"
+    )
+    run_to_memory(stream, "session_out")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    assert got, "stream emitted no finalized sessions"
+
+    batch = load_table(spark, SF, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=wm_min + gap_min)
+    sessions = (
+        batch.groupBy("user_id", F.session_window("ts", f"{gap_min} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    finalized = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessions
+        if r["last_ts"] <= horizon
+    }
+    # every batch-finalized session must be streamed identically; the
+    # stream may additionally emit sessions in the (horizon, horizon+gap]
+    # boundary band where finalization depends on the exact close time.
+    for k, v in finalized.items():
+        assert got.get(k) == v, f"finalized session {k} differs: {got.get(k)} vs {v}"
+    all_batch = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in sessions
+    }
+    for k, v in got.items():
+        assert all_batch.get(k) == v, f"stream emitted session {k} not in batch"
+
+
 def test_stream_dedup(spark, events_dir):
     from spendinganalysisetl_spark.streaming.jobs import (
         dedup_stream,
@@ -206,6 +259,67 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     )
     want = Counter(tuple(r[c] for c in cols) for r in batch.collect())
     assert got == want and sum(want.values()) > 0
+
+
+def test_checkpoint_restart_resumes_incrementally(spark, events_dir, tmp_path):
+    """Restartable drain: run the tumbling-agg MERGE drain over half the
+    source with a checkpoint, append the rest, re-run against the SAME
+    checkpoint — the restart restores window state + source offsets,
+    processes only the new files, and the final sink equals the batch
+    aggregation over ALL events (cumulative counts survive the restart;
+    straddling windows are made whole by restored state, not reprocessing)."""
+    import shutil
+
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.sources.upsert import read_reports
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_foreach_batch_upsert,
+        tumbling_agg_stream,
+    )
+
+    batch = load_table(spark, SF, "events")
+    mn, mx = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = mn + (mx - mn) / 2  # time-span midpoint (NTZ ts: no double cast)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def agged():
+        return tumbling_agg_stream(read_event_stream(spark, src)).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+
+    # run 1: first (time-ordered) half only
+    batch.filter(F.col("ts") <= F.lit(cut)).write.mode("overwrite").parquet(src)
+    run_foreach_batch_upsert(
+        agged(), sink, key=("window_start", "event_type"), checkpoint=ckpt
+    )
+    n_after_first = read_reports(spark, sink).count()
+
+    # append the second half as NEW files, restart from the checkpoint
+    batch.filter(F.col("ts") > F.lit(cut)).write.mode("append").parquet(src)
+    run_foreach_batch_upsert(
+        agged(), sink, key=("window_start", "event_type"), checkpoint=ckpt
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in read_reports(spark, sink).collect()
+    }
+    from spendinganalysisetl_spark.operators.events import tumbling_counts
+
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_counts(batch, 5).collect()
+    }
+    assert got == want, "post-restart sink must equal the full batch aggregation"
+    assert n_after_first < len(want), "first drain must not already cover everything"
+    shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def test_processing_time_trigger_drains_source(spark, events_dir):
