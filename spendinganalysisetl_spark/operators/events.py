@@ -378,3 +378,56 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("cohort_date", "day_offset")
     )
+
+
+def value_anomalies(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    z_threshold: float = 3.0,
+    min_baseline: int = 30,
+) -> DataFrame:
+    """Streaming-monitor-style anomaly detection: flag events whose
+    ``value`` deviates ≥ ``z_threshold`` sample standard deviations from
+    the PRECEDING hour's per-type baseline (the current event is excluded
+    from its own baseline — no self-masking). Events with fewer than
+    ``min_baseline`` prior points don't score (cold-start guard).
+
+    Scale shape: one event-time RANGE window per event_type — Spark
+    sorts within type partitions only; baselines are mean/stddev window
+    aggregates over epoch-second ordering, identical closed forms in the
+    DuckDB twin. Emits only anomalies (tiny output).
+    """
+    # NTZ timestamps don't cast to double; epoch seconds via LTZ under
+    # the pinned UTC session timezone (deterministic, both engines).
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch)
+        .rangeBetween(-window_seconds, -1)
+    )
+    scored = events.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_base"),
+        F.avg("value").over(w).alias("base_mean"),
+        F.stddev_samp("value").over(w).alias("base_std"),
+    )
+    z = (F.col("value") - F.col("base_mean")) / F.col("base_std")
+    return (
+        scored.filter(
+            (F.col("n_base") >= min_baseline)
+            & (F.col("base_std") > 0)
+            & (F.abs(z) >= z_threshold)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z_score"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )

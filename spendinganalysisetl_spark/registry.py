@@ -1337,16 +1337,22 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_agg_stream,
     )
 
+    import uuid
+
     stream = session_agg_stream(
         read_event_stream(spark, table_path(sf_dir, "events") + "*")
     ).select("user_id", "session_start", "n_events")
+    # Unique sink name per invocation: the bench runs this query several
+    # times (warm-up + reps) in one session, and a memory sink name can
+    # only be registered once per active session.
+    name = f"stream_session_window_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        run_to_memory(stream, "stream_session_window_out")
+        run_to_memory(stream, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_session_window_out")
+    return spark.table(name)
 
 
 @register("multimodal_features")  # rows-only: binary payloads are
@@ -3227,6 +3233,63 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.events import retention_cohorts
 
     return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "fuzzy_pairs_levenshtein",
+    """
+WITH normed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 80) AS prefix
+  FROM documents WHERE doc_id < 300
+), blocked AS (
+  SELECT doc_id, prefix, substr(prefix, 1, 1) AS block FROM normed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 15
+ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over normalized 80-char prefixes,
+    blocked on the leading character (equi-join candidates, Σ|block|²
+    not N²) — the fuzzy-match family set-similarity misses
+    (operators/dedup.py:fuzzy_pairs_levenshtein)."""
+    from spendinganalysisetl_spark.operators.dedup import fuzzy_pairs_levenshtein
+
+    return fuzzy_pairs_levenshtein(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_value_anomalies",
+    """
+WITH scored AS (
+  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss, value,
+         count(*) OVER w AS n_base,
+         avg(value) OVER w AS base_mean,
+         stddev_samp(value) OVER w AS base_std
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, tss AS ts, round(value, 2) AS value,
+       round((value - base_mean) / base_std, 4) AS z_score
+FROM scored
+WHERE n_base >= 30 AND base_std > 0
+  AND abs((value - base_mean) / base_std) >= 3.0
+ORDER BY event_id
+""",
+)
+def q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against its
+    type's PRECEDING-hour baseline (event-time RANGE window on epoch
+    seconds, current event excluded, ≥30-point cold-start guard)
+    (operators/events.py:value_anomalies)."""
+    from spendinganalysisetl_spark.operators.events import value_anomalies
+
+    return value_anomalies(load_table(spark, sf_dir, "events"))
 
 
 @register(

@@ -94,3 +94,44 @@ def test_retention_cohort_matrix(spark):
     assert out[("2024-01-01", 2)]["n_active"] == 1
     assert out[("2024-01-02", 0)]["cohort_users"] == 1
     assert ("2024-01-02", 1) not in out
+
+
+def test_value_anomalies_flags_spike_after_coldstart(spark):
+    # 40 alternating baseline events one minute apart (std ≈ 1), then a
+    # spike. The spike's preceding-hour baseline has ≥30 points → flagged.
+    rows = [(i, 1, "click", 9.0 if i % 2 else 11.0) for i in range(40)]
+    rows.append((40, 1, "click", 100.0))
+    ev = _ev(spark, rows)
+    from spendinganalysisetl_spark.operators.events import value_anomalies
+
+    out = value_anomalies(ev).collect()
+    assert [r["event_id"] for r in out] == [40]
+    assert out[0]["z_score"] > 3
+    # cold start: re-run with only the first 20 baseline points + spike —
+    # baseline < 30 → nothing flagged
+    ev_short = _ev(
+        spark,
+        [(i, 1, "click", 9.0 if i % 2 else 11.0) for i in range(20)]
+        + [(20, 1, "click", 100.0)],
+    )
+    assert value_anomalies(ev_short).count() == 0
+
+
+def test_fuzzy_levenshtein_blocking_and_distance(spark):
+    from spendinganalysisetl_spark.operators.dedup import fuzzy_pairs_levenshtein
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world this is a document"),
+            (2, "hello world this is a documxnt"),   # 1 edit from doc 1
+            (3, "hello completely different text entirely here"),
+            (4, "zebra text far away in block space"),  # different block
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in
+           fuzzy_pairs_levenshtein(docs, max_dist=5).collect()}
+    assert out[(1, 2)] == 1
+    # doc 3 shares the 'h' block but is > max_dist away; doc 4 is in
+    # another block and never compared
+    assert set(out) == {(1, 2)}
