@@ -52,50 +52,56 @@ def _fit_centroids(
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
 
-    data = _spread(embeddings.select(vec_col))
+    # One spread (shuffle) total, persisted for the fit: every Lloyd
+    # iteration then scans the cached partitions — without the persist,
+    # each iteration re-pays the scan AND the spread exchange.
+    data = _spread(embeddings.select(vec_col)).persist()
 
-    for _ in range(iters):
-        cmat = cent.copy()
+    try:
+        for _ in range(iters):
+            cmat = cent.copy()
 
-        def partials(batches, cmat=cmat):
-            import numpy as np
-            import pandas as pd
+            def partials(batches, cmat=cmat):
+                import numpy as np
+                import pandas as pd
 
-            kk, d = cmat.shape
-            counts = np.zeros(kk, dtype=np.int64)
-            sums = np.zeros((kk, d), dtype=np.float64)
-            for pdf in batches:
-                x = np.asarray(pdf.iloc[:, 0].tolist(), dtype=np.float64)
-                if not len(x):
-                    continue
-                # nearest centroid by euclidean distance: argmin ||x-c||²
-                # = argmax (x·c - ||c||²/2); one GEMM per Arrow batch.
-                scores = x @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)
-                assign = np.argmax(scores, axis=1)
-                counts += np.bincount(assign, minlength=kk)
-                np.add.at(sums, assign, x)
-            yield pd.DataFrame(
-                {
-                    "cell": range(kk),
-                    "n": counts,
-                    "s": [row.tolist() for row in sums],
-                }
-            )
+                kk, d = cmat.shape
+                counts = np.zeros(kk, dtype=np.int64)
+                sums = np.zeros((kk, d), dtype=np.float64)
+                for pdf in batches:
+                    x = np.asarray(pdf.iloc[:, 0].tolist(), dtype=np.float64)
+                    if not len(x):
+                        continue
+                    # nearest centroid by euclidean distance: argmin ||x-c||²
+                    # = argmax (x·c - ||c||²/2); one GEMM per Arrow batch.
+                    scores = x @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)
+                    assign = np.argmax(scores, axis=1)
+                    counts += np.bincount(assign, minlength=kk)
+                    np.add.at(sums, assign, x)
+                yield pd.DataFrame(
+                    {
+                        "cell": range(kk),
+                        "n": counts,
+                        "s": [row.tolist() for row in sums],
+                    }
+                )
 
-        rows = data.mapInPandas(
-            partials, "cell int, n long, s array<double>"
-        ).collect()
-        kk, d = cent.shape
-        import numpy as _np
+            rows = data.mapInPandas(
+                partials, "cell int, n long, s array<double>"
+            ).collect()
+            kk, d = cent.shape
+            import numpy as _np
 
-        counts = _np.zeros(kk, dtype=_np.int64)
-        sums = _np.zeros((kk, d), dtype=_np.float64)
-        for r in rows:
-            counts[r["cell"]] += r["n"]
-            sums[r["cell"]] += _np.asarray(r["s"], dtype=_np.float64)
-        nonzero = counts > 0
-        cent = cent.copy()
-        cent[nonzero] = sums[nonzero] / counts[nonzero, None]
+            counts = _np.zeros(kk, dtype=_np.int64)
+            sums = _np.zeros((kk, d), dtype=_np.float64)
+            for r in rows:
+                counts[r["cell"]] += r["n"]
+                sums[r["cell"]] += _np.asarray(r["s"], dtype=_np.float64)
+            nonzero = counts > 0
+            cent = cent.copy()
+            cent[nonzero] = sums[nonzero] / counts[nonzero, None]
+    finally:
+        data.unpersist()
     return cent
 
 

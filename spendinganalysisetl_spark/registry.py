@@ -3353,6 +3353,23 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("sketch_rollup_report")  # rows-only: DataSketches binary estimates
+# are engine-internal (DuckDB's approx family uses different sketches);
+# accuracy vs exact answers is pinned in tests/test_sketches.py.
+def q_sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the 100 TB incremental-analytics
+    pattern): per-day HLL partials → weekly + total distinct-user
+    estimates via hll_union_agg — rollups re-merge KB-sized partials,
+    never rescan events (operators/sketches.py)."""
+    from spendinganalysisetl_spark.operators.sketches import (
+        daily_user_sketches,
+        rollup_unique_users,
+    )
+
+    daily = daily_user_sketches(load_table(spark, sf_dir, "events"))
+    return rollup_unique_users(daily)
+
+
 @register("kmeans_cluster_profile")  # rows-only: full-corpus Lloyd cells are
 # engine-internal (deterministic init + iteration, but no DuckDB twin can fit
 # the same model); the distributed fit is differentially pinned against a

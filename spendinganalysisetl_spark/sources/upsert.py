@@ -115,12 +115,22 @@ def _commit_version(path: str, version: str, retain: int = 1, op: str = "merge")
     with open(tmp, "w") as fh:
         fh.write(version)
     had_pointer = os.path.isfile(ptr)
+    prev_target = None
+    if had_pointer:
+        with open(ptr) as fh:
+            prev_target = fh.read().strip()
     os.replace(tmp, ptr)  # the atomic commit point
     _append_log(path, version, op)
     # Commit-log order (not mtime) decides which previous generations
     # survive GC: the newest `retain` distinct versions before this one.
+    # The pre-flip pointer target is kept UNCONDITIONALLY, not via the
+    # log: a crash between a previous commit's pointer flip and its log
+    # append would leave the then-live version unlogged, and log-driven
+    # GC alone would delete it out from under an in-flight reader.
     committed = [rec["version"] for rec in history(path)]
     keep = {version}
+    if prev_target is not None:
+        keep.add(prev_target)
     for v in reversed(committed):
         if len(keep) >= retain + 1:
             break

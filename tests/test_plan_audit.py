@@ -10,8 +10,23 @@ from pyspark.sql import functions as F
 from spendinganalysisetl_spark.catalog import load_table
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from spendinganalysisetl_spark.plans import physical_plan as _plan  # noqa: E402
+from spendinganalysisetl_spark.plans import plan_report  # noqa: E402
+
+
+def test_plan_report_shape(spark, sf_dir):
+    """The public introspection API (plans.plan_report) reports the
+    properties the audits below assert individually."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .filter(F.col("o_orderdate") >= "1995-01-01")
+    )
+    rep = plan_report(df)
+    assert rep["cartesian"] == 0 and rep["python_row_udfs"] == 0
+    assert rep["codegen_stages"] >= 1
+    assert any("o_orderdate" in ln for ln in rep["pushed_filters"])
+    assert any("o_orderkey" in ln for ln in rep["read_schemas"])
 
 
 def test_date_filter_pushed_to_orders_scan(spark, sf_dir):

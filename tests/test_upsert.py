@@ -276,3 +276,60 @@ def test_compact_sink(spark, sink):
     files = [f for f in os.listdir(data_dir) if f.startswith("part-")]
     assert len(files) == 1
     assert history(sink)[-1]["op"] == "compact"
+
+
+def test_gc_keeps_unlogged_pointer_target(spark, sink):
+    """Crash-window guarantee: if a previous commit flipped the pointer
+    but crashed before appending to the log, the next commit must still
+    retain the (unlogged) live version one generation for in-flight
+    readers — the keep-set includes the pre-flip pointer target
+    unconditionally, not via the log."""
+    import json
+    import os
+
+    write_reports(
+        _batch(spark, [("2024-01-01", "2024-01-31", 10, 100.0)]), sink, mode="overwrite"
+    )
+    merge_reports(
+        spark, sink, _batch(spark, [("2024-01-01", "2024-01-31", 20, 20.0)])
+    )
+    # simulate the crash: drop the latest commit from the log so the
+    # live pointer target is unlogged
+    with open(os.path.join(sink, "_LOG")) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    unlogged_live = json.loads(lines[-1])["version"]
+    with open(os.path.join(sink, "_LOG"), "w") as fh:
+        fh.write("\n".join(lines[:-1]) + "\n")
+
+    merge_reports(
+        spark, sink, _batch(spark, [("2024-01-01", "2024-01-31", 30, 30.0)])
+    )
+    assert os.path.isdir(os.path.join(sink, unlogged_live)), (
+        "pre-flip pointer target must survive one generation even when unlogged"
+    )
+    assert read_reports(spark, sink).collect()[0]["total_transactions"] == 30
+
+
+def test_compact_migrates_plain_layout(spark, sink):
+    """Compacting a plain-layout sink (append-mode writes, no pointer)
+    migrates it to the versioned layout and sweeps the now-unreachable
+    top-level data files."""
+    import os
+
+    from spendinganalysisetl_spark.sources.upsert import compact_sink, history
+
+    df = _batch(
+        spark, [(f"2024-{m:02d}-01", f"2024-{m:02d}-28", m, float(m)) for m in range(1, 7)]
+    ).repartition(4)
+    write_reports(df, sink, mode="append")  # plain layout: files at top level
+    assert not os.path.isfile(os.path.join(sink, "_CURRENT"))
+    before = {r["begin_date"] for r in read_reports(spark, sink).collect()}
+
+    compact_sink(spark, sink, target_files=1)
+    assert os.path.isfile(os.path.join(sink, "_CURRENT"))
+    after = {r["begin_date"] for r in read_reports(spark, sink).collect()}
+    assert after == before
+    # pre-migration top-level part files are gone (only version dirs + metadata)
+    top_parts = [f for f in os.listdir(sink) if f.startswith("part-")]
+    assert top_parts == []
+    assert history(sink)[-1]["op"] == "compact"
