@@ -431,3 +431,32 @@ def value_anomalies(
         .repartition(1)
         .sortWithinPartitions("event_id")
     )
+
+
+def props_variant_stats(events: DataFrame) -> DataFrame:
+    """The VARIANT-typed twin of ``props_value_stats`` — the engine-level
+    mapping of the reference's Snowflake VARIANT ``details`` column
+    (README.md:44-51 DDL; SURVEY.md §1.2): ``parse_json`` produces a
+    schema-on-read VARIANT value (no declared struct, unlike the
+    ``from_json`` form) and ``variant_get`` does typed path extraction
+    at use-sites — new JSON fields flow through ingest with no schema
+    migration, exactly Snowflake's semi-structured contract.
+
+    Same scan-side single parse + hash aggregation shape as the typed
+    form; shares its oracle (the mechanisms must agree)."""
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )

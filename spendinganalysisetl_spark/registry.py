@@ -2211,6 +2211,23 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return props_value_stats(load_table(spark, sf_dir, "events"))
 
 
+_PROPS_STATS_SQL = ORACLE["events_props_json_stats"]
+
+
+@register("events_props_variant_stats", _PROPS_STATS_SQL)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT twin of events_props_json_stats — parse_json →
+    schema-on-read VARIANT + variant_get typed path extraction, the
+    engine-level mapping of the reference's Snowflake VARIANT details
+    column (README.md:44-51; SURVEY.md §1.2). Shares the JSON form's
+    oracle: both mechanisms must produce identical stats
+    (operators/events.py:props_variant_stats)."""
+    from spendinganalysisetl_spark.operators.events import props_variant_stats
+
+    return props_variant_stats(load_table(spark, sf_dir, "events"))
+
+
+
 @register(
     "embedding_label_audit",
     """
@@ -3439,10 +3456,9 @@ _CHECK_FIRST: list[str] = [
     "training_shard_pipeline",
     "vocab_top_terms",
     # Must-keep driver rows the round-2 additions would otherwise push
-    # out of the 50-slot window: the only streaming oracle row, the
-    # as-of join headline, and the W1 inf-quirk pin.
+    # out of the 50-slot window: the only streaming oracle row (drain
+    # semantics changed in r2) and the W1 inf-quirk pin.
     "stream_tumbling_5min",
-    "asof_join_click_purchase",
     "monthly_pct_change_inf_ref",
     # Later round-2 additions, never driver-checked.
     "corpus_shuffle_shards",
@@ -3459,6 +3475,7 @@ _CHECK_FIRST: list[str] = [
     "numeric_profile_lineitem",
     "vocab_zipf_fit",
     "incremental_monthly_refresh",
+    "embedding_quantize_int8",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -3494,6 +3511,7 @@ _CHECK_LATE: list[str] = [
     "near_dup_clusters",  # r1 green; the iterative-CC survivor election also runs inside corpus_curation/training pipelines
     "scalar_functions_showcase",  # r1 green; the F1-F8 scalars are exercised across the in-window catalog
     "report_fi_summary",  # r1 green AND re-run every round by the entry() smoke (same assembly plan)
+    "asof_join_click_purchase",  # r1 green and unchanged since; demoted for the never-checked int8-quantize row
     # Pure variants of an in-window sibling.
     "category_totals_ref_roundsum",  # category_totals + round-then-sum quirk (unit-pinned)
     "top5_vendors",  # sort-flip of bottom5_vendors_ref_compat
