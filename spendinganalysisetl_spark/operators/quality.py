@@ -1,0 +1,121 @@
+"""Data-quality expectation checks (the great-expectations /
+dbt-test pattern as engine primitives): declarative rules over a table,
+evaluated in ONE full-scan aggregation, plus referential-integrity
+checks as anti-join counts.
+
+At 100 TB this is the gate a pipeline runs BEFORE an expensive job:
+every scalar rule compiles to a conditional-sum over the same scan
+(map-side combined, zero extra passes however many rules there are);
+each FK rule adds one anti-join whose parent side ships only the key
+column (and broadcasts when the parent is a dimension).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    violation: F.Column  # true where the row VIOLATES the expectation
+
+
+def _fmt(x) -> str:
+    # Dots in rule names would read as struct paths in column lookups.
+    return str(x).replace(".", "p")
+
+
+def range_rule(col: str, lo: float, hi: float) -> Rule:
+    """Violated when the value is outside [lo, hi] or NULL."""
+    c = F.col(col)
+    return Rule(
+        f"{col}_between_{_fmt(lo)}_{_fmt(hi)}",
+        c.isNull() | (c < lo) | (c > hi),
+    )
+
+
+def not_null_rule(col: str) -> Rule:
+    return Rule(f"{col}_not_null", F.col(col).isNull())
+
+
+def accepted_values_rule(col: str, values: list) -> Rule:
+    return Rule(f"{col}_accepted_values", ~F.col(col).isin(values))
+
+
+def unique_rule(col: str) -> Rule:
+    """Marker rule — uniqueness needs an aggregation, handled by
+    check_expectations separately (a window/groupBy, not a scalar)."""
+    return Rule(f"{col}_unique", F.lit(None))
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[Rule],
+    fk: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate all expectations and return one row per rule:
+    ``(rule, n_rows, n_violations, passed)``.
+
+    - scalar rules: one conditional-sum each inside a SINGLE aggregation
+      of a single scan;
+    - ``unique_rule``: duplicate count via a key-grouped aggregation;
+    - ``fk`` triples ``(child_col, parent_df, parent_col)``: orphan rows
+      via LEFT ANTI join against the (deduplicated, key-only) parent.
+    """
+    scalar = [r for r in rules if r.violation is not None and "_unique" not in r.name]
+    uniques = [r for r in rules if "_unique" in r.name]
+
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(r.violation, 1).otherwise(0)).cast("long").alias(r.name)
+        for r in scalar
+    ]
+    one = df.agg(*aggs)
+    # one[name] (not F.col(name)): rule names may contain dots (e.g.
+    # "..._between_0_0.1"), which F.col would parse as a struct path.
+    reports = [
+        one.select(
+            F.lit(r.name).alias("rule"),
+            one["__n"].alias("n_rows"),
+            one[r.name].alias("n_violations"),
+        )
+        for r in scalar
+    ]
+
+    for r in uniques:
+        col = r.name.removesuffix("_unique")
+        dup = df.groupBy(col).count().filter(F.col("count") > 1)
+        reports.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+                dup.agg(
+                    F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
+            ).select(F.lit(r.name).alias("rule"), "n_rows", "n_violations")
+        )
+
+    for child_col, parent_df, parent_col in fk or []:
+        parent_keys = parent_df.select(
+            F.col(parent_col).alias(child_col)
+        ).distinct()
+        orphans = df.select(child_col).join(parent_keys, child_col, "left_anti")
+        reports.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            ).select(
+                F.lit(f"{child_col}_fk").alias("rule"), "n_rows", "n_violations"
+            )
+        )
+
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return (
+        out.withColumn("passed", (F.col("n_violations") == 0).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions("rule")
+    )

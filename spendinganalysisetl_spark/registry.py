@@ -3370,6 +3370,114 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "dq_check_lineitem",
+    """
+WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+checks AS (
+  SELECT 'l_quantity_between_1_50' AS rule, n.n_rows,
+         CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM lineitem, n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'l_discount_between_0_0p1', n.n_rows,
+         CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem, n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'l_extendedprice_not_null', n.n_rows,
+         CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem, n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'l_returnflag_accepted_values', n.n_rows,
+         CAST(sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R'))
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem, n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'l_orderkey_fk', n.n_rows,
+         CAST((SELECT count(*) FROM lineitem l
+               LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                 ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_orderkey IS NULL) AS BIGINT)
+  FROM n
+)
+SELECT rule, n_rows, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM checks ORDER BY rule
+""",
+)
+def q_dq_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (great-expectations/dbt-test pattern):
+    range / not-null / accepted-values rules compile into ONE
+    conditional-sum aggregation over a single scan, FK integrity is a
+    LEFT ANTI join against the deduplicated parent key
+    (operators/quality.py:check_expectations)."""
+    from spendinganalysisetl_spark.operators.quality import (
+        accepted_values_rule,
+        check_expectations,
+        not_null_rule,
+        range_rule,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return check_expectations(
+        li,
+        [
+            range_rule("l_quantity", 1, 50),
+            range_rule("l_discount", 0, 0.1),
+            not_null_rule("l_extendedprice"),
+            accepted_values_rule("l_returnflag", ["A", "N", "R"]),
+        ],
+        fk=[("l_orderkey", orders, "o_orderkey")],
+    )
+
+
+_CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+@register(
+    "corr_matrix_lineitem",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr({a}, {b}), 6) AS pearson_r
+FROM lineitem"""
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + "\nORDER BY col_a, col_b",
+)
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures: all six
+    pairs in ONE aggregation of one scan (the oracle pays six scans),
+    stack-unpivoted to rows — the dependence screen before any modeling
+    or stratification decision."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    one = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, pearson_r)"
+            )
+        )
+        .repartition(1)
+        .sortWithinPartitions("col_a", "col_b")
+    )
+
+
 @register("sketch_rollup_report")  # rows-only: DataSketches binary estimates
 # are engine-internal (DuckDB's approx family uses different sketches);
 # accuracy vs exact answers is pinned in tests/test_sketches.py.
