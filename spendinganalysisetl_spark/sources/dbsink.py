@@ -188,6 +188,7 @@ def upsert_to_db(
     compare_col: str | None = None,
     batch_size: int = 10_000,
     single_writer: bool = True,
+    delete_where: str | None = None,
 ) -> None:
     """Reference upsert rule at an external target: stage the batch,
     then one set-based MERGE — UPDATE where the key matches (gated on
@@ -229,9 +230,39 @@ def upsert_to_db(
         SELECT s.* FROM "{stage}" s
         WHERE NOT EXISTS (SELECT 1 FROM "{table}" t WHERE {exists_on})
     """
+    # WHEN MATCHED AND <cond> THEN DELETE leg (retention purge /
+    # right-to-be-forgotten at the external target): same semantics as
+    # the parquet sink's delete_where (upsert.py) — a matched key whose
+    # predicate fires is removed from the TARGET and its batch row is
+    # consumed (it must not re-insert through the anti-join leg). The
+    # doomed keys are materialized first so both deletes see the same
+    # set; the predicate is a SQL fragment over the target's columns.
+    doomed = f"{table}__doomed"
+    key_cols = ", ".join(f'"{k}"' for k in key)
+    doomed_stmts = (
+        [
+            f'DROP TABLE IF EXISTS "{doomed}"',
+            f'CREATE TABLE "{doomed}" AS '
+            f'SELECT {key_cols} FROM "{table}" WHERE ({delete_where}) '
+            f'AND EXISTS (SELECT 1 FROM "{stage}" s WHERE {on})',
+            f'DELETE FROM "{table}" WHERE EXISTS '
+            f'(SELECT 1 FROM "{doomed}" d WHERE '
+            + " AND ".join(f'd."{k}" = "{table}"."{k}"' for k in key)
+            + ")",
+            f'DELETE FROM "{stage}" WHERE EXISTS '
+            f'(SELECT 1 FROM "{doomed}" d WHERE '
+            + " AND ".join(f'd."{k}" = "{stage}"."{k}"' for k in key)
+            + ")",
+            f'DROP TABLE "{doomed}"',
+        ]
+        if delete_where
+        else []
+    )
     conn = factory()
     try:
         _begin(conn)
+        for stmt in doomed_stmts:
+            conn.execute(stmt)
         conn.execute(update)
         conn.execute(insert)
         conn.execute(f'DROP TABLE "{stage}"')

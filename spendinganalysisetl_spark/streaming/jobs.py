@@ -110,13 +110,18 @@ def read_event_stream(
     )
 
 
-def tumbling_agg_stream(events: DataFrame, minutes: int = 5, watermark: str = "10 minutes") -> DataFrame:
+def tumbling_agg_stream(
+    events: DataFrame, minutes: int = 5, watermark: str | None = "10 minutes"
+) -> DataFrame:
     """ST2: watermarked tumbling-window count/sum per event_type — the
     streaming twin of ``operators.events.tumbling_counts`` (same logical
-    plan modulo the watermark)."""
+    plan modulo the watermark). Pass ``watermark=None`` when composing
+    AFTER another stateful operator that already set one — Spark
+    disallows redefining the watermark in a chained-stateful query."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        events.groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),

@@ -122,6 +122,35 @@ def test_upsert_to_db_merge_semantics(spark, tmp_path):
     assert n_rows == len(base) + 1
 
 
+def test_upsert_to_db_delete_leg(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN DELETE at the external target:
+    doomed keys leave the table AND their batch rows are consumed (no
+    re-insert through the anti-join leg); unmatched rows survive."""
+    db = str(tmp_path / "purge.duckdb")
+    factory = _duck_factory(db)
+    df = _report_df(spark)
+    upsert_to_db(df, factory, "reports", key=("begin_date", "end_date"),
+                 compare_col="n_events")
+    victim = df.orderBy("begin_date").limit(1).collect()[0]["begin_date"]
+
+    grown = df.withColumn("n_events", F.col("n_events") + F.lit(5))
+    upsert_to_db(
+        grown, factory, "reports", key=("begin_date", "end_date"),
+        compare_col="n_events",
+        delete_where=f'"reports"."begin_date" = \'{victim}\'',
+    )
+    with duckdb.connect(db) as con:
+        after = dict(
+            con.execute('SELECT begin_date, n_events FROM "reports"').fetchall()
+        )
+    assert victim not in after, "doomed key must not re-insert"
+    base = {r["begin_date"]: r["n_events"] for r in df.collect()}
+    for k, v in base.items():
+        if k != victim:
+            assert after[k] == v + 5  # update leg still fires for the rest
+    assert len(after) == len(base) - 1
+
+
 def test_ddl_rejects_complex_types(spark):
     df = spark.createDataFrame([([1, 2],)], "arr array<int>")
     with pytest.raises(ValueError, match="no relational mapping"):

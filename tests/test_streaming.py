@@ -261,6 +261,58 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     assert got == want and sum(want.values()) > 0
 
 
+def test_composed_dedup_then_window_stream(spark, events_dir, tmp_path):
+    """Chained stateful operators in ONE streaming query (Spark ≥3.4
+    multiple-stateful support, append mode): exactly-once ingest dedup →
+    watermarked tumbling aggregation. A source with duplicated events
+    must produce the batch aggregation of the DISTINCT events on every
+    finalized window — duplicates never reach the aggregation state."""
+    import datetime
+
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.operators.events import tumbling_counts
+    from spendinganalysisetl_spark.streaming.jobs import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+        tumbling_agg_stream,
+    )
+
+    batch = load_table(spark, SF, "events")
+    src = str(tmp_path / "dupsrc")
+    batch.write.mode("overwrite").parquet(src)
+    # duplicate a slice of events as an extra file (same event_ids)
+    batch.limit(500).write.mode("append").parquet(src)
+
+    stream = tumbling_agg_stream(
+        dedup_stream(read_event_stream(spark, src)), watermark=None
+    )
+    run_to_memory(stream, "composed_dedup_window")
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM composed_dedup_window").collect()
+    }
+    assert got, "no finalized windows emitted"
+
+    want = {
+        (r["window_start"].replace(" ", "T"), r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in tumbling_counts(batch, 5).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = (max_ts - datetime.timedelta(minutes=15)).isoformat()
+    finalized = {k: v for k, v in want.items() if k[0] <= cutoff}
+    assert got == finalized, (
+        "composed stream must equal the batch agg over DISTINCT events "
+        "on finalized windows"
+    )
+
+
 def test_checkpoint_restart_resumes_incrementally(spark, events_dir, tmp_path):
     """Restartable drain: run the tumbling-agg MERGE drain over half the
     source with a checkpoint, append the rest, re-run against the SAME
