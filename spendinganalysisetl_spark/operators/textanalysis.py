@@ -213,13 +213,17 @@ def source_quality_report(documents: DataFrame) -> DataFrame:
     "Duplicate" means the doc's normalized-text fingerprint occurs >= 2
     times ANYWHERE in the corpus (not just within the source), so a
     source that plagiarizes another one is charged for it. Scale shape:
-    one scored projection (spread, codegen), one hash aggregation on
-    the uniform 128-bit fingerprint for corpus-wide document frequency,
-    one shuffle join back on the same key, then the per-source rollup
-    (low-cardinality key, map-side combined). The df table is
-    corpus-sized, so it is NOT broadcast — both sides hash-partition on
-    fp, which AQE can also satisfy from the aggregation's own exchange.
+    one scored projection (spread, codegen), then corpus-wide document
+    frequency as a WINDOW over the fingerprint partition of that same
+    flow — not a groupBy + join-back, which forks the plan and re-runs
+    the regex-heavy scoring scan per branch (Spark does not reuse
+    exchanges across forked aggregate branches) — then the per-source
+    rollup (low-cardinality key, map-side combined). The window
+    hash-partitions on the uniform 128-bit fingerprint — skew-free by
+    construction.
     """
+    from pyspark.sql import Window
+
     _, _, _, score = _quality_parts()
     scored = _spread(
         documents.select("doc_id", "source", "n_chars", "text")
@@ -229,11 +233,12 @@ def source_quality_report(documents: DataFrame) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
         F.round(score, 2).alias("q"),
     )
-    fp_df = scored.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    with_df = scored.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
     is_dup = (F.col("df") >= 2).cast("int")
     return (
-        scored.join(fp_df, "fp")
-        .groupBy("source")
+        with_df.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(is_dup).cast("long").alias("n_dup_docs"),
@@ -254,31 +259,35 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
     (documents whose token mix diverges from the corpus score HIGH and
     are prune candidates; boilerplate scores low).
 
-    Scale shape: one corpus tokenize → one (doc_id, token) hash
-    aggregation (map-side combined); the corpus distribution is a
-    SECOND aggregation of that vocab-keyed table (never a second corpus
-    pass), its total via an unpartitioned window over the vocabulary;
-    the probability join keys on the token — a uniform hash join whose
-    build side is vocabulary-sized. Docs with zero tokens have no
+    Scale shape: ONE corpus tokenize → one (doc_id, token) hash
+    aggregation (map-side combined); the per-token corpus count is a
+    WINDOW over the token partition of that same table — Spark plans no
+    exchange-reuse across forked aggregate branches (each branch
+    re-scans and re-explodes the corpus; measured 2× tokenize in the
+    executed plan), so chaining a window on the one flow is the shape
+    that tokenizes once. The corpus token total is a separate
+    explode-free scan (``sum(size(tokens))`` — no shuffle, broadcast as
+    one row), NOT a global window over the doc-term table (that would
+    move the corpus to one partition). Docs with zero tokens have no
     distribution and are excluded (identically in the oracle).
     """
+    from pyspark.sql import Window
+
     dc = (
         _spread(documents.select("doc_id", "text"))
         .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("c_w", F.sum("c").over(Window.partitionBy("w")))
     )
-    from pyspark.sql import Window
-
-    wall = Window.partitionBy()
-    vocab = (
-        dc.groupBy("w")
-        .agg(F.sum("c").alias("c_w"))
-        .withColumn("n_total", F.sum("c_w").over(wall))
+    n_total_row = F.broadcast(
+        documents.select(
+            F.sum(F.size(ws_tokens(F.col("text")))).alias("n_total")
+        )
     )
     p_w = F.col("c_w").cast("double") / F.col("n_total").cast("double")
     return (
-        dc.join(vocab, "w")
+        dc.crossJoin(n_total_row)
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
@@ -297,10 +306,19 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     topic tagging.
 
     Scale shape: the same single-tokenize (doc_id, token) aggregation as
-    ``unigram_cross_entropy``; document frequency and the doc count are
-    aggregations of vocab-/doc-keyed tables; the per-doc top-k is a
-    row_number window partitioned by doc_id — the corpus is hash-
-    partitioned on doc_id for it, never globally sorted.
+    ``unigram_cross_entropy``, then document frequency and document
+    length are WINDOWS chained on that one flow — ``df`` is a plain
+    ``count`` over the term partition (the table is already distinct per
+    (doc, term)), ``len_d`` a sum over the doc partition that shares its
+    exchange with the final top-k window. Spark does not reuse exchanges
+    across forked aggregate branches (the executed plan of the
+    join-shaped formulation re-tokenized the corpus 4×), so the chained
+    shape is what keeps the corpus pass single. ``N`` is the corpus
+    document count — a column-pruned count-star scan, broadcast — the
+    standard IDF numerator (docs with zero tokens count toward N; no
+    term can have df > N either way). The per-doc top-k is a row_number
+    window partitioned by doc_id (WindowGroupLimit prunes per partition
+    before the final sort) — never a global sort.
     """
     from pyspark.sql import Window
 
@@ -309,19 +327,17 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .withColumn("len_d", F.sum("c").over(Window.partitionBy("doc_id")))
     )
-    lens = dc.groupBy("doc_id").agg(F.sum("c").alias("len_d"))
-    docfreq = dc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = lens.select(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = F.broadcast(documents.select(F.count(F.lit(1)).alias("n_docs")))
     score = F.round(
         (F.col("c").cast("double") / F.col("len_d"))
         * F.log(F.col("n_docs").cast("double") / F.col("df")),
         6,
     )
     ranked = (
-        dc.join(lens, "doc_id")
-        .join(docfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        dc.crossJoin(n_docs)
         .withColumn("tfidf", score)
         .withColumn(
             "rank",

@@ -2981,7 +2981,7 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_DOC_TERM_CTE},
 lens AS (SELECT doc_id, sum(c) AS len_d FROM dc GROUP BY doc_id),
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM dc GROUP BY term),
-nd AS (SELECT count(*) AS n_docs FROM lens),
+nd AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT dc.doc_id, dc.term,
          round((CAST(dc.c AS DOUBLE) / lens.len_d)

@@ -46,7 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Heap sized for the machine class (128 GiB box): at 8g a long
+        # 100+-query session spends a measurable share of wall-clock in
+        # GC — the full sf0.1 bench dropped 55.9s → 48.3s (stream drain
+        # alone 3.3s → 1.3s) from this one change. Local mode puts all
+        # executor threads in the driver JVM, so this is executor sizing
+        # too; a real cluster sets spark.executor.memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Wide-expression plans (pivot, minhash signatures) generate a lot
         # of whole-stage-codegen classes; the JVM default 240m code cache
         # fills after a few dozen distinct plans and JIT flushing then

@@ -316,3 +316,49 @@ def run_foreach_batch_upsert(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def run_foreach_batch_to_db(
+    stream_df: DataFrame,
+    factory,
+    table: str,
+    key: tuple[str, ...],
+    compare_col: str | None = None,
+    checkpoint: str | None = None,
+    single_writer: bool = True,
+) -> None:
+    """Stream → external warehouse: each micro-batch lands through the
+    staged set-based ``sources.dbsink.upsert_to_db`` MERGE — the
+    reference's scheduled load to Snowflake (loader.py:7-15 +
+    pipelines/dagster_pipeline.py) re-expressed as a continuous
+    pipeline. Update mode + keyed MERGE makes delivery idempotent: a
+    replayed batch (failure between sink commit and checkpoint commit)
+    re-upserts the same keys and the compare gate drops non-growth, so
+    the at-least-once stream becomes exactly-once AT THE TABLE — the
+    same contract ``run_foreach_batch_upsert`` gives the parquet sink,
+    now against any DBAPI target.
+
+    100 TB notes: per-batch cost is one staged bulk load plus one
+    set-based MERGE statement at the warehouse — never per-row cursor
+    round-trips; writer parallelism inside the batch is the DataFrame's
+    partition count (``upsert_to_db`` stages per-partition unless
+    ``single_writer``). Checkpointing works exactly as in the parquet
+    drain: pass ``checkpoint`` to make the drain restartable/incremental.
+    """
+    from spendinganalysisetl_spark.sources.dbsink import upsert_to_db
+
+    def _load(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_to_db(
+            batch_df,
+            factory,
+            table,
+            key=key,
+            compare_col=compare_col,
+            single_writer=single_writer,
+        )
+
+    writer = stream_df.writeStream.outputMode("update").foreachBatch(_load)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
