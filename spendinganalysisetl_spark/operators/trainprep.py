@@ -106,23 +106,25 @@ def boilerplate_stats(
     ``min_docs`` documents corpus-wide (CCNet-style shared-text removal,
     the cross-doc complement of the within-doc ``repetition_scores``).
 
-    Two shuffles, both on the gram key: (1) document frequency per gram
+    ONE corpus shingle pass, two shuffles both on near-uniform keys:
+    document frequency per gram is a WINDOW over the gram partition
     (grams are distinct within a doc, so ``count(*)`` IS the document
-    frequency — no ``count distinct``), with map-side partial
-    aggregation; (2) the gram→df join back, again partial-aggregated
-    into the per-doc rollup. Gram keys are near-uniform (text n-grams),
-    so neither shuffle skews. At 100 TB the gram string itself is the
-    shuffle payload — the scale path hashes each gram to a 64-bit key
-    (xxhash64) first; the portable string form here is what the DuckDB
-    oracle can replicate.
+    frequency — no ``count distinct``), chained straight into the
+    per-doc rollup — not a groupBy + join-back, which forks the plan
+    and re-runs the shingle explode per branch (Spark plans no exchange
+    reuse across forked aggregate branches). At 100 TB the gram string
+    itself is the shuffle payload — the scale path hashes each gram to
+    a 64-bit key (xxhash64) first; the portable string form here is
+    what the DuckDB oracle can replicate.
     """
     grams = _spread(documents.select("doc_id", "text")).select(
         "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
     )
-    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    joined = grams.join(df_counts, "gram")
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     return (
-        joined.groupBy("doc_id")
+        with_df.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(
@@ -314,17 +316,21 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
     tokenizer training. Only pairs with ``c_ab >= min_count`` are
     emitted (PMI is noise below a support floor).
 
-    Scale shape: ONE corpus tokenize feeds ONE explode→hash-aggregation.
-    Each token occurrence is emitted exactly once — as the first member
-    ``(w1, w2)`` of its following bigram, or as a terminal ``(w1, NULL)``
-    marker for a document's last token — so unigram counts are recovered
-    from the bigram table by re-aggregating on ``w1`` (vocabulary-sized
-    input), never by a second corpus pass. Totals are unpartitioned
-    windows OVER THE AGGREGATED tables (vocabulary-sized, not
-    corpus-sized); the unigram-count joins key on a token each — uniform
-    hash joins. The log2 identity is computed as one double expression
-    identically in the DuckDB twin; PMI rounds at 4dp (log ulp-safety
-    margin).
+    Scale shape: each token occurrence is emitted exactly once — as the
+    first member ``(w1, w2)`` of its following bigram, or as a terminal
+    ``(w1, NULL)`` marker for a document's last token — so the unigram
+    count of ``w1`` is a WINDOW over the ``w1`` partition of the bigram
+    aggregate, chained on the main flow (zero extra corpus work). Only
+    the ``w2``-side unigram lookup needs a second pass (its count lives
+    on OTHER rows' ``w1`` — not derivable by a window over this
+    partition), so the plan pays exactly two corpus passes, down from
+    three in the join-shaped form (Spark plans no exchange reuse across
+    forked aggregate branches; the fork is unavoidable here, the ua
+    join wasn't). Totals are unpartitioned windows OVER AGGREGATED
+    tables (vocabulary-/bigram-type-sized, not corpus-sized); the
+    ``w2`` join keys on a token — a uniform hash join. The log2
+    identity is computed as one double expression identically in the
+    DuckDB twin; PMI rounds at 4dp (log ulp-safety margin).
     """
     toks = _spread(documents.select("text")).select(
         ws_tokens(F.col("text")).alias("toks")
@@ -360,29 +366,30 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
         .select("p.w1", "p.w2")
     )
     agg = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    unigrams = (
-        agg.groupBy("w1")
-        .agg(F.sum("c").alias("c_w"))
-        .withColumnRenamed("w1", "w")
-        .withColumn("c_w", F.col("c_w").cast("long"))
-    )
     wall = Window.partitionBy()
-    unig = unigrams.withColumn("n_total", F.sum("c_w").over(wall))
+    # c_a chained as a window on the main flow — every occurrence of w1
+    # is on some (w1, *) row, so the partition sum IS its unigram count.
+    with_ca = agg.withColumn(
+        "c_a", F.sum("c").over(Window.partitionBy("w1")).cast("long")
+    )
     bigr = (
-        agg.filter(F.col("w2").isNotNull())
+        with_ca.filter(F.col("w2").isNotNull())
         .withColumnRenamed("c", "c_ab")
         .withColumn("b_total", F.sum("c_ab").over(wall))
         .filter(F.col("c_ab") >= min_count)
     )
-    ua = unig.select(
-        F.col("w").alias("w1"), F.col("c_w").alias("c_a"), "n_total"
+    # The ONE remaining fork: the w2-side lookup table (vocab-sized),
+    # carrying the corpus total alongside.
+    ub = (
+        agg.groupBy("w1")
+        .agg(F.sum("c").cast("long").alias("c_b"))
+        .withColumn("n_total", F.sum("c_b").over(wall))
+        .withColumnRenamed("w1", "w2")
     )
-    ub = unig.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
     num = F.col("c_ab").cast("double") * F.col("n_total") * F.col("n_total")
     den = F.col("b_total").cast("double") * F.col("c_a") * F.col("c_b")
     return (
-        bigr.join(ua, "w1")
-        .join(ub, "w2")
+        bigr.join(ub, "w2")
         .select(
             "w1",
             "w2",
