@@ -260,44 +260,46 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     funnel). Output: one row per step with reached-user counts and the
     step-over-step conversion rate.
 
-    Scale shape: one conditional-aggregation pass per user (3 min-CASE
-    aggregates in a single groupBy — map-side combined), then a
-    3-row summary; no self-joins, no per-step scans of the stream.
+    Scale shape: ONE scan, ONE shuffle. The step-k-after-step-k−1
+    dependency chains as three windows over the SAME user partition
+    (t1 = min s1 time; t2 = min s2 time > t1; t3 = min s3 time > t2 —
+    each window may reference the previous one's output because they
+    share the partitioning, so Spark plans one exchange and stacked
+    WindowExecs), and the per-user rollup that follows groups on the
+    partition key, so it reuses the exchange too. The earlier
+    formulation expressed the dependency as join-back + re-aggregate
+    and paid three corpus passes; no self-joins either way.
     """
     s1, s2, s3 = FUNNEL_STEPS
-    per_user = events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1"),
-        *[
-            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"all_{s}")
-            for s in (s2, s3)
-        ],
-    )
-    # step-2/3 times must follow the previous step: re-derive with the
-    # dependency in one more conditional agg pass over the same stream.
-    steps = (
-        events.join(
-            per_user.select("user_id", "t1"), "user_id"
+    wu = Window.partitionBy("user_id")
+    steps3 = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(wu)
         )
-        .groupBy("user_id", "t1")
-        .agg(
+        .withColumn(
+            "t2",
             F.min(
                 F.when(
                     (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
                     F.col("ts"),
                 )
-            ).alias("t2")
+            ).over(wu),
         )
-    )
-    steps3 = (
-        events.join(steps.select("user_id", "t1", "t2"), "user_id")
-        .groupBy("user_id", "t1", "t2")
-        .agg(
+        .withColumn(
+            "t3",
             F.min(
                 F.when(
                     (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
                     F.col("ts"),
                 )
-            ).alias("t3")
+            ).over(wu),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.first("t3").alias("t3"),
         )
     )
     counts = steps3.agg(
@@ -344,28 +346,36 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     form of the classic weekly retention triangle (this stream spans 30
     days).
 
-    Scale shape: first-activity is one min-aggregate per user; activity
-    days one distinct-aggregate per (user, day); the matrix is an
-    aggregate of their (cohort-sized) join — the raw stream is scanned
-    twice and never self-joined.
+    Scale shape: ONE scan of the stream, never self-joined. The cohort
+    date attaches as a min-window over the user partition; the distinct
+    (user, day) reduction groups on the same key, reusing that
+    exchange; and the cohort SIZE needs no second pass — every user is
+    active on their own first day, so the day-0 cell of each cohort row
+    IS the cohort population, recovered with a max-window over the
+    cohort partition of the (tiny) matrix. The earlier formulation
+    built first-activity and active-days as separate aggregates of the
+    stream and paid the scan twice (plus a third, cohort-size pass).
     """
-    firsts = events.groupBy("user_id").agg(
-        F.to_date(F.min("ts")).alias("cohort_date")
-    )
-    active = events.select(
-        "user_id", F.to_date("ts").alias("active_date")
-    ).distinct()
-    cohort_sizes = firsts.groupBy("cohort_date").agg(
-        F.count(F.lit(1)).alias("cohort_users")
-    )
-    return (
-        active.join(firsts, "user_id")
+    matrix = (
+        events.select("user_id", F.to_date("ts").alias("active_date"))
+        .withColumn(
+            "cohort_date",
+            F.min("active_date").over(Window.partitionBy("user_id")),
+        )
+        .dropDuplicates(["user_id", "active_date"])
         .groupBy(
             "cohort_date",
             F.datediff("active_date", "cohort_date").alias("day_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
-        .join(F.broadcast(cohort_sizes), "cohort_date")
+    )
+    return (
+        matrix.withColumn(
+            "cohort_users",
+            F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(
+                Window.partitionBy("cohort_date")
+            ),
+        )
         .select(
             F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
             "day_offset",
