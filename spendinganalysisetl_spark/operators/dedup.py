@@ -470,6 +470,67 @@ def near_dup_clusters(
     )
 
 
+def lsh_cluster_stars(
+    documents: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-dup CLUSTERS from LSH buckets via star edges — the scale
+    path for massively duplicated corpora, where pairwise output is the
+    bottleneck: a mirror-site crawl with d copies of each page puts d
+    docs in the same band bucket, so the pair construction
+    (``minhash_lsh_pairs``) emits O(d²) rows per cluster — measured by
+    ``scale_probe.py``: 10× data with 10-way duplication ran the pair
+    operator 28× longer, a pure output-size effect. Star edges keep
+    connectivity with O(d) rows: within each (band, band_sig) bucket
+    every member links only to the bucket's MIN doc_id (a star is
+    connected; shared members connect across buckets), so the edge set
+    is ≤ docs × bands regardless of duplication depth, and connected
+    components over it yields EXACTLY the same clustering as over all
+    intra-bucket pairs (pinned by test: star-CC ≡ pair-CC on identical
+    buckets).
+
+    Trade-off vs the pair pipeline: no exact-Jaccard verify — banding
+    is trusted (the CCNet/web-dedup convention; false-positive buckets
+    can over-merge), which is what makes the linear edge count
+    possible. Where verified edges matter, run ``minhash_lsh_pairs`` on
+    the candidate-pair scale the corpus allows, or verify only each
+    star edge (still O(d) per cluster) before clustering.
+    """
+    rows_per_band = n_hashes // bands
+    sig = _minhash_signatures(documents, n_hashes, shingle_n)
+    bands_sql = ", ".join(
+        "hash("
+        + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"posexplode(array({bands_sql})) AS (band, band_sig)"
+    )
+    from pyspark.sql import Window
+
+    hub = F.min("doc_id").over(Window.partitionBy("band", "band_sig"))
+    edges = (
+        banded.withColumn("hub", hub)
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    cc = connected_components(edges, documents.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def minhash_lsh_pairs_portable(
     documents: DataFrame,
     n_hashes: int = 8,

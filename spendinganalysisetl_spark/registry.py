@@ -727,6 +727,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("lsh_cluster_stars")  # rows-only (engine-internal hashes);
+# the star-CC ≡ pair-CC invariant is pinned in test_dedup_similarity.
+def q_lsh_cluster_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-linear near-dup clustering: star edges per LSH bucket
+    (O(docs × bands) edges) instead of intra-bucket pair enumeration
+    (quadratic in duplicate-cluster size — scale_probe.py measured the
+    pair operator at 19-28× wall-clock for 10× data on a
+    duplicate-dense corpus, pure output growth). The scale path for
+    mirror-heavy crawls (operators/dedup.py:lsh_cluster_stars)."""
+    from spendinganalysisetl_spark.operators.dedup import lsh_cluster_stars
+
+    return lsh_cluster_stars(load_table(spark, sf_dir, "documents"))
+
+
 # --- text analysis (SURVEY.md §2.11 / north_star) -----------------------------
 
 

@@ -95,3 +95,85 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user totals through Spark 4.x's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (object-oriented processor, NAMED state
+    variables that can be composed — value/list/map — and explicit
+    timers instead of one opaque tuple + timeout conf). Semantics are
+    pinned identical to ``running_user_totals`` by a differential test:
+    same emissions, same bounded-state contract (event-time timer
+    evicts idle keys at watermark + IDLE_TIMEOUT_MS).
+
+    The processor class is defined INSIDE the function for the same
+    cloudpickle-by-value reason as the closure in
+    ``running_user_totals``.
+
+    100 TB notes: state is one short struct per ACTIVE user in the
+    RocksDB-backed store, partitioned by the group key — identical
+    scale envelope to the old API; the win is operational (state
+    schema evolution, composable named variables, list/map state for
+    richer operators) rather than physical.
+
+    ENVIRONMENT GATE: the transformWithState Python state server speaks
+    protobuf (``google.protobuf``), which this container doesn't ship —
+    plan construction works everywhere, but stream START raises there
+    (import-gated exactly like the snowflake connector branch in
+    sources.dbsink). The differential test skips when protobuf is
+    absent; ``running_user_totals`` (applyInPandasWithState) is the
+    dependency-free path and remains the one the catalog exercises.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            import math
+
+            import pandas as pd
+
+            (user_id,) = key
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            # Re-arm the idle-eviction timer relative to the watermark —
+            # the event-time analog of setTimeoutTimestamp in the old API.
+            self._handle.registerTimer(
+                timerValues.getCurrentWatermarkInMs() + IDLE_TIMEOUT_MS
+            )
+            rounded = math.copysign(math.floor(abs(total) * 100 + 0.5), total) / 100
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [rounded]}
+            )
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            self._totals.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

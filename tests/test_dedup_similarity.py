@@ -389,3 +389,53 @@ def test_label_centroid_stats_planted_geometry(spark):
     assert out[0]["mean_norm"] == 1.0 and out[0]["centroid_norm"] == 1.0
     assert out[1]["n_vecs"] == 2
     assert out[1]["mean_norm"] == 1.0 and out[1]["centroid_norm"] == 0.0
+
+
+def test_lsh_star_clusters_equal_pair_clusters(spark, documents):
+    """The star-edge invariant: within each (band, band_sig) bucket,
+    linking every member to the bucket MIN yields EXACTLY the connected
+    components of the all-intra-bucket-pairs graph — same labels, at
+    O(d) instead of O(d²) edges per d-way duplicate cluster. Duplicated
+    corpus slice makes buckets genuinely multi-member."""
+    from spendinganalysisetl_spark.operators.dedup import (
+        _minhash_signatures,
+        connected_components,
+        lsh_cluster_stars,
+    )
+
+    # a corpus with real duplicate clusters: the first 50 docs twice
+    # (shifted ids), so every duplicated doc shares all band buckets
+    # with its copy.
+    dup = documents.limit(50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = documents.limit(200).unionByName(dup)
+
+    stars = lsh_cluster_stars(corpus)
+    got = {r["doc_id"]: r["cluster_id"] for r in stars.collect()}
+
+    # independent reference: ALL intra-bucket pairs -> CC
+    n_hashes, bands, rows = 32, 8, 4
+    sig = _minhash_signatures(corpus, n_hashes, 5)
+    bands_sql = ", ".join(
+        "hash(" + ", ".join(f"m{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"posexplode(array({bands_sql})) AS (band, band_sig)"
+    ).cache()
+    a = banded.select("band", "band_sig", F.col("doc_id").alias("id_a"))
+    b = banded.select("band", "band_sig", F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cc = connected_components(pairs, corpus.select("doc_id"))
+    want = {r["doc_id"]: r["label"] if "label" in r.asDict() else r["cluster_id"]
+            for r in cc.collect()}
+    assert got == want and len(got) == 250
+    # and the duplicated docs actually clustered (non-singleton)
+    sizes = {r["doc_id"]: r["cluster_size"] for r in stars.collect()}
+    assert sum(1 for s in sizes.values() if s >= 2) >= 100

@@ -227,6 +227,73 @@ def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
     assert "id" in out.columns and "created_at" in out.columns
 
 
+def test_transform_with_state_plan_construction(spark, events_dir):
+    """Without protobuf the tws stream can't START here, but the plan
+    must CONSTRUCT — schema contract identical to the old-API operator
+    (this is what breaks first on an API drift between Spark versions)."""
+    from spendinganalysisetl_spark.streaming.jobs import read_event_stream
+    from spendinganalysisetl_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    src = read_event_stream(spark, events_dir)
+    tws = running_user_totals_tws(src)
+    old = running_user_totals(src)
+    assert tws.isStreaming and old.isStreaming
+    assert tws.schema == old.schema == OUTPUT_SCHEMA
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, events_dir):
+    """Spark 4.x transformWithStateInPandas must emit the same final
+    per-user totals as the applyInPandasWithState operator it succeeds
+    (and both equal the batch aggregate): the two arbitrary-state APIs
+    are semantic twins here, differing only in state ergonomics."""
+    import importlib.util
+
+    if importlib.util.find_spec("google") is None or importlib.util.find_spec(
+        "google.protobuf"
+    ) is None:
+        pytest.skip(
+            "transformWithState's Python state server needs google.protobuf "
+            "(absent in this container; see running_user_totals_tws docstring)"
+        )
+    from spendinganalysisetl_spark.streaming.jobs import read_event_stream
+    from spendinganalysisetl_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    q = (
+        running_user_totals_tws(read_event_stream(spark, events_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals_tws")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM user_totals_tws) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_foreach_batch_to_db_sink(spark, events_dir, tmp_path):
     """Stream → external warehouse (the reference's Snowflake load as a
     continuous pipeline): an update-mode tumbling aggregation drained

@@ -333,3 +333,59 @@ def test_compact_migrates_plain_layout(spark, sink):
     top_parts = [f for f in os.listdir(sink) if f.startswith("part-")]
     assert top_parts == []
     assert history(sink)[-1]["op"] == "compact"
+
+
+def test_read_changes_cdf(spark, sink):
+    """Change data feed between snapshots: one full-outer diff emits
+    insert / delete / update_preimage+postimage rows (Delta-CDF shape);
+    unchanged keys emit nothing; generated per-commit columns (id,
+    created_at) never count as changes."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.upsert import read_changes
+
+    write_reports(
+        _batch(
+            spark,
+            [
+                ("2024-01-01", "2024-01-31", 10, 100.0),  # will update
+                ("2024-02-01", "2024-02-29", 20, 200.0),  # unchanged
+                ("2024-03-01", "2024-03-31", 30, 300.0),  # will delete
+            ],
+        ),
+        sink,
+        mode="overwrite",
+        retain=3,
+    )
+    merge_reports(
+        spark,
+        sink,
+        _batch(
+            spark,
+            [
+                ("2024-01-01", "2024-01-31", 15, 150.0),  # update (15 > 10)
+                ("2024-03-01", "2024-03-31", 0, 0.0),     # matched -> delete leg
+                ("2024-04-01", "2024-04-30", 40, 400.0),  # insert
+            ],
+        ),
+        delete_where=F.col("t.begin_date") == F.lit("2024-03-01"),
+        retain=3,
+    )
+
+    rows = read_changes(spark, sink, from_version=-2, to_version=-1).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {t: len(v) for t, v in by_type.items()} == {
+        "insert": 1,
+        "delete": 1,
+        "update_preimage": 1,
+        "update_postimage": 1,
+    }
+    assert by_type["insert"][0]["begin_date"] == "2024-04-01"
+    assert by_type["delete"][0]["begin_date"] == "2024-03-01"
+    pre, post = by_type["update_preimage"][0], by_type["update_postimage"][0]
+    assert pre["begin_date"] == post["begin_date"] == "2024-01-01"
+    assert (pre["total_transactions"], post["total_transactions"]) == (10, 15)
+    # unchanged key (Feb) emitted nothing
+    assert all(r["begin_date"] != "2024-02-01" for r in rows)
