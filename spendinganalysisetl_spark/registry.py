@@ -2546,6 +2546,49 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_sliding",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+', 0) AS t
+  FROM documents
+), nn AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
+), st AS (
+  SELECT doc_id, t,
+         CASE WHEN n <= 128 THEN [1]
+              ELSE generate_series(1,
+                     CAST(floor((n - 16 - 1) / 112.0) * 112 + 1 AS BIGINT), 112)
+         END AS starts
+  FROM nn
+), ex AS (
+  SELECT doc_id, t,
+         generate_subscripts(starts, 1) - 1 AS chunk_id,
+         unnest(starts) AS s
+  FROM st
+), ch AS (
+  SELECT doc_id, chunk_id, list_slice(t, s, s + 127) AS chunk FROM ex
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(chunk) AS INT) AS n_tokens,
+       chunk[1] AS first_token, chunk[-1] AS last_token
+FROM ch ORDER BY doc_id, chunk_id
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (128-token chunks, 16 overlap): one
+    codegen projection pass, zero shuffles — the split every
+    training/embedding/RAG pipeline runs on long documents
+    (operators/trainprep.py:chunk_documents)."""
+    from spendinganalysisetl_spark.operators.trainprep import chunk_documents
+
+    return (
+        chunk_documents(load_table(spark, sf_dir, "documents"), 128, 16)
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "chunk_id")
+    )
+
+
+@register(
     "pii_scrub_documents",
     """
 WITH p AS (

@@ -320,3 +320,42 @@ def test_source_quality_report_cross_source_duplicates(spark):
     assert out["srcB"]["dup_rate"] == round(1 / 3, 6)
     # junk doc drags srcB's mean quality below srcA's
     assert out["srcB"]["mean_quality"] < out["srcA"]["mean_quality"]
+
+
+def test_chunk_documents_sliding_overlap(spark):
+    """The sliding-window contract on documents longer than one chunk:
+    starts advance by stride=chunk-overlap, consecutive chunks share
+    exactly `overlap` tokens, the tail partial is kept, no token lost,
+    empty docs emit nothing."""
+    from spendinganalysisetl_spark.operators.trainprep import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(1, 301))),  # 300 tokens
+            (2, " ".join(f"w{i}" for i in range(1, 129))),  # exactly one chunk
+            (3, "solo"),
+            (4, "   "),  # zero tokens -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["first_token"], r["last_token"])
+        for r in chunk_documents(docs, chunk_tokens=128, overlap=16).collect()
+    }
+    # doc 1: starts 1, 113, 225 -> lengths 128, 128, 76
+    assert out[(1, 0)] == (128, "w1", "w128")
+    assert out[(1, 1)] == (128, "w113", "w240")
+    assert out[(1, 2)] == (76, "w225", "w300")
+    # consecutive chunks share exactly `overlap` tokens (w113..w128)
+    assert out[(1, 1)][1] == "w113" and out[(1, 0)][2] == "w128"
+    assert out[(2, 0)] == (128, "w1", "w128")
+    assert out[(3, 0)] == (1, "solo", "solo")
+    assert not any(d == 4 for d, _ in out)
+    assert len(out) == 5
+    # no token lost: union of covered ranges == 300 for doc 1
+    assert 112 + 112 + 76 == 300
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
