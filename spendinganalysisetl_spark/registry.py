@@ -2588,6 +2588,98 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_CUR = """cur AS (
+  SELECT c_custkey AS cust_id, c_mktsegment AS segment, c_acctbal AS acctbal,
+         '2023-01-01' AS effective_from,
+         CAST(NULL AS VARCHAR) AS effective_to, 1 AS is_current
+  FROM customer
+)"""
+_SCD2_CHG = """chg AS (
+  SELECT cust_id, segment, acctbal + 100.0 AS acctbal,
+         '2024-06-01' AS effective_from
+  FROM cur WHERE cust_id % 7 = 0
+  UNION ALL
+  SELECT cust_id, segment, acctbal, '2024-06-01' FROM cur
+  WHERE cust_id % 11 = 0 AND cust_id % 7 <> 0
+  UNION ALL
+  SELECT cust_id + 1000000, segment, acctbal, '2024-06-01' FROM cur
+  WHERE cust_id % 13 = 0
+)"""
+
+
+@register(
+    "scd2_customer_dim",
+    f"""
+WITH {_SCD2_CUR}, {_SCD2_CHG},
+diffk AS (
+  SELECT c.cust_id FROM cur c JOIN chg g USING (cust_id)
+  WHERE c.acctbal <> g.acctbal OR c.segment <> g.segment
+)
+SELECT c.cust_id, c.segment, c.acctbal, c.effective_from,
+       g.effective_from AS effective_to, 0 AS is_current
+FROM cur c JOIN chg g USING (cust_id) JOIN diffk USING (cust_id)
+UNION ALL
+SELECT g.cust_id, g.segment, g.acctbal, g.effective_from,
+       CAST(NULL AS VARCHAR), 1
+FROM chg g JOIN diffk USING (cust_id)
+UNION ALL
+SELECT g.cust_id, g.segment, g.acctbal, g.effective_from,
+       CAST(NULL AS VARCHAR), 1
+FROM chg g LEFT JOIN cur c USING (cust_id) WHERE c.cust_id IS NULL
+UNION ALL
+SELECT c.* FROM cur c LEFT JOIN diffk d USING (cust_id)
+WHERE d.cust_id IS NULL
+ORDER BY cust_id, effective_from, is_current
+""",
+)
+def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance, all four legs in one plan:
+    close-and-version changed attributes, idempotent no-op on identical
+    values, first-version insert for new keys, untouched carry-through
+    (sources/upsert.py:scd2_apply). The change batch is synthesized
+    from the customer dim (%7 = attribute change, %11 = no-op, %13 =
+    new key); the oracle re-derives the same legs as explicit joins."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    cur = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("2023-01-01").alias("effective_from"),
+        F.lit(None).cast("string").alias("effective_to"),
+        F.lit(1).alias("is_current"),
+    )
+    k = F.col("cust_id")
+    chg = (
+        cur.filter(k % 7 == 0).select(
+            "cust_id",
+            "segment",
+            (F.col("acctbal") + F.lit(100.0)).alias("acctbal"),
+            F.lit("2024-06-01").alias("effective_from"),
+        )
+        .unionByName(
+            cur.filter((k % 11 == 0) & (k % 7 != 0)).select(
+                "cust_id", "segment", "acctbal",
+                F.lit("2024-06-01").alias("effective_from"),
+            )
+        )
+        .unionByName(
+            cur.filter(k % 13 == 0).select(
+                (k + F.lit(1000000)).alias("cust_id"), "segment", "acctbal",
+                F.lit("2024-06-01").alias("effective_from"),
+            )
+        )
+    )
+    return (
+        scd2_apply(cur, chg, key=("cust_id",), tracked=("segment", "acctbal"))
+        .repartition(1)
+        .sortWithinPartitions("cust_id", "effective_from", "is_current")
+    )
+
+
 @register(
     "pii_scrub_documents",
     """

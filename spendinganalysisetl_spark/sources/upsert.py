@@ -404,6 +404,86 @@ def merge_additive(
     return joined.select(*sel)
 
 
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key: tuple[str, ...],
+    tracked: tuple[str, ...],
+    eff_col: str = "effective_from",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 maintenance as ONE declarative
+    plan: apply a batch of attribute changes to a versioned dimension,
+    closing the superseded row and opening the new one, full history
+    retained.
+
+    ``current`` carries (key…, tracked…, ``eff_col``, ``effective_to``
+    NULL-when-open, ``is_current``); ``changes`` carries (key…,
+    tracked…, ``eff_col``). Legs, all out of one full-outer join of the
+    OPEN slice against the batch (closed history unions through
+    untouched — it can never change):
+
+    - changed attributes → TWO rows via one posexploded pair (the
+      ``read_changes`` trick): the old version closed at the change's
+      effective time, and the new open version;
+    - identical attributes → open row carries through (idempotent:
+      re-applying a batch is a no-op);
+    - unmatched change → new open row (first version of a new key);
+    - unmatched open row → carries through.
+
+    Scale: the open slice is ~one row per entity (dimension-sized, not
+    history-sized) and the batch is a delta → the join broadcasts or
+    hash-joins on the key; history never rescans. This is the
+    MERGE-based SCD2 pattern warehouses run (dbt snapshots, Delta MERGE
+    INTO examples) expressed engine-side.
+    """
+    open_rows = current.filter(F.col("is_current") == 1)
+    closed_rows = current.filter(F.col("is_current") != 1)
+    cols = [*key, *tracked, eff_col]
+
+    c_tagged = open_rows.withColumn("_c_present", F.lit(1)).alias("c")
+    b_tagged = changes.withColumn("_b_present", F.lit(1)).alias("b")
+    on = None
+    for k in key:
+        e = F.col(f"c.{k}").eqNullSafe(F.col(f"b.{k}"))
+        on = e if on is None else on & e
+    j = c_tagged.join(b_tagged, on, "full_outer")
+    in_c = F.col("c._c_present").isNotNull()
+    in_b = F.col("b._b_present").isNotNull()
+    differs = None
+    for t in tracked:
+        d = ~F.col(f"c.{t}").eqNullSafe(F.col(f"b.{t}"))
+        differs = d if differs is None else differs | d
+
+    def row(side: str, eff, eff_to, cur) -> F.Column:
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in (*key, *tracked)],
+            eff.alias(eff_col),
+            eff_to.alias("effective_to"),
+            cur.alias("is_current"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    out = (
+        j.withColumn(
+            "_rows",
+            F.when(
+                in_c & in_b & differs,
+                F.array(
+                    row("c", F.col(f"c.{eff_col}"), F.col(f"b.{eff_col}"), F.lit(0)),
+                    row("b", F.col(f"b.{eff_col}"), null_s, F.lit(1)),
+                ),
+            )
+            .when(~in_c, F.array(row("b", F.col(f"b.{eff_col}"), null_s, F.lit(1))))
+            .otherwise(
+                F.array(row("c", F.col(f"c.{eff_col}"), null_s, F.lit(1)))
+            ),
+        )
+        .select(F.explode("_rows").alias("r"))
+        .select(*[F.col(f"r.{c}").alias(c) for c in (*cols, "effective_to", "is_current")])
+    )
+    return out.unionByName(closed_rows.select(*cols, "effective_to", "is_current"))
+
+
 def read_changes(
     spark: SparkSession,
     path: str,

@@ -318,6 +318,45 @@ def run_foreach_batch_upsert(
     q.awaitTermination()
 
 
+def enriched_agg_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    dim_key: str = "user_id",
+    group_col: str = "segment",
+    watermark: str = "10 minutes",
+    minutes: int = 5,
+) -> DataFrame:
+    """Stream-STATIC join → windowed aggregation: each micro-batch
+    equi-joins the event stream against a static dimension table
+    (broadcast — no state, no watermark needed for the join itself,
+    unlike stream-stream joins), then aggregates per (window, dim
+    attribute). The canonical enrichment topology: facts stream, the
+    dimension is a slowly-changing table re-read per batch.
+
+    100 TB notes: a broadcast dim join inside a stream costs the same
+    as in batch — the stream side never shuffles for it; only the
+    windowed aggregation pays an exchange, keyed (window, segment) and
+    bounded by the watermark. A dimension too big to broadcast becomes
+    a shuffle join per micro-batch — at that point pre-bucket the dim
+    on the join key or push the attribute upstream into the events.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), dim_key)
+        .groupBy(F.window("ts", f"{minutes} minutes"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            group_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_foreach_batch_to_db(
     stream_df: DataFrame,
     factory,

@@ -227,6 +227,54 @@ def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
     assert "id" in out.columns and "created_at" in out.columns
 
 
+def test_stream_static_join_matches_batch(spark, events_dir):
+    """Stream-static broadcast enrichment: the streamed (window, segment)
+    aggregation over events ⋈ static user-dimension must equal the batch
+    twin on finalized windows — the join itself carries no state, so the
+    only streaming semantics in play are the aggregation watermark's."""
+    import datetime
+
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.streaming.jobs import (
+        enriched_agg_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    batch = load_table(spark, SF, "events")
+    dim = batch.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 3).cast("string").alias("segment")
+    )
+    run_to_memory(
+        enriched_agg_stream(read_event_stream(spark, events_dir), dim),
+        "enriched_out",
+    )
+    got = {
+        (r["window_start"].isoformat(), r["segment"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    want_rows = (
+        batch.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "5 minutes"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("ws"), "segment", "n_events", "total_value"
+        )
+        .collect()
+    )
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(minutes=15)
+    finalized = {
+        (r["ws"].isoformat(), r["segment"]): (r["n_events"], r["total_value"])
+        for r in want_rows
+        if r["ws"] <= cutoff
+    }
+    assert got == finalized and len(finalized) > 0
+
+
 def test_transform_with_state_plan_construction(spark, events_dir):
     """Without protobuf the tws stream can't START here, but the plan
     must CONSTRUCT — schema contract identical to the old-API operator

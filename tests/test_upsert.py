@@ -389,3 +389,56 @@ def test_read_changes_cdf(spark, sink):
     assert (pre["total_transactions"], post["total_transactions"]) == (10, 15)
     # unchanged key (Feb) emitted nothing
     assert all(r["begin_date"] != "2024-02-01" for r in rows)
+
+
+def test_scd2_apply_versions_and_idempotence(spark):
+    """SCD Type-2: a changed attribute closes the old version and opens
+    a new one; re-applying the SAME batch is a no-op (idempotent); new
+    keys insert as first versions; closed history is never rewritten."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.upsert import scd2_apply
+
+    schema = (
+        "cust_id long, segment string, acctbal double, effective_from string, "
+        "effective_to string, is_current int"
+    )
+    current = spark.createDataFrame(
+        [
+            (1, "AUTO", 10.0, "2023-01-01", None, 1),
+            (1, "AUTO", 5.0, "2022-01-01", "2023-01-01", 0),  # closed history
+            (2, "HOUSE", 20.0, "2023-01-01", None, 1),
+        ],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "AUTO", 11.0, "2024-06-01"),   # change -> close + new
+            (2, "HOUSE", 20.0, "2024-06-01"),  # identical -> no-op
+            (3, "SHIP", 30.0, "2024-06-01"),   # new key -> first version
+        ],
+        "cust_id long, segment string, acctbal double, effective_from string",
+    )
+    out = scd2_apply(current, batch, key=("cust_id",), tracked=("segment", "acctbal"))
+    rows = {
+        (r["cust_id"], r["effective_from"]): (
+            r["acctbal"], r["effective_to"], r["is_current"]
+        )
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2022-01-01"): (5.0, "2023-01-01", 0),   # history untouched
+        (1, "2023-01-01"): (10.0, "2024-06-01", 0),  # closed at change time
+        (1, "2024-06-01"): (11.0, None, 1),          # new open version
+        (2, "2023-01-01"): (20.0, None, 1),          # no-op kept open
+        (3, "2024-06-01"): (30.0, None, 1),          # first version
+    }
+    # idempotence: applying the same batch to the result changes nothing
+    again = scd2_apply(out, batch, key=("cust_id",), tracked=("segment", "acctbal"))
+    r2 = {
+        (r["cust_id"], r["effective_from"]): (
+            r["acctbal"], r["effective_to"], r["is_current"]
+        )
+        for r in again.collect()
+    }
+    assert r2 == rows
