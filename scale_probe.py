@@ -63,7 +63,7 @@ def _replicate(spark, src: str, dst: str, k: int) -> None:
     from spendinganalysisetl_spark.catalog import load_table
 
     os.makedirs(dst, exist_ok=True)
-    ev = load_table(spark, SF_DIR, "events")
+    ev = load_table(spark, src, "events")
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
     max_eid = ev.agg(F.max("event_id")).collect()[0][0] + 1
     reps = None
@@ -79,7 +79,7 @@ def _replicate(spark, src: str, dst: str, k: int) -> None:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(os.path.join(dst, "events.parquet"))
 
-    doc = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    doc = spark.read.parquet(os.path.join(src, "documents.parquet"))
     n_docs = doc.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = None
     for i in range(k):
@@ -106,7 +106,7 @@ def _replicate(spark, src: str, dst: str, k: int) -> None:
     for t in (
         "region nation customer supplier part orders lineitem embeddings"
     ).split():
-        src_p = os.path.join(SF_DIR, f"{t}.parquet")
+        src_p = os.path.join(src, f"{t}.parquet")
         dst_p = os.path.join(dst, f"{t}.parquet")
         if os.path.isfile(src_p):
             shutil.copy(src_p, dst_p)

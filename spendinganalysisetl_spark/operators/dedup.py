@@ -140,6 +140,27 @@ def _minhash_signatures(
     return h.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    sig: DataFrame, n_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, band_sig) — the LSH banding of a wide minhash
+    signature table: each band's rows hash into one 32-bit key, one
+    posexplode emits docs×bands rows. ONE definition shared by the
+    pair pipeline, the star-edge clustering, and the star≡pair
+    equivalence test — the banding scheme (row grouping, hash) is the
+    contract those three must agree on bit-for-bit."""
+    rows_per_band = n_hashes // bands
+    bands_sql = ", ".join(
+        "hash("
+        + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
+    return sig.selectExpr(
+        "doc_id", f"posexplode(array({bands_sql})) AS (band, band_sig)"
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = 32,
@@ -156,17 +177,8 @@ def minhash_lsh_pairs(
     candidate doc texts (broadcast-able at moderate candidate counts,
     plain shuffle join otherwise).
     """
-    rows_per_band = n_hashes // bands
     sig = _minhash_signatures(documents, n_hashes, shingle_n)
-    bands_sql = ", ".join(
-        "hash("
-        + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
-        + ")"
-        for b in range(bands)
-    )
-    banded = sig.selectExpr(
-        "doc_id", f"posexplode(array({bands_sql})) AS (band, band_sig)"
-    )
+    banded = banded_signatures(sig, n_hashes, bands)
     # The self-join references `banded` twice; without materialization the
     # whole shingle→hash→min pipeline runs twice. The banded signature
     # table is tiny (docs × bands rows of 3 longs) — cache it.
@@ -498,17 +510,8 @@ def lsh_cluster_stars(
     the candidate-pair scale the corpus allows, or verify only each
     star edge (still O(d) per cluster) before clustering.
     """
-    rows_per_band = n_hashes // bands
     sig = _minhash_signatures(documents, n_hashes, shingle_n)
-    bands_sql = ", ".join(
-        "hash("
-        + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
-        + ")"
-        for b in range(bands)
-    )
-    banded = sig.selectExpr(
-        "doc_id", f"posexplode(array({bands_sql})) AS (band, band_sig)"
-    )
+    banded = banded_signatures(sig, n_hashes, bands)
     from pyspark.sql import Window
 
     hub = F.min("doc_id").over(Window.partitionBy("band", "band_sig"))

@@ -280,9 +280,15 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("c_w", F.sum("c").over(Window.partitionBy("w")))
     )
+    # coalesce(…, 0): a NULL text row must contribute ZERO tokens to the
+    # corpus total under either sizeOfNull semantics (size(NULL) is -1
+    # legacy / NULL ansi) — matching the doc-term flow, where NULL docs
+    # produce no rows at all, and the oracle's vocab-derived total.
     n_total_row = F.broadcast(
         documents.select(
-            F.sum(F.size(ws_tokens(F.col("text")))).alias("n_total")
+            F.sum(
+                F.coalesce(F.size(ws_tokens(F.col("text"))), F.lit(0))
+            ).alias("n_total")
         )
     )
     p_w = F.col("c_w").cast("double") / F.col("n_total").cast("double")

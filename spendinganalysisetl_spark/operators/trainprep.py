@@ -468,8 +468,12 @@ def chunk_documents(
     normalization makes byte-exact reconstruction tokenizer-dependent,
     so the contract is token-level).
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens (stride must advance)")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            "overlap must satisfy 0 <= overlap < chunk_tokens: a negative "
+            "overlap makes stride exceed the chunk and silently DROPS the "
+            "tokens between consecutive chunks"
+        )
     stride = chunk_tokens - overlap
     toks = F.col("toks")
     n = F.size(toks)

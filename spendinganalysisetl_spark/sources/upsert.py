@@ -436,8 +436,14 @@ def scd2_apply(
     MERGE-based SCD2 pattern warehouses run (dbt snapshots, Delta MERGE
     INTO examples) expressed engine-side.
     """
-    open_rows = current.filter(F.col("is_current") == 1)
-    closed_rows = current.filter(F.col("is_current") != 1)
+    # eqNullSafe split: a plain `!= 1` filter is NULL for rows whose
+    # is_current is NULL, so they would fall out of BOTH slices and the
+    # row would silently vanish from the returned dimension. NULL flags
+    # (a source that encodes "closed" as NULL) belong to the closed
+    # slice — they are not open either way.
+    is_open = F.col("is_current").eqNullSafe(F.lit(1))
+    open_rows = current.filter(is_open)
+    closed_rows = current.filter(~is_open)
     cols = [*key, *tracked, eff_col]
 
     c_tagged = open_rows.withColumn("_c_present", F.lit(1)).alias("c")

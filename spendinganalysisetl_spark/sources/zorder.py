@@ -36,7 +36,7 @@ sorted layout only skips for its own sort column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -73,6 +73,12 @@ def zorder_value(
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
     ).collect()[0]
+    if stats["a_lo"] is None or stats["b_lo"] is None:
+        # Empty input (or a clustered column that is entirely NULL):
+        # there is nothing to order by — emit a constant key instead of
+        # crashing in float(None) below; the write then produces a
+        # valid (possibly empty) layout.
+        return df.withColumn("_zorder", F.lit(0).cast("long"))
     cells = (1 << bits) - 1
 
     def cell(c: str, lo, hi) -> F.Column:
@@ -113,5 +119,8 @@ def write_zordered(
     )
 
 
-def read_layout(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+# Reading a Z-ordered layout is a plain parquet scan — same entry as
+# the 1-D clustered layout (one definition, no drift point).
+from spendinganalysisetl_spark.sources.sorted_layout import (  # noqa: E402
+    read_layout,  # noqa: F401
+)

@@ -148,8 +148,14 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
                 n += len(pdf)
                 total += float(pdf["value"].sum())
             self._totals.update((n, total))
-            # Re-arm the idle-eviction timer relative to the watermark —
-            # the event-time analog of setTimeoutTimestamp in the old API.
+            # Re-arm the idle-eviction timer relative to the watermark.
+            # UNLIKE the old API's setTimeoutTimestamp, registerTimer
+            # does NOT replace earlier timers — without the delete loop
+            # a stale timer from a previous batch fires while the user
+            # is still active and handleExpiredTimer clears live state
+            # (totals silently restart from zero).
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
             self._handle.registerTimer(
                 timerValues.getCurrentWatermarkInMs() + IDLE_TIMEOUT_MS
             )

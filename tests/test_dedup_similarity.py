@@ -399,6 +399,7 @@ def test_lsh_star_clusters_equal_pair_clusters(spark, documents):
     corpus slice makes buckets genuinely multi-member."""
     from spendinganalysisetl_spark.operators.dedup import (
         _minhash_signatures,
+        banded_signatures,
         connected_components,
         lsh_cluster_stars,
     )
@@ -414,15 +415,11 @@ def test_lsh_star_clusters_equal_pair_clusters(spark, documents):
     stars = lsh_cluster_stars(corpus)
     got = {r["doc_id"]: r["cluster_id"] for r in stars.collect()}
 
-    # independent reference: ALL intra-bucket pairs -> CC
-    n_hashes, bands, rows = 32, 8, 4
-    sig = _minhash_signatures(corpus, n_hashes, 5)
-    bands_sql = ", ".join(
-        "hash(" + ", ".join(f"m{b * rows + r}" for r in range(rows)) + ")"
-        for b in range(bands)
-    )
-    banded = sig.selectExpr(
-        "doc_id", f"posexplode(array({bands_sql})) AS (band, band_sig)"
+    # reference: ALL intra-bucket pairs -> CC, over the SAME banding
+    # (banded_signatures is the shared contract — the test would be
+    # vacuous against a drifted private copy of the banding scheme)
+    banded = banded_signatures(
+        _minhash_signatures(corpus, 32, 5), 32, 8
     ).cache()
     a = banded.select("band", "band_sig", F.col("doc_id").alias("id_a"))
     b = banded.select("band", "band_sig", F.col("doc_id").alias("id_b"))

@@ -352,10 +352,16 @@ def test_chunk_documents_sliding_overlap(spark):
     assert out[(3, 0)] == (1, "solo", "solo")
     assert not any(d == 4 for d, _ in out)
     assert len(out) == 5
-    # no token lost: union of covered ranges == 300 for doc 1
-    assert 112 + 112 + 76 == 300
+    # no token lost, derived from the EMITTED chunks: with stride 112,
+    # chunk i contributes n_tokens_i new tokens minus the 16 it shares
+    # with its predecessor — the distinct covered count must equal 300.
+    doc1 = sorted((cid, n) for (d, cid), (n, _f, _l) in out.items() if d == 1)
+    covered = sum(n for _, n in doc1) - 16 * (len(doc1) - 1)
+    assert covered == 300
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=128, overlap=-10)
