@@ -132,3 +132,182 @@ def test_gap_fill_conserves_events_and_densifies(spark, rows):
             assert not (seen_value and r["carried_value"] is None), (
                 "carry must persist once a value exists"
             )
+
+
+# --- chunking / SCD2 / change-feed invariants (round-2 additions) -----------
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_DOC_LENS = _st.lists(
+    _st.integers(min_value=0, max_value=400), min_size=1, max_size=12
+)
+_CHUNK_PARAMS = _st.tuples(
+    _st.integers(min_value=2, max_value=64),  # chunk_tokens
+    _st.integers(min_value=0, max_value=32),  # overlap (clamped below)
+)
+
+
+@_settings(max_examples=10, deadline=None, suppress_health_check=[_HC.too_slow])
+@_given(lens=_DOC_LENS, params=_CHUNK_PARAMS)
+def test_chunking_laws(spark, lens, params):
+    """For ANY document lengths and any valid (chunk, overlap):
+    per doc, chunk 0 starts at token 1; every later chunk overlaps its
+    predecessor by exactly `overlap` tokens; distinct covered tokens ==
+    doc length (nothing lost, nothing invented); zero-length docs emit
+    nothing; every non-final chunk is full."""
+    from spendinganalysisetl_spark.operators.trainprep import chunk_documents
+
+    chunk, raw_overlap = params
+    overlap = min(raw_overlap, chunk - 1)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(1, n + 1))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (
+            (r["doc_id"], r["chunk_id"], r["n_tokens"], r["first_token"], r["last_token"])
+            for r in chunk_documents(docs, chunk, overlap).collect()
+        )
+    )
+    by_doc: dict[int, list] = {}
+    for d, cid, n, first, last in out:
+        by_doc.setdefault(d, []).append((cid, n, first, last))
+    stride = chunk - overlap
+    for i, n_tok in enumerate(lens):
+        chunks = by_doc.get(i, [])
+        if n_tok == 0:
+            assert chunks == []
+            continue
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        covered = sum(c[1] for c in chunks) - overlap * (len(chunks) - 1)
+        assert covered == n_tok, "distinct covered tokens == doc length"
+        assert chunks[0][2] == "t1", "chunk 0 starts at the first token"
+        assert chunks[-1][3] == f"t{n_tok}", "last chunk ends at the last token"
+        for cid, n, first, last in chunks[:-1]:
+            assert n == chunk, "every non-final chunk is full"
+        for cid, n, first, last in chunks:
+            assert first == f"t{cid * stride + 1}", "chunk starts advance by stride"
+
+
+_SCD_OPS = _st.lists(
+    _st.tuples(
+        _st.integers(min_value=1, max_value=5),  # key
+        _st.integers(min_value=0, max_value=3),  # attribute value per batch
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@_settings(max_examples=8, deadline=None, suppress_health_check=[_HC.too_slow])
+@_given(batches=_st.lists(_SCD_OPS, min_size=1, max_size=3))
+def test_scd2_laws(spark, batches):
+    """For ANY sequence of change batches applied in order: exactly one
+    open row per key ever touched; versions of a key have strictly
+    increasing effective_from; every closed row's effective_to equals
+    some later version's effective_from; re-applying the final batch is
+    a no-op."""
+    from spendinganalysisetl_spark.sources.upsert import scd2_apply
+
+    schema = (
+        "k long, val long, effective_from string, effective_to string, "
+        "is_current int"
+    )
+    dim = spark.createDataFrame([], schema)
+    batch_schema = "k long, val long, effective_from string"
+    last = None
+    for i, ops in enumerate(batches):
+        # one change per key per batch (last write wins inside a batch)
+        dedup = {}
+        for k, v in ops:
+            dedup[k] = v
+        eff = f"2024-0{i + 1}-01"
+        last = spark.createDataFrame(
+            [(k, v, eff) for k, v in dedup.items()], batch_schema
+        )
+        dim = scd2_apply(dim, last, key=("k",), tracked=("val",))
+    rows = [
+        (r["k"], r["val"], r["effective_from"], r["effective_to"], r["is_current"])
+        for r in dim.collect()
+    ]
+    by_key: dict[int, list] = {}
+    for k, v, ef, et, cur in rows:
+        by_key.setdefault(k, []).append((ef, et, cur, v))
+    for k, versions in by_key.items():
+        versions.sort()
+        assert sum(1 for _, _, cur, _ in versions if cur == 1) == 1, (
+            "exactly one open row per key"
+        )
+        assert versions[-1][2] == 1, "the newest version is the open one"
+        froms = [ef for ef, _, _, _ in versions]
+        assert froms == sorted(set(froms)), "strictly increasing effective_from"
+        for ef, et, cur, _ in versions:
+            if cur != 1:
+                assert et in froms, "closed rows chain to a later version"
+    # idempotence on the final batch
+    again = scd2_apply(dim, last, key=("k",), tracked=("val",))
+    assert sorted(
+        (r["k"], r["val"], r["effective_from"], r["effective_to"], r["is_current"])
+        for r in again.collect()
+    ) == sorted(rows)
+
+
+_MERGE_ROWS = _st.lists(
+    _st.tuples(
+        _st.integers(min_value=1, max_value=6),   # month (key)
+        _st.integers(min_value=0, max_value=30),  # count
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_settings(max_examples=5, deadline=None, suppress_health_check=[_HC.too_slow])
+@_given(base=_MERGE_ROWS, batch=_MERGE_ROWS)
+def test_change_feed_reconstruction_law(spark, tmp_path_factory, base, batch):
+    """For ANY base table and merge batch: applying the change feed to
+    the pre-snapshot reconstructs the post-snapshot exactly — delete
+    the delete/update_preimage keys, add the insert/update_postimage
+    rows. (The CDF contract that lets a downstream consumer replay
+    changes instead of re-reading the table.)"""
+    from spendinganalysisetl_spark.sources.upsert import (
+        merge_reports,
+        read_changes,
+        read_reports,
+        write_reports,
+    )
+
+    sink = str(tmp_path_factory.mktemp("cdf") / "sink")
+    mk = lambda rows: spark.createDataFrame(
+        [
+            (f"2024-{m:02d}-01", f"2024-{m:02d}-28", n, float(n))
+            for m, n in {m: n for m, n in rows}.items()
+        ],
+        "begin_date string, end_date string, total_transactions long, "
+        "total_spent double",
+    )
+    write_reports(mk(base), sink, mode="overwrite", retain=4)
+    merge_reports(spark, sink, mk(batch), retain=4)
+
+    key = ("begin_date", "end_date")
+    cmp_cols = ("total_transactions", "total_spent")
+    feed = read_changes(spark, sink, from_version=-2, to_version=-1, key=key)
+    pre = {
+        tuple(r[k] for k in key): tuple(r[c] for c in cmp_cols)
+        for r in read_reports(spark, sink, version=-2).collect()
+    }
+    post = {
+        tuple(r[k] for k in key): tuple(r[c] for c in cmp_cols)
+        for r in read_reports(spark, sink, version=-1).collect()
+    }
+    replayed = dict(pre)
+    for r in feed.collect():
+        kk = tuple(r[k] for k in key)
+        if r["_change_type"] in ("delete", "update_preimage"):
+            assert replayed.pop(kk, None) is not None, "feed removes a present key"
+        if r["_change_type"] in ("insert", "update_postimage"):
+            replayed[kk] = tuple(r[c] for c in cmp_cols)
+    assert replayed == post, "pre + feed must reconstruct post"
