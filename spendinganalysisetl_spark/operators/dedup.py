@@ -392,7 +392,10 @@ def simhash_near_pairs_portable(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     ``label(v) = min(label(v), min over neighbors' labels)`` until a
@@ -422,9 +425,29 @@ def connected_components(
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .cache()  # probed every round
     )
-    labels = nodes.select(
+    # Optional warm start: ``init_labels`` (id, label) with label ≤ id
+    # and label in the same component — e.g. the bucket-min hub in
+    # lsh_cluster_stars. Min-propagation is monotone from ANY such
+    # over-approximation, so correctness is unchanged; a good seed cuts
+    # rounds (star-shaped components converge in one confirmation pass
+    # instead of propagating hub labels outward round by round).
+    self_labels = nodes.select(
         F.col("doc_id").alias("id"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
+    )
+    if init_labels is not None:
+        # Nodes absent from the seed table (e.g. docs with no buckets)
+        # keep their self-label — a seed join must never DROP nodes.
+        labels = (
+            self_labels.join(
+                init_labels.select("id", F.col("label").alias("_seed")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("_seed", "label").alias("label"))
+            .localCheckpoint()
+        )
+    else:
+        labels = self_labels.localCheckpoint()
     prev = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         msgs = und.join(
@@ -514,14 +537,25 @@ def lsh_cluster_stars(
     banded = banded_signatures(sig, n_hashes, bands)
     from pyspark.sql import Window
 
-    hub = F.min("doc_id").over(Window.partitionBy("band", "band_sig"))
+    with_hub = banded.withColumn(
+        "hub", F.min("doc_id").over(Window.partitionBy("band", "band_sig"))
+    ).cache()  # feeds both the edge set and the warm-start labels
     edges = (
-        banded.withColumn("hub", hub)
-        .filter(F.col("doc_id") != F.col("hub"))
+        with_hub.filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
         .distinct()
     )
-    cc = connected_components(edges, documents.select("doc_id"))
+    # Warm start: every doc's initial label is the min hub over its own
+    # buckets (≤ doc_id, same component) — pure star components then
+    # need only the confirmation round instead of outward propagation.
+    seeds = (
+        with_hub.groupBy("doc_id")
+        .agg(F.min("hub").alias("label"))  # hub ≤ every bucket member
+        .select(F.col("doc_id").alias("id"), "label")
+    )
+    cc = connected_components(
+        edges, documents.select("doc_id"), init_labels=seeds
+    )
     w = Window.partitionBy("cluster_id")
     return (
         cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))

@@ -735,10 +735,21 @@ def q_lsh_cluster_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quadratic in duplicate-cluster size — scale_probe.py measured the
     pair operator at 19-28× wall-clock for 10× data on a
     duplicate-dense corpus, pure output growth). The scale path for
-    mirror-heavy crawls (operators/dedup.py:lsh_cluster_stars)."""
+    mirror-heavy crawls (operators/dedup.py:lsh_cluster_stars).
+
+    Iterative CC pays per-round fixed costs on every label-table
+    shuffle; at this SF the label table is thousands of rows, so 8
+    partitions cut pure task overhead (same sizing note as the
+    streaming drain's state partitions) — a corpus-scale run keeps the
+    default parallelism instead."""
     from spendinganalysisetl_spark.operators.dedup import lsh_cluster_stars
 
-    return lsh_cluster_stars(load_table(spark, sf_dir, "documents"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return lsh_cluster_stars(load_table(spark, sf_dir, "documents"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # --- text analysis (SURVEY.md §2.11 / north_star) -----------------------------
