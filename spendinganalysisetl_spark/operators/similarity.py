@@ -80,6 +80,51 @@ def brute_force_topk(
     return _topk_epilogue(scored, k)
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    label: int | str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-filtered exact cosine top-k: each query's neighbors are
+    ranked ONLY among corpus vectors carrying ``label`` — the
+    vector-search-with-predicate pattern (RAG retrieval scoped to a
+    tenant/source/language).
+
+    Semantics deliberately PRE-filter: the candidate set is restricted
+    before scoring, so the result is the true top-k of the filtered
+    corpus. The tempting alternative — run unfiltered ANN top-k, then
+    drop non-matching results (post-filtering) — silently returns FEWER
+    than k (or zero) hits whenever the global neighborhood is dominated
+    by other labels; that recall hole is the classic filtered-ANN
+    pitfall this operator exists to avoid. At scale the filter also
+    reaches the parquet scan (PushedFilters on the label column), so
+    the kernel only ever reads the matching slice — with a
+    label-partitioned layout (sources/partitioned.py) it prunes whole
+    directories.
+
+    Queries keep their own vectors regardless of their label; a query
+    that itself carries ``label`` is excluded from its candidates
+    (self-match rule unchanged).
+    """
+    queries = _probe(embeddings, query_ids).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = _spread(embeddings.filter(F.col("label") == label)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    return _topk_epilogue(scored, k)
+
+
 def brute_force_topk_blas(
     embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
 ) -> DataFrame:

@@ -931,6 +931,39 @@ def q_similarity_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(load_table(spark, sf_dir, "embeddings"), None, 5)
 
 
+@register(
+    "similarity_filtered_topk",
+    """
+WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE label = 3),
+     scored AS (
+  SELECT q.q_id, c.c_id,
+         round(
+           list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), (a,b) -> a+b)
+           / (sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))
+            * sqrt(list_reduce(list_transform(c.v, x -> x*x), (a,b) -> a+b))), 6) AS cos_sim
+  FROM q JOIN c ON c.c_id != q.q_id
+)
+SELECT q_id, c_id, cos_sim, rnk FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5 ORDER BY q_id, rnk
+""",
+)
+def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: exact top-k among label=3
+    candidates only — PRE-filtered so recall is exact (the post-filter
+    formulation silently under-returns; see
+    operators/similarity.py:filtered_topk). The label predicate reaches
+    the parquet scan (PushedFilters)."""
+    from spendinganalysisetl_spark.operators.similarity import filtered_topk
+
+    return filtered_topk(load_table(spark, sf_dir, "embeddings"), 3, None, 5)
+
+
 @register("similarity_lsh_topk")  # rows-only: approximate by design;
 # recall vs brute force is asserted in tests/test_similarity.py.
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

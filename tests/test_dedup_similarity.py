@@ -436,3 +436,33 @@ def test_lsh_star_clusters_equal_pair_clusters(spark, documents):
     # and the duplicated docs actually clustered (non-singleton)
     sizes = {r["doc_id"]: r["cluster_size"] for r in stars.collect()}
     assert sum(1 for s in sizes.values() if s >= 2) >= 100
+
+
+def test_filtered_topk_prefilter_beats_postfilter(spark):
+    """Filtered vector search must PRE-filter: with a query whose global
+    neighborhood is dominated by label 0, post-filtering the global
+    top-k to label 1 under-returns, while filtered_topk returns a full
+    k of label-1 candidates ranked exactly as the label-1 sub-corpus."""
+    from spendinganalysisetl_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_topk,
+    )
+
+    # query 0 at e1; 5 label-0 vectors hugging it; 5 label-1 vectors
+    # further away — the global top-5 is entirely label 0.
+    rows = [(0, [1.0, 0.0, 0.0], 9)]
+    rows += [(i, [1.0, 0.01 * i, 0.0], 0) for i in range(1, 6)]
+    rows += [(i, [1.0, 0.9 + 0.01 * i, 0.0], 1) for i in range(6, 11)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+    global_top = brute_force_topk(emb, [0], k=5).collect()
+    post = [r for r in global_top if r["c_id"] >= 6]  # post-filter to label 1
+    assert len(post) == 0, "global top-k contains no label-1 rows at all"
+
+    pre = filtered_topk(emb, 1, [0], k=5).collect()
+    assert len(pre) == 5 and all(6 <= r["c_id"] <= 10 for r in pre)
+    assert [r["rnk"] for r in pre] == [1, 2, 3, 4, 5]
+    # ranked by similarity within the filtered slice: closer y -> higher cos
+    assert [r["c_id"] for r in pre] == [6, 7, 8, 9, 10]
