@@ -318,6 +318,61 @@ def run_foreach_batch_upsert(
     q.awaitTermination()
 
 
+def run_foreach_batch_fanout(
+    stream_df: DataFrame,
+    sink_path: str,
+    factory,
+    table: str,
+    key: tuple[str, ...],
+    compare_col: str,
+    checkpoint: str | None = None,
+) -> None:
+    """One stream, TWO sinks, one delivery contract: each micro-batch
+    MERGEs into the parquet lake sink AND the external warehouse inside
+    a single foreachBatch — the lambda-architecture tail (lake for
+    reprocessing, warehouse for serving) without running the pipeline
+    twice.
+
+    There is no cross-system transaction here and foreachBatch offers
+    none: a crash between the two writes leaves the warehouse one batch
+    behind the lake until the replay. Consistency comes from BOTH legs
+    being idempotent keyed MERGEs (compare-gated, exactly like their
+    standalone drains) — the replayed batch re-applies as a no-op on
+    whichever sink already has it, so the pair re-converges instead of
+    double-counting. That is the standard exactly-once-at-each-table
+    recipe for non-transactional multi-sink fan-out; systems needing
+    atomic cross-sink visibility stage through ONE transactional sink
+    and replicate from it instead.
+
+    The batch is cached for the two consumers — without it each leg
+    re-runs the upstream stateful aggregation's output projection.
+    """
+    from spendinganalysisetl_spark.sources.dbsink import upsert_to_db
+    from spendinganalysisetl_spark.sources.upsert import merge_reports
+
+    def _fanout(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            merge_reports(
+                batch_df.sparkSession,
+                sink_path,
+                batch_df,
+                compare_col=compare_col,
+                key=key,
+            )
+            upsert_to_db(
+                batch_df, factory, table, key=key, compare_col=compare_col
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.outputMode("update").foreachBatch(_fanout)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def enriched_agg_stream(
     events: DataFrame,
     dim: DataFrame,

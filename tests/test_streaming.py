@@ -227,6 +227,73 @@ def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
     assert "id" in out.columns and "created_at" in out.columns
 
 
+def test_foreach_batch_fanout_two_sinks(spark, events_dir, tmp_path):
+    """Multi-sink fan-out: one drain lands the tumbling aggregation in
+    BOTH the parquet sink and the DuckDB warehouse, each equal to the
+    batch aggregation; a full REPLAY (fresh checkpoint, same source)
+    re-applies as a no-op on both sinks — the idempotence that makes
+    the non-transactional pair re-converge after a mid-fanout crash."""
+    import duckdb
+
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.operators.events import tumbling_counts
+    from spendinganalysisetl_spark.sources.upsert import read_reports
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_foreach_batch_fanout,
+        tumbling_agg_stream,
+    )
+
+    db = str(tmp_path / "serve.duckdb")
+
+    def _factory():
+        import duckdb
+
+        return duckdb.connect(db)
+
+    lake = str(tmp_path / "lake_sink")
+    agged = tumbling_agg_stream(read_event_stream(spark, events_dir)).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    key = ("window_start", "event_type")
+
+    def snapshot():
+        lake_rows = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 2))
+            for r in read_reports(spark, lake)
+            .select("window_start", "event_type", "n_events", "total_value")
+            .collect()
+        }
+        with duckdb.connect(db) as con:
+            wh_rows = {
+                (ws, et): (n, round(tv, 2))
+                for ws, et, n, tv in con.execute(
+                    'SELECT window_start, event_type, n_events, total_value FROM "window_report"'
+                ).fetchall()
+            }
+        return lake_rows, wh_rows
+
+    run_foreach_batch_fanout(
+        agged, lake, _factory, "window_report", key=key, compare_col="n_events"
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 2))
+        for r in tumbling_counts(load_table(spark, SF, "events"), 5).collect()
+    }
+    lake1, wh1 = snapshot()
+    assert lake1 == want and wh1 == want and len(want) > 0
+
+    # full replay (no checkpoint -> reprocesses the entire source):
+    # both MERGE legs must no-op, not double-count
+    run_foreach_batch_fanout(
+        agged, lake, _factory, "window_report", key=key, compare_col="n_events"
+    )
+    assert snapshot() == (lake1, wh1)
+
+
 def test_stream_static_join_matches_batch(spark, events_dir):
     """Stream-static broadcast enrichment: the streamed (window, segment)
     aggregation over events ⋈ static user-dimension must equal the batch
