@@ -1,0 +1,122 @@
+"""Distributed HTTP extract source (reference extractor parity,
+SURVEY.md §2.1 S1/S2 + §2.2 P4).
+
+The reference fetches one summary per upload id through a driver-side
+loop of blocking GETs (/root/reference/extractor.py:22-32 — the same
+N+1 access pattern it has at the database). The Spark-first shape of
+the same component:
+
+- the ID LIST is a DataFrame and the per-id fetch is fanned out across
+  executors with ``mapInPandas`` — N ids fetch with the cluster's
+  parallelism, not serially through one socket;
+- per-call retry with exponential backoff runs INSIDE the task (a
+  transient 5xx/timeout retries the one id, not the whole job — and a
+  task failure re-runs only its partition of ids);
+- the reference's failure rule is P4 made explicit: a fetch that
+  exhausts retries yields NO row (extractor.py returns ``{}`` and the
+  transformer drops it); the source is therefore at-most-once per id —
+  callers needing completeness anti-join the output ids against the
+  input and re-feed the difference;
+- the fetcher is an injected zero-state callable (same factory
+  discipline as ``dbsink.ConnectionFactory``) so the engine never
+  hard-codes an endpoint and tests run against a local server or a
+  plain fake.
+
+100 TB notes: the unit of work is an ID, so ``partitions`` is the
+concurrency knob exactly like the DB sink's — size it to what the
+upstream API sustains, not to the cluster width; per-partition the
+fetch is sequential, which is the polite client shape (a per-id thread
+pool inside tasks multiplies cluster-wide concurrency by cores and
+DDoSes the source).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Fetch one record by id: returns the record dict, or None for a
+# definitive "no data" (non-retryable miss). Exceptions are retryable.
+Fetcher = Callable[[int], dict | None]
+
+
+def http_json_fetcher(url_template: str, timeout_s: float = 10.0) -> Fetcher:
+    """requests-backed fetcher: GET ``url_template.format(id=...)``,
+    raise on HTTP errors (→ retried by ``fetch_records``), parse JSON.
+    Import-gated the same way as the snowflake branch in ``dbsink`` —
+    built lazily on the EXECUTOR, so config travels as a string, not a
+    pickled session."""
+
+    def _fetch(record_id: int) -> dict | None:
+        import requests
+
+        r = requests.get(url_template.format(id=record_id), timeout=timeout_s)
+        if r.status_code == 404:
+            return None  # definitive miss — no point retrying
+        r.raise_for_status()
+        return r.json()
+
+    return _fetch
+
+
+def fetch_records(
+    ids: DataFrame,
+    fetch_one: Fetcher,
+    schema: str,
+    id_col: str = "id",
+    partitions: int | None = None,
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+) -> DataFrame:
+    """Fan the per-id fetch out across the cluster: one output row per
+    id the fetcher answered, typed by ``schema`` (which must include
+    ``id_col`` — the fetched payload is keyed back to its id). Ids that
+    miss (fetcher returns None) or exhaust ``max_retries`` are DROPPED,
+    the reference's P4 rule; exceptions back off exponentially before
+    retrying."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    spark_schema = schema
+
+    def _fetch_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for record_id in pdf[id_col]:
+                rec = None
+                for attempt in range(max_retries):
+                    try:
+                        rec = fetch_one(int(record_id))
+                        break
+                    except Exception:
+                        if attempt + 1 < max_retries:
+                            time.sleep(backoff_s * (2**attempt))
+                if rec is not None:
+                    rows.append({**rec, id_col: int(record_id)})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _fields}
+            )
+
+    from pyspark.sql.types import StructType
+
+    _fields = (
+        StructType.fromDDL(spark_schema).fields
+        if isinstance(spark_schema, str)
+        else spark_schema.fields
+    )
+    spread = ids.repartition(
+        partitions or ids.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(_fetch_batches, spark_schema)
+
+
+def list_ids(spark: SparkSession, id_values: list[int]) -> DataFrame:
+    """The list endpoint's result as a DataFrame (the reference's
+    ``get_uploaded_files`` boundary): callers fetch the id list however
+    their API exposes it — one cheap driver-side GET is fine for a list
+    endpoint — and hand the DISTRIBUTION problem (the N+1 fan-out) to
+    ``fetch_records``."""
+    return spark.createDataFrame([(int(i),) for i in id_values], "id long")
