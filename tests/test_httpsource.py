@@ -116,3 +116,60 @@ def test_http_json_fetcher_roundtrip(spark, summary_server):
         ).collect()
     }
     assert out == {1: 100, 5: 500}
+
+
+def test_end_to_end_etl_extract_transform_load(spark, summary_server, tmp_path):
+    """The reference's WHOLE pipeline (extractor.py → transformer.py →
+    loader.py) as one distributed flow: per-id summaries fetched
+    through the executor fan-out, aggregated into the per-category
+    report, MERGEd into the warehouse through the
+    staged DBAPI sink — every stage cluster-parallel, the driver only
+    coordinates. Re-running the whole pipeline is a warehouse no-op
+    (the conditional upsert's idempotence, reference transformer
+    rule)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.dbsink import upsert_to_db
+
+    db = str(tmp_path / "warehouse.duckdb")
+
+    def _factory():
+        import duckdb
+
+        return duckdb.connect(db)
+
+    def run_pipeline():
+        # EXTRACT: the id list endpoint result -> distributed per-id fetch
+        fetched = fetch_records(
+            list_ids(spark, [1, 2, 3, 4, 5, 6]),
+            http_json_fetcher(summary_server + "/uploads/{id}/summary/"),
+            SCHEMA,
+            backoff_s=0.01,
+        )
+        # TRANSFORM: the reference's per-category rollup
+        report = fetched.groupBy("category").agg(
+            F.count(F.lit(1)).cast("long").alias("n_uploads"),
+            F.sum("total").cast("long").alias("grand_total"),
+        )
+        # LOAD: staged set-based MERGE at the warehouse
+        upsert_to_db(
+            report, _factory, "category_report",
+            key=("category",), compare_col="n_uploads",
+        )
+
+    run_pipeline()
+    with duckdb.connect(db) as con:
+        got = con.execute(
+            'SELECT category, n_uploads, grand_total FROM "category_report"'
+        ).fetchall()
+    # ids 1..6: id 5 needs a retry (first hit 500s) and id 7 isn't asked;
+    # all six land under category 'net' with total = 100 * sum(1..6)
+    assert got == [("net", 6, 2100)]
+
+    run_pipeline()  # replay: MERGE no-ops, nothing double-counts
+    with duckdb.connect(db) as con:
+        again = con.execute(
+            'SELECT category, n_uploads, grand_total FROM "category_report"'
+        ).fetchall()
+    assert again == got
