@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Rule:
     name: str
-    violation: F.Column  # true where the row VIOLATES the expectation
+    violation: F.Column | None  # true where the row VIOLATES the expectation
+    # Explicit routing marker: "scalar" rules compile to conditional sums;
+    # "unique" rules need a grouped aggregation over ``col``. Routing on
+    # the marker (not a "_unique" substring of the NAME) means a scalar
+    # rule over a column literally named "is_unique_flag" still lands in
+    # the scalar branch.
+    kind: str = "scalar"
+    col: str | None = None
 
 
 def _fmt(x) -> str:
@@ -49,7 +56,7 @@ def accepted_values_rule(col: str, values: list) -> Rule:
 def unique_rule(col: str) -> Rule:
     """Marker rule — uniqueness needs an aggregation, handled by
     check_expectations separately (a window/groupBy, not a scalar)."""
-    return Rule(f"{col}_unique", F.lit(None))
+    return Rule(f"{col}_unique", None, kind="unique", col=col)
 
 
 def check_expectations(
@@ -66,8 +73,8 @@ def check_expectations(
     - ``fk`` triples ``(child_col, parent_df, parent_col)``: orphan rows
       via LEFT ANTI join against the (deduplicated, key-only) parent.
     """
-    scalar = [r for r in rules if r.violation is not None and "_unique" not in r.name]
-    uniques = [r for r in rules if "_unique" in r.name]
+    scalar = [r for r in rules if r.kind == "scalar"]
+    uniques = [r for r in rules if r.kind == "unique"]
 
     # ALL verdicts assemble into ONE single-row frame — the scalar rules
     # as conditional sums of one full scan, each unique/FK count as a
@@ -85,7 +92,7 @@ def check_expectations(
 
     extra_names: list[str] = []
     for r in uniques:
-        col = r.name.removesuffix("_unique")
+        col = r.col if r.col is not None else r.name.removesuffix("_unique")
         dup = df.groupBy(col).count().filter(F.col("count") > 1)
         wide = wide.crossJoin(
             dup.agg(

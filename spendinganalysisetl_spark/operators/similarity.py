@@ -74,7 +74,7 @@ def brute_force_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
     return _topk_epilogue(scored, k)
@@ -119,7 +119,7 @@ def filtered_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
     return _topk_epilogue(scored, k)
@@ -218,7 +218,9 @@ def brute_force_topk_blas(
     cand = _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
         _score, "q_id long, c_id long, cos_sim double"
     )
-    scored = cand.select("q_id", "c_id", F.round("cos_sim", 6).alias("cos_sim"))
+    scored = cand.select(
+        "q_id", "c_id", (F.round("cos_sim", 6) + F.lit(0.0)).alias("cos_sim")
+    )
     return _topk_epilogue(scored, k)
 
 
@@ -302,7 +304,7 @@ def lsh_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
@@ -578,9 +580,9 @@ def pairwise_dot_stats(embeddings: DataFrame, id_cap: int = 50) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(dot(F.col("v_a"), F.col("v_b")).alias("d"))
         .agg(
-            F.round(F.avg("d"), 4).alias("mean_dot"),
-            F.round(F.min("d"), 4).alias("min_dot"),
-            F.round(F.max("d"), 4).alias("max_dot"),
+            (F.round(F.avg("d"), 4) + F.lit(0.0)).alias("mean_dot"),
+            (F.round(F.min("d"), 4) + F.lit(0.0)).alias("min_dot"),
+            (F.round(F.max("d"), 4) + F.lit(0.0)).alias("max_dot"),
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )

@@ -297,8 +297,12 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
-            F.round(
-                -F.sum(F.col("c") * F.log2(p_w)) / F.sum("c"), 4
+            # + 0.0 canonicalizes IEEE -0.0 (the negation yields -0.0
+            # for an all-dominant-term doc; engines disagree on the
+            # sign bit while the value hash distinguishes it).
+            (
+                F.round(-F.sum(F.col("c") * F.log2(p_w)) / F.sum("c"), 4)
+                + F.lit(0.0)
             ).alias("cross_entropy"),
         )
     )

@@ -396,7 +396,10 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
-            F.round(F.log2(num / den), 4).alias("pmi"),
+            # ``+ 0.0`` canonicalizes IEEE signed zero: a tiny negative
+            # PMI rounds to ``-0.0`` in DuckDB but ``+0.0`` here — value
+            # -equal yet hash-distinct (the round-2 driver red row).
+            (F.round(F.log2(num / den), 4) + F.lit(0.0)).alias("pmi"),
         )
         .repartition(1)
         .sortWithinPartitions("w1", "w2")

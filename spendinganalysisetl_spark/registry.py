@@ -915,7 +915,7 @@ WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBL
          round(
            list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), (a,b) -> a+b)
            / (sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))
-            * sqrt(list_reduce(list_transform(c.v, x -> x*x), (a,b) -> a+b))), 6) AS cos_sim
+            * sqrt(list_reduce(list_transform(c.v, x -> x*x), (a,b) -> a+b))), 6) + 0.0 AS cos_sim
   FROM q JOIN c ON c.c_id != q.q_id
 )
 SELECT q_id, c_id, cos_sim, rnk FROM (
@@ -943,7 +943,7 @@ WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBL
          round(
            list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), (a,b) -> a+b)
            / (sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))
-            * sqrt(list_reduce(list_transform(c.v, x -> x*x), (a,b) -> a+b))), 6) AS cos_sim
+            * sqrt(list_reduce(list_transform(c.v, x -> x*x), (a,b) -> a+b))), 6) + 0.0 AS cos_sim
   FROM q JOIN c ON c.c_id != q.q_id
 )
 SELECT q_id, c_id, cos_sim, rnk FROM (
@@ -981,8 +981,8 @@ WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   SELECT list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (x,y) -> x+y) AS d
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 )
-SELECT round(avg(d), 4) AS mean_dot, round(min(d), 4) AS min_dot,
-       round(max(d), 4) AS max_dot, count(*) AS n_pairs
+SELECT round(avg(d), 4) + 0.0 AS mean_dot, round(min(d), 4) + 0.0 AS min_dot,
+       round(max(d), 4) + 0.0 AS max_dot, count(*) AS n_pairs
 FROM d
 """,
 )
@@ -1272,7 +1272,7 @@ SELECT vendor,
        count(*) AS n_months,
        round(regr_slope(m_total,
              CAST(substr(month, 1, 4) AS INTEGER) * 12
-             + CAST(substr(month, 6, 2) AS INTEGER)), 4) AS slope
+             + CAST(substr(month, 6, 2) AS INTEGER)), 4) + 0.0 AS slope
 FROM monthly GROUP BY vendor ORDER BY vendor
 """,
 )
@@ -1301,8 +1301,14 @@ def q_vendor_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly.groupBy("vendor")
         .agg(
             F.count(F.lit(1)).alias("n_months"),
-            F.round(
-                F.regr_slope(F.col("m_total"), F.col("midx").cast("double")), 4
+            # + 0.0 canonicalizes IEEE -0.0 (DuckDB round emits it for
+            # tiny negative slopes; Spark doesn't) — the bigram_pmi class.
+            (
+                F.round(
+                    F.regr_slope(F.col("m_total"), F.col("midx").cast("double")),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("slope"),
         )
         .repartition(1).sortWithinPartitions("vendor")
@@ -2409,7 +2415,7 @@ SELECT name, period,
        CASE WHEN prev IS NULL THEN 0.0
             WHEN prev = 0 AND dmc = 0 THEN 0.0
             WHEN prev = 0 THEN NULL
-            ELSE round((dmc - prev) / CAST(prev AS DOUBLE), 6) END AS pct_num
+            ELSE round((dmc - prev) / CAST(prev AS DOUBLE), 6) + 0.0 END AS pct_num
 FROM (
   SELECT name, period, dmc,
          lag(dmc) OVER (PARTITION BY name ORDER BY period) AS prev
@@ -2442,7 +2448,7 @@ def q_monthly_pct_change_inf_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pct == F.lit(float("-inf")), F.lit("-inf"))
         .otherwise(F.lit("num"))
     )
-    num = F.when(kind == "num", F.round(pct, 6)).otherwise(
+    num = F.when(kind == "num", F.round(pct, 6) + F.lit(0.0)).otherwise(
         F.lit(None).cast("double")
     )
     return (
@@ -2940,7 +2946,7 @@ bigr0 AS (SELECT split_part(p, chr(9), 1) AS w1, split_part(p, chr(9), 2) AS w2,
 bigr AS (SELECT w1, w2, c_ab, sum(c_ab) OVER () AS b_total FROM bigr0)
 SELECT b.w1, b.w2, b.c_ab, a.c_w AS c_a, c.c_w AS c_b,
        round(log2((CAST(b.c_ab AS DOUBLE) * a.n_total * a.n_total)
-                  / (CAST(b.b_total AS DOUBLE) * a.c_w * c.c_w)), 4) AS pmi
+                  / (CAST(b.b_total AS DOUBLE) * a.c_w * c.c_w)), 4) + 0.0 AS pmi
 FROM bigr b JOIN unig a ON b.w1 = a.w JOIN unig c ON b.w2 = c.w
 WHERE b.c_ab >= 5
 ORDER BY b.w1, b.w2
@@ -3155,7 +3161,7 @@ vocab AS (SELECT term, sum(c) AS c_w FROM dc GROUP BY term),
 v2 AS (SELECT term, c_w, sum(c_w) OVER () AS n_total FROM vocab)
 SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_tokens,
        round(-sum(dc.c * log2(CAST(v2.c_w AS DOUBLE) / v2.n_total)) / sum(dc.c), 4)
-         AS cross_entropy
+         + 0.0 AS cross_entropy
 FROM dc JOIN v2 USING (term) GROUP BY dc.doc_id ORDER BY dc.doc_id
 """,
 )
@@ -3633,7 +3639,7 @@ _CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
     "corr_matrix_lineitem",
     "\nUNION ALL\n".join(
         f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-       round(corr({a}, {b}), 6) AS pearson_r
+       round(corr({a}, {b}), 6) + 0.0 AS pearson_r
 FROM lineitem"""
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1 :]
@@ -3655,7 +3661,7 @@ def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     one = li.agg(
         *[
-            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            (F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(f"{a}__{b}")
             for a, b in pairs
         ]
     )
@@ -3723,10 +3729,83 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the row count, which the local suite already pins).
 
 _CHECK_FIRST: list[str] = [
-    # r1 driver FAILs (DuckDB HUGEINT typing, fixed) — must re-check.
+    # -- Round 3 window. Goal: after this round EVERY oracle-backed
+    # query has at least one green driver row across r1-r3. ----------
+    # The 8 oracle-backed queries with NO driver row after two rounds
+    # (the whole remaining correctness debt — VERDICT r2 ask #1).
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "fuzzy_pairs_levenshtein",
+    "events_value_anomalies",
+    "length_bucket_profile",
+    "dq_check_lineitem",
+    "corr_matrix_lineitem",
+    "similarity_brute_force_topk_blas",
+    # The r2 red row — signed-zero canonicalization applied (Spark
+    # `+ F.lit(0.0)`, oracle `+ 0.0`); must re-check green.
+    "bigram_pmi_collocations",
+    # Queries whose CODE changed in round 3 and therefore need a fresh
+    # driver row (r1/r2 greens predate the change):
+    #  * signed-zero canonicalization (+0.0 on rounded floats):
+    "similarity_brute_force_topk",
+    "similarity_filtered_topk",
+    "similarity_pairwise_dot_stats",
+    "vendor_monthly_trend",
+    "monthly_pct_change_inf_ref",
+    "doc_cross_entropy",
+    #  * MERGE delete_where 3VL coalesce (sources/upsert.py):
+    "merge_delete_retention",
+    "upsert_time_travel",
+    "upsert_merge_monthly",
+    #  * quality-rule routing marker (operators/quality.py) is covered
+    #    by dq_check_lineitem above; shard pipeline re-planned to ≤2
+    #    corpus scans this round:
+    "training_shard_pipeline",
+    # Rotation of demoted r1 greens whose code saw the most r2
+    # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
+    "category_totals",
+    "monthly_pct_change_last",
+    "near_dup_clusters",
+    "corpus_curation",
+    "text_quality_scores",
+    "asof_join_click_purchase",
+    "report_fi_summary",
+    "ngram_jaccard_pairs",
+    "join_revenue_by_nation",
+    "dedup_exact_survivors",
+    # Further rotation backfill (r1 greens, never re-checked since):
+    # tail slots here are the first to yield to new r3 queries.
+    "cube_returnflag_linestatus",
+    "rollup_returnflag_linestatus",
+    "setop_union_nations",
+    "join_anti_customers_without_orders",
+    "window_top_orders_per_customer",
+    "window_monthly_running_total",
+    "monthly_avg_absent_as_zero",
+    "text_lang_id",
+    "scalar_functions_showcase",
+    "proj_order_dates",
+    "point_query_order",
+    "bottom5_vendors_ref_compat",
+    "vendor_totals",
+    "category_totals_ref_roundsum",
+    "top5_vendors",
+    "unique_categories",
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "window_rank_dense_rank",
+    "monthly_pivot_wide",
+    "dedup_stats",
+]
+
+_CHECK_LATE: list[str] = [
+    # Every name below holds a GREEN driver row from CORRECTNESS_r02
+    # (sf0.01 rows+schema+hash all true) and its code is unchanged in
+    # round 3 — demoted to spend the 50-slot window on never-checked /
+    # changed-code queries. The local oracle-parity gate
+    # (tests/test_oracle_parity.py) still covers every one each run.
     "events_sessionize",
     "text_corpus_stats",
-    # r1 oracle-backed but outside the driver's window — must check.
     "minhash_lsh_pairs_portable",
     "simhash_near_pairs_portable",
     "cosine_near_dup_pairs",
@@ -3747,89 +3826,37 @@ _CHECK_FIRST: list[str] = [
     "text_repetition_scores",
     "split_profile",
     "doc_length_histogram",
-    # round-2 additions (never driver-checked) — trainprep family.
     "decontaminate_ngram_overlap",
     "boilerplate_ngram_stats",
     "sequence_packing_bins",
     "pii_scrub_documents",
     "domain_mix_weights",
     "incremental_dedup_batch",
-    "training_shard_pipeline",
     "vocab_top_terms",
-    # Must-keep driver rows the round-2 additions would otherwise push
-    # out of the 50-slot window: the only streaming oracle row (drain
-    # semantics changed in r2) and the W1 inf-quirk pin.
     "stream_tumbling_5min",
-    "monthly_pct_change_inf_ref",
-    # Later round-2 additions, never driver-checked.
     "corpus_shuffle_shards",
     "events_props_json_stats",
     "embedding_label_audit",
     "source_quality_report",
-    "bigram_pmi_collocations",
-    # Round-2 wave 3 (never driver-checked): sink time travel + MERGE
-    # delete leg, keyword/divergence scoring, numeric profiling.
-    "merge_delete_retention",
-    "upsert_time_travel",
-    "doc_cross_entropy",
     "tfidf_top_terms",
     "numeric_profile_lineitem",
     "vocab_zipf_fit",
     "incremental_monthly_refresh",
     "embedding_quantize_int8",
-]
-
-_CHECK_LATE: list[str] = [
-    # Same-oracle twins (the sibling is in-window).
-    "similarity_brute_force_topk_blas",  # oracle shared with similarity_brute_force_topk
-    "events_session_window_native",  # oracle shared with events_sessionize
-    "events_tumbling_5min",  # oracle shared with stream_tumbling_5min (in-window, r1 green)
-    # Demoted r1 greens whose mechanism is pinned by an in-window sibling
-    # (making room for the round-2 trainprep family).
-    "cube_returnflag_linestatus",  # grouping_sets_revenue generalizes cube
-    "rollup_returnflag_linestatus",  # grouping_sets_revenue generalizes rollup too
-    "setop_union_nations",  # distinct-union; ALL-form setops + unique-election in-window
-    "join_anti_customers_without_orders",  # anti leg runs inside upsert_merge_monthly's insert arm
-    "window_top_orders_per_customer",  # row_number top-k == corpus_curation's survivor election
-    "window_monthly_running_total",  # cumulative frame == window_rolling_3mo_avg's (in-window)
-    "dedup_exact_survivors",  # fp survivor election runs inside corpus_curation, incremental_dedup_batch, training_shard_pipeline (all in-window)
-    # r1-green rows demoted for the wave-3 additions: each mechanism is
-    # pinned by an in-window sibling (and keeps its r1 driver row).
-    "category_totals",  # groupBy-sum runs inside report_fi_summary / vendor_monthly_trend (in-window)
-    "monthly_pct_change_last",  # pct_change + last-row pinned by monthly_pct_change_inf_ref (in-window)
-    "monthly_avg_absent_as_zero",  # densified-matrix mean inside monthly_unpivot_roundtrip; quirk unit-pinned
-    "join_revenue_by_nation",  # broadcast dim-join agg inside report_fi_summary (in-window, plan-audited)
-    "ngram_jaccard_pairs",  # exact-Jaccard verify leg runs inside minhash_lsh_pairs_portable (in-window)
-    "text_quality_scores",  # quality gate composed into corpus_curation + training_shard_pipeline (in-window)
-    "similarity_brute_force_topk",  # cosine kernel pinned by cosine_near_dup_pairs (in-window); blas twin shares this oracle
-    "proj_order_dates",  # projection pruning plan-audited (test_plan_audit); r1 green
-    "point_query_order",  # predicate pushdown plan-audited; r1 green
-    "upsert_merge_monthly",  # MERGE legs pinned by merge_delete_retention + upsert_time_travel (in-window)
-    "text_lang_id",  # r1 green; closed-form marker projection — no join/agg mechanism that isn't already in-window
-    "corpus_curation",  # r1 green; training_shard_pipeline (in-window) composes the same quality-gate → dedup election
-    "vendor_monthly_trend",  # r1 green; regr_slope aggregate re-exercised by vocab_zipf_fit (in-window)
-    "bottom5_vendors_ref_compat",  # r1 green; the top_5=bottom-5 quirk is unit-pinned (test_quirks) and top5 sibling already demoted
-    "near_dup_clusters",  # r1 green; the iterative-CC survivor election also runs inside corpus_curation/training pipelines
-    "scalar_functions_showcase",  # r1 green; the F1-F8 scalars are exercised across the in-window catalog
-    "report_fi_summary",  # r1 green AND re-run every round by the entry() smoke (same assembly plan)
-    "asof_join_click_purchase",  # r1 green and unchanged since; demoted for the never-checked int8-quantize row
-    # Pure variants of an in-window sibling.
-    "category_totals_ref_roundsum",  # category_totals + round-then-sum quirk (unit-pinned)
-    "top5_vendors",  # sort-flip of bottom5_vendors_ref_compat
-    "vendor_totals",  # category_totals shape on the vendor dim (vendor_monthly_trend in-window)
-    "unique_categories",  # DISTINCT, covered by dedup_exact_survivors + setop_union_nations
-    "setop_intersect_nations",  # ALL-form in-window
-    "setop_except_nations",  # ALL-form in-window
-    "window_rank_dense_rank",  # window family: topk/running/rolling/navigation in-window
-    "monthly_pivot_wide",  # pivot leg exercised inside monthly_unpivot_roundtrip
-    "monthly_category_amounts",  # equals the long output of monthly_unpivot_roundtrip
-    "dedup_stats",  # summary counts of dedup_exact_survivors
-    "text_token_counts",  # token features re-derived inside text_quality_scores
-    "text_fingerprints",  # fingerprint path re-exercised by the portable MinHash/SimHash proofs
-    "report_global_summary",  # subsumed by report_fi_summary assembly
-    "join_left_order_counts",  # outer-null semantics covered by join_full_outer_nation_counts
-    "join_semi_customers_with_orders",  # J2 probe; anti leg + MERGE probe in-window
-    "similarity_pairwise_dot_stats",  # kernel pinned by brute_force topk + blas twin
+    "events_props_variant_stats",
+    "chunk_documents_sliding",
+    "scd2_customer_dim",
+    "events_gap_fill_hourly",
+    # Same-oracle twins / pure variants of an in-window or r2-green
+    # sibling (kept green by the same local gate).
+    "events_session_window_native",  # oracle shared with events_sessionize (r2 green)
+    "events_tumbling_5min",  # oracle shared with stream_tumbling_5min (r2 green)
+    "join_left_order_counts",  # outer-null semantics covered by join_full_outer_nation_counts (r2 green)
+    "join_semi_customers_with_orders",  # J2 probe; anti leg in-window via join_anti_customers_without_orders
+    "report_global_summary",  # subsumed by report_fi_summary assembly (in-window)
+    "text_token_counts",  # token features re-derived inside text_quality_scores (in-window)
+    "text_fingerprints",  # fingerprint path re-exercised by the portable MinHash/SimHash proofs (r2 green)
+    "monthly_category_amounts",  # equals the long output of monthly_unpivot_roundtrip (r2 green)
 ]
 
 

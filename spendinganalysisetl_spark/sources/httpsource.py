@@ -53,8 +53,12 @@ def http_json_fetcher(url_template: str, timeout_s: float = 10.0) -> Fetcher:
         import requests
 
         r = requests.get(url_template.format(id=record_id), timeout=timeout_s)
-        if r.status_code == 404:
-            return None  # definitive miss — no point retrying
+        # Every 4xx except 429 is a DEFINITIVE client-side verdict
+        # (404 missing, 400/401/403/410 rejected) — retrying burns
+        # executor task-slot time on a doomed id. Only timeouts,
+        # connection errors, 429 rate-limits, and 5xx are transient.
+        if 400 <= r.status_code < 500 and r.status_code != 429:
+            return None
         r.raise_for_status()
         return r.json()
 

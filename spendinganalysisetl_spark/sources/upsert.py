@@ -261,10 +261,16 @@ def merge_frames(
     matched = F.col("s._s_present").isNotNull() & F.col("t._t_present").isNotNull()
     action = F.when(t_missing, F.lit("inserted"))
     if delete_where is not None:
-        action = action.when(matched & delete_where, F.lit("deleted"))
+        # Coalesce the 3VL predicate ONCE: a NULL-evaluating delete_where
+        # (nullable retention column) must mean "don't delete" in every
+        # place the predicate is consulted — otherwise the action label
+        # (NULL → when skips → 'updated'/'kept') and the take_batch gate
+        # (NULL → _merged_col falls through to target values) disagree.
+        del_fires = F.coalesce(matched & delete_where, F.lit(False))
+        action = action.when(del_fires, F.lit("deleted"))
         # Deleted rows show the target side; the update comparison must
         # not steal them, so gate take_batch on NOT deleted.
-        take_batch = take_batch & ~(matched & delete_where)
+        take_batch = take_batch & ~del_fires
     action = action.when(batch_wins, F.lit("updated")).otherwise(F.lit("kept"))
     sel = [_merged_col(c, key, take_batch) for c in batch.columns]
     return joined.select(*sel, action.alias("action"))
@@ -332,8 +338,11 @@ def merge_reports(
         matched = (
             F.col("s._s_present").isNotNull() & F.col("t._t_present").isNotNull()
         )
-        joined = joined.filter(~(matched & delete_where))
-        take_batch = take_batch & ~(matched & delete_where)
+        # Same 3VL rule as merge_frames: NULL predicate = keep the row
+        # (an un-coalesced filter(~NULL) silently DELETED it).
+        del_fires = F.coalesce(matched & delete_where, F.lit(False))
+        joined = joined.filter(~del_fires)
+        take_batch = take_batch & ~del_fires
     sel = []
     for c in [f.name for f in target.schema.fields]:
         if c == "id":

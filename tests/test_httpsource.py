@@ -79,6 +79,10 @@ def summary_server():
                 self.send_response(404)
                 self.end_headers()
                 return
+            if upload_id == 9:
+                self.send_response(403)
+                self.end_headers()
+                return
             if upload_id == 5 and hits[upload_id] == 1:
                 self.send_response(500)
                 self.end_headers()
@@ -98,8 +102,9 @@ def summary_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    srv.hit_counts = hits  # exposed for retry-count assertions
     try:
-        yield f"http://127.0.0.1:{srv.server_port}"
+        yield f"http://127.0.0.1:{srv.server_port}", srv
     finally:
         srv.shutdown()
 
@@ -108,14 +113,20 @@ def test_http_json_fetcher_roundtrip(spark, summary_server):
     """End-to-end through requests against a real local server: 200s
     land as rows, the 404 id drops without retries, the flaky-500 id
     succeeds on the retry."""
-    fetcher = http_json_fetcher(summary_server + "/uploads/{id}/summary/")
+    url, srv = summary_server
+    fetcher = http_json_fetcher(url + "/uploads/{id}/summary/")
     out = {
         r["id"]: r["total"]
         for r in fetch_records(
-            list_ids(spark, [1, 5, 7]), fetcher, SCHEMA, backoff_s=0.01
+            list_ids(spark, [1, 5, 7, 9]), fetcher, SCHEMA, backoff_s=0.01
         ).collect()
     }
     assert out == {1: 100, 5: 500}
+    # non-retryable 4xx verdicts must not burn retries in the executor:
+    # one hit each for the 404 and the 403, two for the flaky 500.
+    assert srv.hit_counts[7] == 1
+    assert srv.hit_counts[9] == 1
+    assert srv.hit_counts[5] == 2
 
 
 def test_end_to_end_etl_extract_transform_load(spark, summary_server, tmp_path):
@@ -143,7 +154,7 @@ def test_end_to_end_etl_extract_transform_load(spark, summary_server, tmp_path):
         # EXTRACT: the id list endpoint result -> distributed per-id fetch
         fetched = fetch_records(
             list_ids(spark, [1, 2, 3, 4, 5, 6]),
-            http_json_fetcher(summary_server + "/uploads/{id}/summary/"),
+            http_json_fetcher(summary_server[0] + "/uploads/{id}/summary/"),
             SCHEMA,
             backoff_s=0.01,
         )

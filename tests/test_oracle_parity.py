@@ -44,6 +44,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            # IEEE -0.0: value-equal to +0.0 in Python but hash-distinct
+            # in the driver (r2: bigram_pmi red on exactly this) — make
+            # the local gate fail the same way the driver would.
+            return "-0.0"
         return round(v, 6)
     return v
 

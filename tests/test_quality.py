@@ -47,6 +47,24 @@ def test_rules_count_planted_violations(spark):
     assert out["amount_not_null"]["passed"] == 0
 
 
+def test_scalar_rule_over_unique_named_column_routes_scalar(spark):
+    """Routing regression: a SCALAR rule over a column whose name
+    contains '_unique' must stay in the scalar branch (the old
+    substring-of-name routing misrouted it into the uniqueness
+    branch and grouped by a nonexistent column)."""
+    df = spark.createDataFrame(
+        [(1, True), (2, None), (2, True)], "id long, is_unique_flag boolean"
+    )
+    out = {
+        r["rule"]: r
+        for r in check_expectations(
+            df, [not_null_rule("is_unique_flag"), unique_rule("id")]
+        ).collect()
+    }
+    assert out["is_unique_flag_not_null"]["n_violations"] == 1
+    assert out["id_unique"]["n_violations"] == 1
+
+
 def test_all_pass_and_single_scan(spark):
     df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
     out = check_expectations(

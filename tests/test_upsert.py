@@ -205,6 +205,52 @@ def test_merge_frames_delete_action(spark):
     assert out["2024-02-01"]["action"] == "inserted"
 
 
+def test_merge_delete_null_predicate_keeps_row(spark, sink):
+    """3VL regression: a delete_where that evaluates NULL (nullable
+    retention column) must mean KEEP, in both the relational form and
+    the file-backed sink — an un-coalesced ``filter(~NULL)`` silently
+    dropped the row while merge_frames labeled it kept/updated."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.upsert import merge_frames
+
+    target = _batch(
+        spark,
+        [
+            ("2024-01-01", "2024-01-31", 10, None),   # NULL spent → NULL predicate
+            ("2024-02-01", "2024-02-29", 10, 10.0),   # predicate true → deleted
+            ("2024-03-01", "2024-03-31", 10, 500.0),  # predicate false → kept/updated
+        ],
+    )
+    batch = _batch(
+        spark,
+        [
+            ("2024-01-01", "2024-01-31", 15, 150.0),
+            ("2024-02-01", "2024-02-29", 15, 150.0),
+            ("2024-03-01", "2024-03-31", 15, 550.0),
+        ],
+    )
+    pred = F.col("t.total_spent") < F.lit(50.0)  # NULL on the NULL-spent row
+
+    out = {
+        r["begin_date"]: r
+        for r in merge_frames(target, batch, delete_where=pred).collect()
+    }
+    assert out["2024-01-01"]["action"] == "updated"
+    # the 'updated' label must actually carry the BATCH values
+    assert out["2024-01-01"]["total_spent"] == 150.0
+    assert out["2024-02-01"]["action"] == "deleted"
+    assert out["2024-03-01"]["action"] == "updated"
+
+    write_reports(target, sink, mode="overwrite")
+    merge_reports(spark, sink, batch, delete_where=pred)
+    rows = {r["begin_date"]: r for r in read_reports(spark, sink).collect()}
+    assert set(rows) == {"2024-01-01", "2024-03-01"}, (
+        "NULL predicate row must survive the sink MERGE"
+    )
+    assert rows["2024-01-01"]["total_spent"] == 150.0
+
+
 def test_merge_additive_folds_partials(spark):
     """Incremental view maintenance: overlapping keys sum, disjoint keys
     pass through from either side."""
