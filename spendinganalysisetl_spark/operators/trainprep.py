@@ -171,6 +171,25 @@ def pack_sequences(
     base = _spread(documents.select("doc_id", "text")).select(
         "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tok")
     )
+    return _pack_from_counts(base, budget, bucket_width)
+
+
+def _pack_from_counts(
+    base: DataFrame, budget: int, bucket_width: int
+) -> DataFrame:
+    """Packing core over a pre-tokenized ``(doc_id, n_tok)`` frame —
+    split out so ``build_training_shards`` can pack without re-scanning
+    the corpus (it already carries ``n_tok`` on its per-doc frame).
+
+    The bucket-offset table and the positioned join both consume
+    ``base``, and Spark re-executes forked branches from the source —
+    so ``base`` is persisted: it is 16 bytes/doc (vs the corpus's
+    ~10 MB/doc), i.e. ~160 GB cluster-wide at 10^10 docs, a negligible
+    MEMORY_AND_DISK footprint that converts a guaranteed full upstream
+    re-execution (scan + tokenize + shuffle) into one pass."""
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     bucketed = base.withColumn(
         "bucket", F.floor(F.col("doc_id") / F.lit(int(bucket_width)))
     )
@@ -224,28 +243,86 @@ def build_training_shards(
     concatenate-and-chunk sequence packing of the surviving stream
     (``pack_sequences``). Output = per-bin packing manifest.
 
-    Composability is the point: each stage is the presentation-free
-    core of its standalone operator, so Catalyst sees one tree — the
-    quality gate prunes before the dedup shuffle, the decon verdict is
-    a doc_id join (ids only, not text), and nothing materializes or
-    sorts between stages. At 100 TB each stage's scale shape is
-    unchanged from its standalone form (see the respective docstrings).
+    Composability is the point: Catalyst sees one tree — the quality
+    gate prunes before the dedup shuffle, the decon verdict is a doc_id
+    aggregation (ids only, not text), and nothing materializes or sorts
+    between stages.
 
-    The branches deliberately RE-SCAN the documents parquet (the static
-    plan shows one FileScan per branch) rather than caching the shared
-    projection: a (doc_id, text) cache IS the corpus — at 100 TB it
-    spills to executor disk and a columnar re-scan with column pruning
-    is cheaper than a disk-cache round-trip; identical scan+spread
-    subtrees also dedupe at runtime via AQE exchange reuse.
+    Scale shape — the corpus is scanned exactly TWICE at runtime
+    (asserted structurally in tests/test_plan_audit): one narrow scan
+    derives the distinct benchmark-gram set (broadcast side), and ONE
+    enriched scan computes every per-doc feature the pipeline needs —
+    fingerprint, quality score, token count, and the exploded gram
+    stream — in a single codegen projection. Both packing consumers
+    read the persisted per-doc frame (see ``_pack_from_counts``), so
+    its one-time build holds the only two corpus FileScans. All later
+    stages (survivor election, decon verdict, sequence packing) operate
+    on the aggregated per-doc frame (doc_id + a few scalars, no text),
+    so no further corpus scan, cache, or spill exists at 100 TB. The
+    earlier form forked ``curated_docs`` / ``decon_counts`` /
+    ``pack_sequences`` off the raw input and paid 3 full tokenizing
+    scans — Spark plans no exchange reuse across forked aggregate
+    branches (SURVEY.md §8), so fusing the forks onto one flow is the
+    same window/carry idiom that fixed tfidf and PMI.
+
+    Semantics are pinned by the DuckDB oracle (registry): survivor
+    election runs over ALL quality-passing docs (benchmark rows and
+    zero-gram rows compete for fingerprints); the packed set is the
+    non-benchmark, ≥1-gram, zero-overlap, elected survivors.
     """
-    from spendinganalysisetl_spark.operators.textanalysis import curated_docs
+    from spendinganalysisetl_spark.operators.textanalysis import (
+        _quality_parts,
+        fingerprint,
+    )
 
-    keep = curated_docs(documents, min_quality).select("doc_id")
-    clean = decon_counts(documents, n, bench_mod).filter(
-        F.col("n_hits") == 0
-    ).select("doc_id")
-    shard_docs = documents.join(keep, "doc_id").join(clean, "doc_id")
-    return pack_sequences(shard_docs, budget=budget, bucket_width=bucket_width)
+    _, _, _, score = _quality_parts()
+    enriched = _spread(documents.select("doc_id", "n_chars", "text")).select(
+        "doc_id",
+        ((F.col("doc_id") % bench_mod) == 0).alias("is_bench"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.round(score, 2).alias("quality_score"),
+        F.size(ws_tokens(F.col("text"))).alias("n_tok"),
+        word_shingles(F.col("text"), n).alias("grams"),
+    )
+    bench_grams = (
+        enriched.filter("is_bench")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exploded = enriched.filter(F.col("quality_score") >= min_quality).select(
+        "doc_id",
+        "is_bench",
+        "fp",
+        "n_tok",
+        # explode_outer keeps zero-gram docs: they still compete in the
+        # fingerprint election (oracle semantics) even though they can
+        # never be packed.
+        F.explode_outer("grams").alias("gram"),
+    )
+    perdoc = (
+        exploded.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("is_bench").alias("is_bench"),
+            F.first("fp").alias("fp"),
+            F.first("n_tok").alias("n_tok"),
+            F.count("gram").alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    clean = (
+        perdoc.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & ~F.col("is_bench")
+            & (F.col("n_grams") > 0)
+            & (F.col("n_hits") == 0)
+        )
+        .select("doc_id", "n_tok")
+    )
+    return _pack_from_counts(clean, budget=budget, bucket_width=bucket_width)
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -154,3 +154,41 @@ def test_catalog_wide_plan_discipline(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_training_shards_scan_corpus_at_most_twice(spark, sf_dir):
+    """build_training_shards must hold exactly TWO documents FileScans,
+    both inside the one-time build of the persisted per-doc frame
+    (bench-gram branch + enriched feature branch); the packing fork
+    must consume the cache, never re-derive the corpus. The plan STRING
+    prints the cached build under every InMemoryTableScan reference, so
+    walk the node tree instead: caches are leaves of the consuming
+    plan, and the cached build plan is counted once."""
+    from spendinganalysisetl_spark.operators.trainprep import (
+        build_training_shards,
+    )
+
+    df = build_training_shards(load_table(spark, sf_dir, "documents"))
+    sp = df._jdf.queryExecution().sparkPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    nodes = list(walk(sp))
+    names = [n.nodeName() for n in nodes]
+    # every FileScan in the consuming tree must sit under a broadcast
+    # of the cached relation or inside the cache build — the consuming
+    # tree itself reads only InMemoryTableScans
+    file_scans_outside_cache = [n for n in names if "Scan parquet" in n or n == "FileSourceScan"]
+    cache_reads = [n for n in nodes if n.nodeName() == "InMemoryTableScan"]
+    assert not file_scans_outside_cache, names
+    assert len(cache_reads) == 2, names
+    # the shared cache build (identical relations) holds exactly the
+    # two corpus scans
+    builds = {
+        n.relation().cachedPlan().toString() for n in cache_reads
+    }
+    assert len(builds) == 1, "packing fork must share ONE cached frame"
+    assert next(iter(builds)).count("FileScan") == 2
