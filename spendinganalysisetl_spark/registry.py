@@ -1384,16 +1384,39 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_session_window")  # rows-only: REAL streaming run whose
-# append-mode output covers exactly the watermark-finalized sessions — the
-# batch-equivalence contract (finalized sessions ≡ batch session_window) is
-# pinned in tests/test_streaming.py; the batch twin events_session_window_native
-# carries the oracle.
+@register(
+    "stream_session_window",
+    # Oracle-backed since round 3: a COMPLETE-mode drain re-emits the
+    # full session state every batch, so the final table equals the
+    # batch sessionization exactly — including sessions that merge
+    # across batches, whose moved keys an update-mode MERGE could not
+    # retract (why the tumbling drain's upsert trick doesn't transfer).
+    # Same oracle as events_session_window_native (lag+cumsum form —
+    # an independent algorithm for the same sessions). The production
+    # append-mode finalized-only contract stays pinned in
+    # tests/test_streaming.py.
+    """
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+) GROUP BY user_id, session_seq ORDER BY user_id, session_start
+""",
+)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-sessionization via the NATIVE session_window
-    primitive with watermark-bounded state (streaming/jobs.py:
-    session_agg_stream) — sessions merge inside the stateful aggregation
-    as events arrive; AvailableNow drain to a memory sink."""
+    primitive (streaming/jobs.py:session_agg_stream) — sessions merge
+    inside the stateful aggregation as events arrive; AvailableNow
+    drain in complete output mode to a memory sink, read back sorted."""
+    from pyspark.sql import functions as F
+
     from spendinganalysisetl_spark.catalog import table_path
     from spendinganalysisetl_spark.streaming.jobs import (
         read_event_stream,
@@ -1413,10 +1436,15 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        run_to_memory(stream, name)
+        run_to_memory(stream, name, output_mode="complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "n_events")
+        .repartition(1)
+        .sortWithinPartitions("user_id", "session_start")
+    )
 
 
 @register("multimodal_features")  # rows-only: binary payloads are
@@ -3761,6 +3789,9 @@ _CHECK_FIRST: list[str] = [
     #    by dq_check_lineitem above; shard pipeline re-planned to ≤2
     #    corpus scans this round:
     "training_shard_pipeline",
+    #  * newly oracle-backed in r3 (complete-mode drain): the second
+    #    streaming topology's first driver row.
+    "stream_session_window",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -3795,7 +3826,6 @@ _CHECK_FIRST: list[str] = [
     "setop_except_nations",
     "window_rank_dense_rank",
     "monthly_pivot_wide",
-    "dedup_stats",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -3847,6 +3877,7 @@ _CHECK_LATE: list[str] = [
     "chunk_documents_sliding",
     "scd2_customer_dim",
     "events_gap_fill_hourly",
+    "dedup_stats",  # yielded its r3 rotation slot to stream_session_window; summary counts of dedup_exact_survivors (in-window)
     # Same-oracle twins / pure variants of an in-window or r2-green
     # sibling (kept green by the same local gate).
     "events_session_window_native",  # oracle shared with events_sessionize (r2 green)

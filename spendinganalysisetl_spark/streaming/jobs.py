@@ -167,12 +167,23 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
     """Drive a streaming plan to completion over the currently-available
     input (AvailableNow), landing rows in an in-memory table ``name`` —
-    the test/bench harness for every streaming job here."""
+    the test/bench harness for every streaming job here.
+
+    ``output_mode="complete"`` re-emits the FULL aggregate state every
+    batch (watermark eviction is disabled), so after the drain the table
+    holds exactly the batch-equivalent answer — including sessions that
+    merged across batches, whose earlier emissions a keyed upsert of
+    update-mode output could not retract (the session key itself moves
+    when sessions merge). Append mode emits only watermark-finalized
+    rows and never retracts — the production continuous-pipeline shape.
+    """
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
