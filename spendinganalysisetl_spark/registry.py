@@ -1447,8 +1447,47 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: binary payloads are
-# engine-internal (deterministic fake decode — multimodal.ops).
+def _multimodal_expected_sql(resized: bool) -> str:
+    """Oracle for the multimodal pipelines: the fake codec
+    (multimodal/ops.py) is a SPEC — seeded payloads, sha256-derived
+    features — so its ground truth is computable outside Spark. Emit it
+    as a precomputed VALUES table (DuckDB cannot hash BLOBs, and the
+    point is an engine-independent expected answer, the same way a real
+    pipeline pins golden features for a codec version)."""
+    import hashlib
+    import math
+
+    rows = []
+    for i in range(64):
+        payload = hashlib.sha256(str(i).encode()).digest() * 8
+        kind = ("image", "audio", "video")[i % 3]
+        if resized:
+            if kind != "image":
+                continue  # resize keeps image rows only
+            w, h = 32, 24
+            blocks = math.ceil(w * h * 3 / 32)
+            payload = (
+                hashlib.sha256(payload + f"{w}x{h}".encode()).digest() * blocks
+            )[: w * h * 3]
+        d = hashlib.sha256(payload).digest()
+        rows.append(
+            f"({i}, '{kind}', {len(payload)}, "
+            f"'{hashlib.sha256(payload).hexdigest()}', "
+            f"{d[0] / 255.0!r}, {d[1] / 255.0!r})"
+        )
+    values = ",\n".join(rows)
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes, digest,
+       CAST(feat_0 AS DOUBLE) AS feat_0, CAST(feat_1 AS DOUBLE) AS feat_1
+FROM (VALUES
+{values}
+) AS t(media_id, kind, n_bytes, digest, feat_0, feat_1)
+ORDER BY media_id
+"""
+
+
+@register("multimodal_features", _multimodal_expected_sql(resized=False))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.multimodal.ops import extract_features, fake_media_table
 
@@ -1462,8 +1501,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize_pipeline")  # rows-only: binary payloads are
-# engine-internal (deterministic fake resize+decode — multimodal.ops).
+@register("multimodal_resize_pipeline", _multimodal_expected_sql(resized=True))
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed media pipeline: resize (payload→payload, media schema
     preserved) → feature extraction — two chained mapInPandas stages in
@@ -3792,6 +3830,11 @@ _CHECK_FIRST: list[str] = [
     #  * newly oracle-backed in r3 (complete-mode drain): the second
     #    streaming topology's first driver row.
     "stream_session_window",
+    #  * newly oracle-backed in r3 (precomputed golden-feature VALUES
+    #    twin of the deterministic fake codec): first driver rows for
+    #    the multimodal family.
+    "multimodal_features",
+    "multimodal_resize_pipeline",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -3824,8 +3867,6 @@ _CHECK_FIRST: list[str] = [
     "unique_categories",
     "setop_intersect_nations",
     "setop_except_nations",
-    "window_rank_dense_rank",
-    "monthly_pivot_wide",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -3877,6 +3918,8 @@ _CHECK_LATE: list[str] = [
     "chunk_documents_sliding",
     "scd2_customer_dim",
     "events_gap_fill_hourly",
+    "window_rank_dense_rank",  # yielded its r3 rotation slot to multimodal_features; window family topk/running/rolling/navigation in-window
+    "monthly_pivot_wide",  # yielded its r3 rotation slot to multimodal_resize_pipeline; pivot leg exercised inside monthly_unpivot_roundtrip (r2 green)
     "dedup_stats",  # yielded its r3 rotation slot to stream_session_window; summary counts of dedup_exact_survivors (in-window)
     # Same-oracle twins / pure variants of an in-window or r2-green
     # sibling (kept green by the same local gate).
