@@ -51,6 +51,11 @@ QUERIES = [
     "lsh_cluster_stars",
     "dedup_exact_survivors",
     "corpus_curation",
+    # r3 additions: the distributed-prefix-sum packer (its offset table
+    # grows with doc count — probe that the two-phase shape stays
+    # linear) and the fused two-scan shard pipeline.
+    "sequence_packing_bins",
+    "training_shard_pipeline",
 ]
 
 
