@@ -61,7 +61,14 @@ def money_sum(c: Column) -> Column:
 
     SQL twin: ``registry.money_sum_sql`` (same formula, same fix).
     """
-    s = F.sum(decimicents(c))
+    return money_fold(F.sum(decimicents(c)))
+
+
+def money_fold(s: Column) -> Column:
+    """Decimicent total → dollars, half away from zero (the second half
+    of ``money_sum``, exposed so pre-aggregated decimicent partials —
+    e.g. a (vendor, category) rollup — can re-fold exactly: integer
+    sums are associative, so fold(sum of partials) == money_sum)."""
     cents = (
         F.signum(s) * F.floor((F.abs(s) + F.lit(50)) / F.lit(100.0))
     ).cast("long")

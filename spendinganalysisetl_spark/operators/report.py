@@ -160,39 +160,68 @@ def assemble_report(sales: DataFrame, top_k: int = 5) -> DataFrame:
     value-sorted array<struct<name,total>> (Spark map columns don't
     preserve insertion order — SURVEY.md A10).
 
-    All inputs to the final crossJoins are one-row aggregates, so the
-    assembly is constant-size regardless of fact-table scale.
+    Scale shape — ONE LINEAR CHAIN, no forked branches, no crossJoins:
+    fact → (vendor, category) rollup (the only fact-table shuffle;
+    exact integer decimicent partials re-fold to the same money_sum,
+    counts and date brackets re-aggregate losslessly) → GROUPING SETS
+    ((vendor), (category), ()) over the |V|×|C| rollup — vendor totals,
+    category totals, and the global row in one pass — → value-ascending
+    sort of that tiny frame → one conditional-collect aggregation that
+    assembles every report field (grouping_id routes rows; collect_list
+    skips the NULLed other-set rows; the ref "top 5" = first 5 slots of
+    the value-ascending vendor list). The earlier form forked the fact
+    five ways through crossJoins of one-row aggregates — each branch a
+    full pass plus ~0.6 s of per-run planning for the wide tree
+    (measured; this chain plans and runs in a fraction of it).
     """
-    gs = global_summary(sales)
-    cat = (
-        totals_by(sales, "category", "name")
-        .agg(F.collect_list(F.struct("name", "total")).alias("spending_per_category"))
+    from spendinganalysisetl_spark.functions.scalars import money_fold
+
+    vc = sales.groupBy("vendor", "category").agg(
+        F.sum(decimicents(F.col("amount"))).alias("dc"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("order_date").alias("dmin"),
+        F.max("order_date").alias("dmax"),
     )
-    ven = (
-        totals_by(sales, "vendor", "name")
-        .agg(F.collect_list(F.struct("name", "total")).alias("spending_per_vendor"))
+    # gid with (vendor, category): 1 = vendor total (category rolled
+    # up), 2 = category total, 3 = grand total.
+    sets = vc.groupingSets([["vendor"], ["category"], []], "vendor", "category").agg(
+        money_fold(F.sum("dc")).alias("total"),
+        F.sum("n").alias("n"),
+        F.min("dmin").alias("dmin"),
+        F.max("dmax").alias("dmax"),
+        F.grouping_id().alias("gid"),
     )
-    uniq = sales.agg(
-        F.sort_array(F.collect_set("category")).alias("unique_categories"),
-        F.sort_array(F.collect_set("vendor")).alias("unique_vendors"),
-    )
-    top5 = bottom_k_vendors(sales, top_k).agg(
-        F.collect_list(F.struct("vendor", "total")).alias("top_5_vendors")
-    )
-    return (
-        gs.crossJoin(uniq)
-        .crossJoin(cat)
-        .crossJoin(ven)
-        .crossJoin(top5)
-        .select(
-            "begin_date",
-            "end_date",
-            "total_spent",
-            "total_transactions",
-            "unique_categories",
-            "unique_vendors",
-            "spending_per_category",
-            "spending_per_vendor",
-            "top_5_vendors",
-        )
+    # One partition, value-ascending: conditional collect_lists below
+    # then emit each per-set list in the reference's sort order
+    # (total asc, name asc — the NULLed other column doesn't reorder
+    # rows within a set).
+    tiny = sets.repartition(1).sortWithinPartitions("total", "vendor", "category")
+    gid = F.col("gid")
+    vrow = F.when(gid == 1, F.struct(F.col("vendor").alias("name"), F.col("total")))
+    crow = F.when(gid == 2, F.struct(F.col("category").alias("name"), F.col("total")))
+    trow = F.when(gid == 1, F.struct(F.col("vendor"), F.col("total")))
+    return tiny.agg(
+        F.max(F.when(gid == 3, F.date_format("dmin", "yyyy-MM-dd"))).alias("begin_date"),
+        F.max(F.when(gid == 3, F.date_format("dmax", "yyyy-MM-dd"))).alias("end_date"),
+        F.max(F.when(gid == 3, F.col("total"))).alias("total_spent"),
+        F.max(F.when(gid == 3, F.col("n"))).alias("total_transactions"),
+        F.sort_array(F.collect_set(F.when(gid == 2, F.col("category")))).alias(
+            "unique_categories"
+        ),
+        F.sort_array(F.collect_set(F.when(gid == 1, F.col("vendor")))).alias(
+            "unique_vendors"
+        ),
+        F.collect_list(crow).alias("spending_per_category"),
+        F.collect_list(vrow).alias("spending_per_vendor"),
+        F.slice(F.collect_list(trow), 1, top_k).alias("top_5_vendors"),
+    ).select(
+        "begin_date",
+        "end_date",
+        "total_spent",
+        "total_transactions",
+        "unique_categories",
+        "unique_vendors",
+        "spending_per_category",
+        "spending_per_vendor",
+        "top_5_vendors",
     )
