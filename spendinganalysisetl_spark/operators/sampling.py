@@ -219,3 +219,61 @@ def stratified_sample(
     Engine-specific RNG → rows-only; determinism-for-a-seed and
     per-stratum rate bounds are pinned in tests."""
     return documents.sampleBy("lang", fractions, seed)
+
+
+def weighted_sample(
+    documents: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    key: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis), made
+    deterministic and engine-portable: each row draws a uniform
+    u ∈ (0, 1] from a 52-bit md5 fold of ``seed:key`` (the same
+    portable-hash device as the split/shard family) and gets priority
+    ``ln(u) / w`` — the log form of the E-S key ``u^(1/w)`` — and the
+    sample is the ``k`` LARGEST priorities. Inclusion probability scales
+    with weight; the token-budget-aware corpus selection a data recipe
+    uses ("sample 10M docs, longer docs proportionally more often").
+
+    Deterministic-by-hash for the same reasons as ``assign_splits``:
+    reproducible across runs/engines, append-stable (a new row never
+    changes an old row's draw), and auditable row-by-row.
+
+    Rows with NULL or non-positive weight are excluded (no valid draw).
+
+    Scale shape: the draw+priority is a pure projection (one md5 per
+    row, no shuffle); selection is a top-k — per-partition heaps, k·P
+    candidate rows to one final selection (TakeOrderedAndProject), so
+    the corpus is never globally sorted. ``priority`` is emitted
+    rounded, with ``+ 0.0`` canonicalizing IEEE -0.0 (tiny-magnitude
+    negative priorities round to zero).
+    """
+    u = (
+        hex_fold(
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
+            ),
+            1,
+            13,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    pri = F.log(u) / w
+    return (
+        documents.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .select(
+            F.col(key),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("_pri"),
+        )
+        .orderBy(F.col("_pri").desc(), F.col(key).asc())
+        .limit(k)
+        .select(
+            key,
+            "weight",
+            (F.round(F.col("_pri"), 6) + F.lit(0.0)).alias("priority"),
+        )
+    )

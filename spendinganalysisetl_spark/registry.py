@@ -2314,6 +2314,32 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_es",
+    f"""
+WITH p AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ln((CAST({hex_fold_sql("md5('7:' || CAST(doc_id AS VARCHAR))", 1, 13)} AS DOUBLE) + 1.0)
+            / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, weight, round(pri, 6) + 0.0 AS priority
+FROM p ORDER BY pri DESC, doc_id ASC LIMIT 100
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sampling without
+    replacement: portable md5-fold uniform draw, priority ln(u)/w,
+    top-k by priority (operators/sampling.py:weighted_sample) — the
+    token-budget-aware corpus selection pass, reproduced bit-for-bit
+    by the oracle."""
+    from spendinganalysisetl_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents"), k=100, weight_col="n_chars"
+    )
+
+
+@register(
     "events_props_json_stats",
     """
 WITH x AS (
@@ -3835,6 +3861,8 @@ _CHECK_FIRST: list[str] = [
     #    the multimodal family.
     "multimodal_features",
     "multimodal_resize_pipeline",
+    #  * new in r3: deterministic weighted sampling (E-S top-k).
+    "weighted_sample_es",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -3864,7 +3892,6 @@ _CHECK_FIRST: list[str] = [
     "vendor_totals",
     "category_totals_ref_roundsum",
     "top5_vendors",
-    "unique_categories",
     "setop_intersect_nations",
     "setop_except_nations",
 ]
@@ -3918,6 +3945,7 @@ _CHECK_LATE: list[str] = [
     "chunk_documents_sliding",
     "scd2_customer_dim",
     "events_gap_fill_hourly",
+    "unique_categories",  # yielded its r3 rotation slot to weighted_sample_es; DISTINCT covered by dedup_exact_survivors + setop_union_nations (in-window)
     "window_rank_dense_rank",  # yielded its r3 rotation slot to multimodal_features; window family topk/running/rolling/navigation in-window
     "monthly_pivot_wide",  # yielded its r3 rotation slot to multimodal_resize_pipeline; pivot leg exercised inside monthly_unpivot_roundtrip (r2 green)
     "dedup_stats",  # yielded its r3 rotation slot to stream_session_window; summary counts of dedup_exact_survivors (in-window)

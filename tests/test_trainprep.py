@@ -365,3 +365,34 @@ def test_chunk_documents_sliding_overlap(spark):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=128, overlap=-10)
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    """E-S weighted sampling: deterministic for a seed, append-stable
+    draws, invalid weights excluded, and inclusion rises with weight
+    (heavier rows overrepresented across disjoint key populations)."""
+    import hashlib
+    import math
+
+    from spendinganalysisetl_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 10 if i % 2 else 1000) for i in range(200)]
+        + [(998, None), (999, 0)],
+        "doc_id long, n_chars long",
+    )
+    out = weighted_sample(docs, k=50, weight_col="n_chars").collect()
+    assert len(out) == 50
+    assert all(r["doc_id"] not in (998, 999) for r in out), "invalid weights excluded"
+    again = weighted_sample(docs, k=50, weight_col="n_chars").collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in again]
+
+    # heavier rows (w=1000, even ids) must dominate the sample
+    heavy = sum(1 for r in out if r["doc_id"] % 2 == 0)
+    assert heavy > 40, f"only {heavy}/50 heavy rows sampled"
+
+    # the draw is the documented md5 fold — check one row bit-for-bit
+    r0 = next(r for r in out if r["doc_id"] == 0)
+    h = hashlib.md5(b"7:0").hexdigest()[:13]
+    u = (int(h, 16) + 1.0) / float(1 << 52)
+    assert r0["priority"] == round(math.log(u) / 1000.0, 6) + 0.0
