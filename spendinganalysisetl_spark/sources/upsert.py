@@ -225,9 +225,12 @@ def merge_frames(
     key: tuple[str, ...] = KEY,
     compare_col: str = "total_transactions",
     delete_where: F.Column | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """S6+S7 as a pure relational plan (no files): the MERGE legs over
-    two frames with identical schemas, returning the merged rows plus an
+    two frames with identical schemas — or, with ``evolve_schema``,
+    diverging schemas merged by name (Delta ``mergeSchema`` semantics,
+    see ``_evolved_cols``) — returning the merged rows plus an
     ``action`` column ('kept' | 'updated' | 'inserted' | 'deleted').
 
     - updated:  batch row whose key exists and whose compare_col GREW
@@ -272,7 +275,10 @@ def merge_frames(
         # not steal them, so gate take_batch on NOT deleted.
         take_batch = take_batch & ~del_fires
     action = action.when(batch_wins, F.lit("updated")).otherwise(F.lit("kept"))
-    sel = [_merged_col(c, key, take_batch) for c in batch.columns]
+    if evolve_schema:
+        sel = _evolved_cols(batch, target, key, take_batch)
+    else:
+        sel = [_merged_col(c, key, take_batch) for c in batch.columns]
     return joined.select(*sel, action.alias("action"))
 
 
@@ -302,6 +308,42 @@ def _merged_col(c: str, key: tuple[str, ...], take_batch) -> F.Column:
     return F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
 
 
+def _evolved_cols(
+    batch: DataFrame,
+    target: DataFrame,
+    key: tuple[str, ...],
+    take_batch,
+) -> list[F.Column]:
+    """Schema-evolution column rules (Delta ``mergeSchema`` semantics):
+    output schema = target columns, in target order, plus batch-only
+    columns appended.
+
+    - shared column:      the normal winning-side rule;
+    - target-only column: ALWAYS the target's value (an update does not
+      null out columns the batch doesn't carry — Delta's UPDATE SET *
+      by-name behavior; inserted rows get NULL because their target
+      side is absent);
+    - batch-only column:  the batch value where the batch wins
+      (updated/inserted rows), NULL for pre-existing rows — the
+      backfill-free column add.
+    """
+    b_cols, t_cols = set(batch.columns), set(target.columns)
+    out: list[F.Column] = []
+    for c in target.columns:
+        if c in b_cols:
+            out.append(_merged_col(c, key, take_batch))
+        else:
+            out.append(F.col(f"t.{c}").alias(c))
+    for c in batch.columns:
+        if c not in t_cols:
+            out.append(
+                F.when(take_batch, F.col(f"s.{c}"))
+                .otherwise(F.lit(None))
+                .alias(c)
+            )
+    return out
+
+
 def merge_reports(
     spark: SparkSession,
     sink_path: str,
@@ -310,6 +352,7 @@ def merge_reports(
     key: tuple[str, ...] = KEY,
     delete_where: F.Column | None = None,
     retain: int = 1,
+    evolve_schema: bool = False,
 ) -> None:
     """S6+S7: conditional upsert of ``batch`` into the parquet sink.
 
@@ -321,7 +364,10 @@ def merge_reports(
     ``delete_where`` adds a ``WHEN MATCHED AND <cond> THEN DELETE`` leg
     (see ``merge_frames``); ``retain`` keeps that many previous
     generations readable as time-travel snapshots (``read_reports``
-    with ``version=``).
+    with ``version=``); ``evolve_schema`` lets the batch carry NEW
+    columns — they join the sink schema with NULL for pre-existing rows
+    (Delta ``mergeSchema``; ``_evolved_cols``), a metadata-only change
+    at the table level since each commit is a fresh version directory.
     """
     if not os.path.exists(sink_path) or _sink_is_empty(sink_path):
         write_reports(batch, sink_path, mode="overwrite", retain=retain)
@@ -355,8 +401,24 @@ def merge_reports(
                 .otherwise(F.col("t.created_at"))
                 .alias("created_at")
             )
+        elif c not in batch.columns:
+            if not evolve_schema:
+                raise ValueError(
+                    f"batch is missing sink column {c!r} "
+                    "(pass evolve_schema=True to merge by name)"
+                )
+            sel.append(F.col(f"t.{c}").alias(c))
         else:
             sel.append(_merged_col(c, key, take_batch))
+    if evolve_schema:
+        sink_cols = {f.name for f in target.schema.fields}
+        for c in batch.columns:
+            if c not in sink_cols:
+                sel.append(
+                    F.when(take_batch, F.col(f"s.{c}"))
+                    .otherwise(F.lit(None))
+                    .alias(c)
+                )
     merged = joined.select(*sel)
 
     # Atomic commit via pointer flip: write the merged table as a NEW

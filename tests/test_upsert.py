@@ -488,3 +488,65 @@ def test_scd2_apply_versions_and_idempotence(spark):
         for r in again.collect()
     }
     assert r2 == rows
+
+
+def test_merge_schema_evolution_frames(spark):
+    """Delta mergeSchema parity on the relational form: a batch-only
+    column appends (NULL for pre-existing rows), a target-only column
+    survives updates (UPDATE SET * by name never nulls it)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.upsert import merge_frames
+
+    target = spark.createDataFrame(
+        [("2024-01-01", "2024-01-31", 10, 100.0, "legacy")],
+        "begin_date string, end_date string, total_transactions long, "
+        "total_spent double, old_note string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("2024-01-01", "2024-01-31", 15, 150.0, "EUR"),
+            ("2024-02-01", "2024-02-29", 5, 50.0, "USD"),
+        ],
+        "begin_date string, end_date string, total_transactions long, "
+        "total_spent double, currency string",
+    )
+    out = {
+        r["begin_date"]: r
+        for r in merge_frames(target, batch, evolve_schema=True).collect()
+    }
+    jan, feb = out["2024-01-01"], out["2024-02-01"]
+    assert jan["action"] == "updated" and jan["total_spent"] == 150.0
+    assert jan["currency"] == "EUR", "new column takes batch value on update"
+    assert jan["old_note"] == "legacy", "target-only column survives the update"
+    assert feb["action"] == "inserted" and feb["currency"] == "USD"
+    assert feb["old_note"] is None, "inserted rows NULL the target-only column"
+
+
+def test_merge_schema_evolution_sink(spark, sink):
+    from spendinganalysisetl_spark.sources.upsert import merge_reports
+
+    write_reports(
+        _batch(spark, [("2024-01-01", "2024-01-31", 10, 100.0),
+                       ("2024-03-01", "2024-03-31", 7, 70.0)]),
+        sink,
+        mode="overwrite",
+    )
+    wide = spark.createDataFrame(
+        [("2024-01-01", "2024-01-31", 15, 150.0, "EUR")],
+        SCHEMA + ", currency string",
+    )
+    # without opting in, a schema change is an error, not silent data loss
+    import pytest as _pytest
+
+    narrow = _batch(spark, [("2024-01-01", "2024-01-31", 20, 160.0)]).drop(
+        "total_spent"
+    )
+    with _pytest.raises(ValueError, match="total_spent"):
+        merge_reports(spark, sink, narrow)
+
+    merge_reports(spark, sink, wide, evolve_schema=True)
+    rows = {r["begin_date"]: r for r in read_reports(spark, sink).collect()}
+    assert rows["2024-01-01"]["currency"] == "EUR"
+    assert rows["2024-01-01"]["total_transactions"] == 15
+    assert rows["2024-03-01"]["currency"] is None, "pre-existing rows backfill NULL"
