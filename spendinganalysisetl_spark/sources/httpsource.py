@@ -124,3 +124,105 @@ def list_ids(spark: SparkSession, id_values: list[int]) -> DataFrame:
     endpoint — and hand the DISTRIBUTION problem (the N+1 fan-out) to
     ``fetch_records``."""
     return spark.createDataFrame([(int(i),) for i in id_values], "id long")
+
+
+# --- Spark 4 Python DataSource form ------------------------------------------
+# The same component as ``fetch_records``, packaged as a REAL Spark data
+# source (pyspark.sql.datasource, new in Spark 4): after
+# ``spark.dataSource.register(HttpSummariesDataSource)`` the extract is
+#
+#     spark.read.format("http_summaries")
+#          .schema("id long, total double")
+#          .option("url", "http://.../uploads/{id}/summary/")
+#          .option("ids", "0:500")          # or "1,5,7"
+#          .option("num_partitions", "8")
+#          .load()
+#
+# which gives the fan-out Catalyst-visible semantics: the id range is
+# split into InputPartitions (each a task), the scan composes with
+# filters/projections like any source, and callers need no knowledge of
+# mapInPandas plumbing. Fetch semantics are identical to fetch_records:
+# retry-with-backoff inside the task, non-429 4xx = definitive miss,
+# exhausted retries drop the id (P4).
+
+
+def _parse_ids(spec: str) -> list[int]:
+    """Id-list option: 'lo:hi' (half-open range) or comma-separated."""
+    spec = spec.strip()
+    if ":" in spec:
+        lo, hi = spec.split(":", 1)
+        return list(range(int(lo), int(hi)))
+    return [int(x) for x in spec.split(",") if x.strip()]
+
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _IdsPartition(InputPartition):
+        def __init__(self, ids: list[int]):
+            self.ids = ids
+
+    class _HttpSummariesReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self._schema = schema
+            self._url = options["url"]
+            self._ids = _parse_ids(options.get("ids", ""))
+            self._n_parts = int(options.get("num_partitions", "8"))
+            self._max_retries = int(options.get("max_retries", "3"))
+            self._backoff_s = float(options.get("backoff_s", "0.2"))
+            self._timeout_s = float(options.get("timeout_s", "10"))
+            self._id_col = options.get("id_col", "id")
+
+        def partitions(self):
+            n = max(1, min(self._n_parts, len(self._ids) or 1))
+            chunks = [self._ids[i::n] for i in range(n)]
+            return [_IdsPartition(c) for c in chunks if c]
+
+        def read(self, partition):
+            # Executor-side: stdlib + requests only (same import-gating
+            # as http_json_fetcher); field order must match the schema.
+            import time as _time
+
+            import requests
+
+            names = [f.name for f in self._schema.fields]
+
+            def fetch(record_id: int):
+                r = requests.get(
+                    self._url.format(id=record_id), timeout=self._timeout_s
+                )
+                if 400 <= r.status_code < 500 and r.status_code != 429:
+                    return None
+                r.raise_for_status()
+                return r.json()
+
+            for record_id in partition.ids:
+                rec = None
+                for attempt in range(self._max_retries):
+                    try:
+                        rec = fetch(int(record_id))
+                        break
+                    except Exception:
+                        if attempt + 1 < self._max_retries:
+                            _time.sleep(self._backoff_s * (2**attempt))
+                if rec is not None:
+                    rec = {**rec, self._id_col: int(record_id)}
+                    yield tuple(rec.get(n) for n in names)
+
+    class HttpSummariesDataSource(DataSource):
+        """``format("http_summaries")`` — the reference's REST extractor
+        as a first-class Spark source (see module docstring)."""
+
+        @classmethod
+        def name(cls):
+            return "http_summaries"
+
+        def reader(self, schema):
+            return _HttpSummariesReader(schema, self.options)
+
+except ImportError:  # pragma: no cover - pyspark<4 fallback
+    HttpSummariesDataSource = None  # type: ignore[assignment]

@@ -184,3 +184,28 @@ def test_end_to_end_etl_extract_transform_load(spark, summary_server, tmp_path):
             'SELECT category, n_uploads, grand_total FROM "category_report"'
         ).fetchall()
     assert again == got
+
+
+def test_python_datasource_form(spark, summary_server):
+    """The Spark 4 DataSource packaging: register, read with
+    format("http_summaries"), same drop/retry semantics as
+    fetch_records, ids split across InputPartitions."""
+    from spendinganalysisetl_spark.sources.httpsource import (
+        HttpSummariesDataSource,
+    )
+
+    url, srv = summary_server
+    spark.dataSource.register(HttpSummariesDataSource)
+    df = (
+        spark.read.format("http_summaries")
+        .schema(SCHEMA)
+        .option("url", url + "/uploads/{id}/summary/")
+        .option("ids", "1,5,7,9")
+        .option("num_partitions", "2")
+        .option("backoff_s", "0.01")
+        .load()
+    )
+    out = {r["id"]: r["total"] for r in df.collect()}
+    assert out == {1: 100, 5: 500}
+    # the source plans real partitions — visible in the scan
+    assert df.rdd.getNumPartitions() == 2
