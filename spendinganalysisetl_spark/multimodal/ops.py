@@ -67,13 +67,15 @@ def fake_media_table(
     bytes; no RNG state, reproducible across runs).
 
     Partition count scales with the row count (default one partition
-    per 16 rows) instead of inheriting the cluster default: every
-    partition of a mapInPandas input spins up an Arrow-fed Python
-    worker, and 32 workers for 64 rows is pure startup overhead
-    (measured 14 s → ~2 s). A real media corpus would instead be sized
-    by payload bytes via ``files.maxPartitionBytes``."""
+    per 64 rows) instead of inheriting the cluster default: every
+    partition of a mapInPandas input pays an Arrow-fed Python worker
+    round-trip, and for toy row counts that per-partition cost swamps
+    the decode (32 partitions for 64 rows measured 14 s → ~2 s; 4 → 1
+    partitions a further 0.54 s → 0.28 s through the chained
+    resize+featurize pipeline). A real media corpus would instead be
+    sized by payload bytes via ``files.maxPartitionBytes``."""
     if num_partitions is None:
-        num_partitions = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+        num_partitions = max(1, min(n // 64, spark.sparkContext.defaultParallelism))
     # Generated JVM-side (range → sha2 → unhex), not via driver
     # createDataFrame: shipping even 64 pickled binary rows through py4j
     # measured ~4.7 s, the distributed generation ~0.2 s — and payload
