@@ -1363,10 +1363,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # State partitions = shuffle.partitions at stream start, and each
     # one pays a per-batch state-store commit. For this single-batch
     # AvailableNow drain, 8 partitions cut wall-clock 9.7s→1.7s at sf0.1
-    # (measured); a continuous high-throughput stream would size this to
-    # sustained input rate instead.
+    # and a 1/2/4/8 sweep found 4 best (1.55s→1.21s, r3); a continuous
+    # high-throughput stream would size this to sustained input rate.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         run_foreach_batch_upsert(
             agged,
@@ -1434,7 +1434,10 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only be registered once per active session.
     name = f"stream_session_window_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4 state partitions: best of the 1/2/4/8 sweep for this drain
+    # (0.75s at 8 → 0.65s at 4 at sf0.1) — same state-store-commit
+    # economics as the tumbling drain above.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         run_to_memory(stream, name, output_mode="complete")
     finally:
