@@ -3822,6 +3822,14 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      gate (tests/test_oracle_parity.py) either way.
 #   4. rows-only queries (no oracle — a driver row adds nothing beyond
 #      the row count, which the local suite already pins).
+#
+# ROTATION POLICY (standing, per round): after the must-check block
+# (never-checked + prior-round fails + queries whose code changed this
+# round), remaining window slots rotate previously-green queries back
+# through, most-refactored-since-their-last-driver-row first — so no
+# green ever goes permanently unwatched by the external driver. A
+# demoted green keeps its oracle in the local parity gate, which runs
+# on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
     # -- Round 3 window. Goal: after this round EVERY oracle-backed
