@@ -277,3 +277,42 @@ def weighted_sample(
             (F.round(F.col("_pri"), 6) + F.lit(0.0)).alias("priority"),
         )
     )
+
+
+def stratified_sample_hash(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    strat_col: str = "lang",
+    key: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its md5-fold
+    uniform draw falls under its stratum's fraction. The hash-based
+    analog of ``sampleBy`` with the properties RNG sampling lacks
+    (same rationale as ``assign_splits``): identical selection across
+    runs, engines, and repartitionings; append-stable (new rows never
+    flip old rows' draws); joinable row-level audit of WHY a row was
+    kept. Strata not in ``fractions`` drop (rate 0), matching sampleBy.
+
+    Scale shape: a pure projection + filter — no shuffle, no state;
+    the per-stratum rate lands within O(1/sqrt(n)) of the target like
+    any Bernoulli sampler.
+    """
+    u = (
+        hex_fold(
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
+            ),
+            1,
+            13,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    rate = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.when(F.col(strat_col) == stratum, F.lit(float(frac)))
+        rate = cond if rate is None else rate.when(
+            F.col(strat_col) == stratum, F.lit(float(frac))
+        )
+    rate = (rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0))
+    return documents.filter(u <= rate)

@@ -2420,6 +2420,41 @@ def q_embedding_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "stratified_sample_hash",
+    f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         (CAST({hex_fold_sql("md5('11:' || CAST(doc_id AS VARCHAR))", 1, 13)} AS DOUBLE) + 1.0)
+           / 4503599627370496.0 AS u,
+         CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 0.5
+                   WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5 ELSE 0.0 END AS rate
+  FROM documents
+) WHERE u <= rate ORDER BY doc_id
+""",
+)
+def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling via the portable md5-fold draw
+    (operators/sampling.py:stratified_sample_hash): per-language keep
+    rates, selection reproduced bit-for-bit by the oracle — the
+    append-stable, engine-portable alternative to RNG ``sampleBy``
+    (which remains as ``stratified_sample_by_lang``)."""
+    from spendinganalysisetl_spark.operators.sampling import (
+        stratified_sample_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample_hash(
+            docs, {"en": 0.25, "fr": 0.5, "de": 0.5, "es": 0.5}, seed=11
+        )
+        .select("doc_id", "lang")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 @register("stratified_sample_by_lang")  # rows-only: Bernoulli sampling RNG is
 # engine-internal; determinism-per-seed and per-stratum rates are pinned
 # in tests/test_dedup_similarity.py.
@@ -3872,8 +3907,10 @@ _CHECK_FIRST: list[str] = [
     #    the multimodal family.
     "multimodal_features",
     "multimodal_resize_pipeline",
-    #  * new in r3: deterministic weighted sampling (E-S top-k).
+    #  * new in r3: deterministic weighted sampling (E-S top-k) and
+    #    deterministic hash-based stratified sampling.
     "weighted_sample_es",
+    "stratified_sample_hash",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -3904,7 +3941,6 @@ _CHECK_FIRST: list[str] = [
     "category_totals_ref_roundsum",
     "top5_vendors",
     "setop_intersect_nations",
-    "setop_except_nations",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -3956,6 +3992,7 @@ _CHECK_LATE: list[str] = [
     "chunk_documents_sliding",
     "scd2_customer_dim",
     "events_gap_fill_hourly",
+    "setop_except_nations",  # yielded its r3 rotation slot to stratified_sample_hash; ALL-form (r2 green) pins the mechanism
     "unique_categories",  # yielded its r3 rotation slot to weighted_sample_es; DISTINCT covered by dedup_exact_survivors + setop_union_nations (in-window)
     "window_rank_dense_rank",  # yielded its r3 rotation slot to multimodal_features; window family topk/running/rolling/navigation in-window
     "monthly_pivot_wide",  # yielded its r3 rotation slot to multimodal_resize_pipeline; pivot leg exercised inside monthly_unpivot_roundtrip (r2 green)

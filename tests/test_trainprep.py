@@ -396,3 +396,33 @@ def test_weighted_sample_deterministic_and_weighted(spark):
     h = hashlib.md5(b"7:0").hexdigest()[:13]
     u = (int(h, 16) + 1.0) / float(1 << 52)
     assert r0["priority"] == round(math.log(u) / 1000.0, 6) + 0.0
+
+
+def test_stratified_sample_hash_laws(spark):
+    """Hash-stratified sampling: deterministic, append-stable, rate
+    within Bernoulli tolerance per stratum, unknown strata dropped."""
+    from spendinganalysisetl_spark.operators.sampling import (
+        stratified_sample_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(2000)]
+        + [(9000, "xx")],
+        "doc_id long, lang string",
+    )
+    fr = {"en": 0.3, "fr": 0.8}
+    kept = stratified_sample_hash(docs, fr).collect()
+    assert all(r["lang"] != "xx" for r in kept), "unlisted strata drop"
+    by = {}
+    for r in kept:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, frac in fr.items():
+        rate = len(by[lang]) / 1000
+        assert abs(rate - frac) < 0.06, (lang, rate)
+    # append stability: growing the corpus never flips an old row
+    grown = docs.union(
+        spark.createDataFrame([(i, "en") for i in range(10_000, 10_100)],
+                              "doc_id long, lang string")
+    )
+    kept2 = {r["doc_id"] for r in stratified_sample_hash(grown, fr).collect()}
+    assert {r["doc_id"] for r in kept} <= kept2
