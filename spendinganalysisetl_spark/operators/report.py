@@ -204,7 +204,12 @@ def assemble_report(sales: DataFrame, top_k: int = 5) -> DataFrame:
         F.max(F.when(gid == 3, F.date_format("dmin", "yyyy-MM-dd"))).alias("begin_date"),
         F.max(F.when(gid == 3, F.date_format("dmax", "yyyy-MM-dd"))).alias("end_date"),
         F.max(F.when(gid == 3, F.col("total"))).alias("total_spent"),
-        F.max(F.when(gid == 3, F.col("n"))).alias("total_transactions"),
+        # coalesce: an EMPTY sales input has no grand-total row, but the
+        # transaction count must stay 0 (the pre-rewrite count() form),
+        # not NULL — a NULL here nulls the whole fi_summary printf.
+        F.coalesce(
+            F.max(F.when(gid == 3, F.col("n"))), F.lit(0).cast("long")
+        ).alias("total_transactions"),
         F.sort_array(F.collect_set(F.when(gid == 2, F.col("category")))).alias(
             "unique_categories"
         ),

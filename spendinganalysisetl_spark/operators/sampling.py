@@ -221,6 +221,23 @@ def stratified_sample(
     return documents.sampleBy("lang", fractions, seed)
 
 
+def _uniform_draw(key: str, seed: int) -> F.Column:
+    """Deterministic uniform u ∈ (0, 1] from a 52-bit md5 fold of
+    ``seed:key`` — the ONE draw shared by ``weighted_sample`` and
+    ``stratified_sample_hash`` (and mirrored by their SQL twins in the
+    registry; change fold width/seed format in all places together)."""
+    return (
+        hex_fold(
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
+            ),
+            1,
+            13,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+
+
 def weighted_sample(
     documents: DataFrame,
     k: int = 100,
@@ -250,20 +267,15 @@ def weighted_sample(
     rounded, with ``+ 0.0`` canonicalizing IEEE -0.0 (tiny-magnitude
     negative priorities round to zero).
     """
-    u = (
-        hex_fold(
-            F.md5(
-                F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
-            ),
-            1,
-            13,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(1 << 52))
+    u = _uniform_draw(key, seed)
     w = F.col(weight_col).cast("double")
     pri = F.log(u) / w
+    # ~isnan too: Spark's non-IEEE ordering makes NaN > 0 TRUE, and a
+    # NaN priority would sort above every real one in the top-k.
     return (
-        documents.filter(F.col(weight_col).isNotNull() & (w > 0))
+        documents.filter(
+            F.col(weight_col).isNotNull() & ~F.isnan(w) & (w > 0)
+        )
         .select(
             F.col(key),
             F.col(weight_col).cast("long").alias("weight"),
@@ -298,21 +310,13 @@ def stratified_sample_hash(
     the per-stratum rate lands within O(1/sqrt(n)) of the target like
     any Bernoulli sampler.
     """
-    u = (
-        hex_fold(
-            F.md5(
-                F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
-            ),
-            1,
-            13,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(1 << 52))
+    u = _uniform_draw(key, seed)
     rate = None
     for stratum, frac in sorted(fractions.items()):
-        cond = F.when(F.col(strat_col) == stratum, F.lit(float(frac)))
-        rate = cond if rate is None else rate.when(
-            F.col(strat_col) == stratum, F.lit(float(frac))
+        rate = (
+            F.when(F.col(strat_col) == stratum, F.lit(float(frac)))
+            if rate is None
+            else rate.when(F.col(strat_col) == stratum, F.lit(float(frac)))
         )
-    rate = (rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0))
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
     return documents.filter(u <= rate)

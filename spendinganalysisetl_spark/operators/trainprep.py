@@ -144,6 +144,10 @@ def boilerplate_stats(
     )
 
 
+# Last persisted packing frame (see _pack_from_counts cache note).
+_LAST_PACK_BASE = None
+
+
 def pack_sequences(
     documents: DataFrame, budget: int = 512, bucket_width: int = 1 << 16
 ) -> DataFrame:
@@ -186,10 +190,28 @@ def _pack_from_counts(
     so ``base`` is persisted: it is 16 bytes/doc (vs the corpus's
     ~10 MB/doc), i.e. ~160 GB cluster-wide at 10^10 docs, a negligible
     MEMORY_AND_DISK footprint that converts a guaranteed full upstream
-    re-execution (scan + tokenize + shuffle) into one pass."""
+    re-execution (scan + tokenize + shuffle) into one pass. Repeated
+    calls with an identical plan share one cache entry (Spark
+    canonical-plan matching); a call with a DIFFERENT plan (new scale
+    step, changed params) unpersists the previous call's frame first so
+    a probe/bench session doesn't accrete dead cache entries."""
     from pyspark import StorageLevel
 
+    global _LAST_PACK_BASE
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = _LAST_PACK_BASE
+    if prev is not None and prev is not base:
+        try:
+            if (
+                prev._jdf.queryExecution().analyzed().sameResult(
+                    base._jdf.queryExecution().analyzed()
+                )
+                is False
+            ):
+                prev.unpersist(blocking=False)
+        except Exception:
+            pass  # a dead/stopped session: nothing to release
+    _LAST_PACK_BASE = base
     bucketed = base.withColumn(
         "bucket", F.floor(F.col("doc_id") / F.lit(int(bucket_width)))
     )

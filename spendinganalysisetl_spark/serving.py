@@ -111,8 +111,10 @@ class ReportServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    # TypeError covers valid-JSON non-objects ('null',
+                    # '[1]', '"x"') where subscripting isn't indexable.
                     begin, end = req["begin_date"], req["end_date"]
-                except (ValueError, KeyError):
+                except (ValueError, KeyError, TypeError):
                     self._reply(400, {"msg": "begin_date and end_date required"})
                     return
                 try:

@@ -180,7 +180,12 @@ try:  # pyspark >= 4.0
         def partitions(self):
             n = max(1, min(self._n_parts, len(self._ids) or 1))
             chunks = [self._ids[i::n] for i in range(n)]
-            return [_IdsPartition(c) for c in chunks if c]
+            # An empty ids option must yield an EMPTY scan, not []:
+            # pyspark substitutes [None] for a partitionless reader and
+            # read(None) would crash on partition.ids.
+            return [_IdsPartition(c) for c in chunks if c] or [
+                _IdsPartition([])
+            ]
 
         def read(self, partition):
             # Executor-side: stdlib + requests only (same import-gating
