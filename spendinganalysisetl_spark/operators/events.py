@@ -470,3 +470,81 @@ def props_variant_stats(events: DataFrame) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    consecutive event pair within a user's timeline, count
+    (prev_type → next_type) and estimate P(next | prev) — the
+    clickstream path-analysis summary behind "what do users do after X".
+
+    Scale shape: ONE shuffle on user_id for the lag window (event_id
+    tiebreak keeps ordering deterministic under timestamp collisions),
+    then a partial/final count aggregation on the tiny
+    |types|² key space; the conditional probability divides by a
+    row-count window over the aggregated matrix — never a second pass
+    over events. ``+ 0.0`` canonicalizes IEEE -0.0 on the rounded
+    probability.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    matrix = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return (
+        matrix.withColumn(
+            "p_next",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(row_total),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .repartition(1)
+        .sortWithinPartitions("prev_type", "next_type")
+    )
+
+
+def running_distinct_users(events: DataFrame) -> DataFrame:
+    """Cumulative distinct users by day (the running-DAU/"total accounts
+    ever seen" curve): each user contributes on their FIRST-seen day,
+    and a cumulative sum over the daily first-seen counts gives the
+    expanding-window distinct count WITHOUT a distinct-over-window
+    (which Spark disallows and a self-join would fake at N² cost).
+
+    Scale shape: one user-keyed aggregation (min ts per user), one
+    day-keyed count, then the cumulative window runs over ~days rows —
+    data-sized shuffles are both on near-uniform keys, the
+    unpartitioned window moves one row per day.
+    """
+    from pyspark.sql import Window
+
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("long")
+        )
+        .select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            F.col("new_users").cast("long").alias("new_users"),
+            "cum_users",
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from spendinganalysisetl_spark.operators.events import (
     funnel_conversion,
     gap_fill_hourly,
@@ -135,3 +137,51 @@ def test_fuzzy_levenshtein_blocking_and_distance(spark):
     # doc 3 shares the 'h' block but is > max_dist away; doc 4 is in
     # another block and never compared
     assert set(out) == {(1, 2)}
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    from spendinganalysisetl_spark.operators.events import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: a -> b -> a ; user 2: a -> b
+            (1, 1, "2024-01-01 10:00:00", "a"),
+            (2, 1, "2024-01-01 10:01:00", "b"),
+            (3, 1, "2024-01-01 10:02:00", "a"),
+            (4, 2, "2024-01-01 11:00:00", "a"),
+            (5, 2, "2024-01-01 11:05:00", "b"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in event_transitions(ev).collect()
+    }
+    assert out[("a", "b")]["n_transitions"] == 2
+    assert out[("b", "a")]["n_transitions"] == 1
+    assert out[("a", "b")]["p_next"] == 1.0, "a is always followed by b"
+    assert out[("b", "a")]["p_next"] == 1.0
+    assert ("a", "a") not in out, "no cross-user pair (user 1 ends a, user 2 starts a)"
+
+
+def test_running_distinct_users_cumulative(spark):
+    from spendinganalysisetl_spark.operators.events import (
+        running_distinct_users,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 09:00:00", "a"),
+            (2, 10, "2024-01-02 09:00:00", "a"),  # not new on day 2
+            (3, 11, "2024-01-02 09:00:00", "a"),
+            (4, 12, "2024-01-02 10:00:00", "a"),
+            (5, 13, "2024-01-04 10:00:00", "a"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r["day"]: r for r in running_distinct_users(ev).collect()}
+    assert rows["2024-01-01"]["new_users"] == 1
+    assert rows["2024-01-02"]["new_users"] == 2
+    assert rows["2024-01-02"]["cum_users"] == 3
+    assert rows["2024-01-04"]["cum_users"] == 4
+    assert "2024-01-03" not in rows, "no-activity days absent (gap_fill is the densifier)"
