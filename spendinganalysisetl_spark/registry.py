@@ -549,6 +549,205 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {money_sum_sql('l_extendedprice')} AS sum_base_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       sign(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT)))
+         * floor((abs(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT))) + 5000) / 10000.0) / 100.0
+         AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
+       round(CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the canonical scan-heavy aggregate a
+    switching analyst runs first. All money/ratio aggregates go through
+    exact integer scaling (decimicents for 4-decimal values, micro-
+    dollars for the 6-decimal charge) so the sums are associative and
+    engine-identical; averages divide exact integer sums by the exact
+    count. One partial/final hash aggregate over the pushed-down
+    shipdate filter."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_fold, money_sum
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    charge_micro = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    s_charge = F.sum(charge_micro)
+    cents = lambda c: F.sum(F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            (
+                (
+                    F.signum(s_charge)
+                    * F.floor((F.abs(s_charge) + F.lit(5000)) / F.lit(10000.0))
+                ).cast("long")
+                / F.lit(100.0)
+            ).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("long")).cast("double") / n, 6
+            ).alias("avg_qty"),
+            F.round(
+                cents(F.col("l_extendedprice")).cast("double") / n / F.lit(100.0), 6
+            ).alias("avg_price"),
+            F.round(
+                cents(F.col("l_discount")).cast("double") / n / F.lit(100.0), 6
+            ).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+SELECT l.l_orderkey AS orderkey,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < CAST('1995-03-15' AS DATE)
+  AND l.l_shipdate  > CAST('1995-03-15' AS DATE)
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey ASC LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dim filter broadcast into
+    the fact, grouped revenue, top-10 — the classic filter-join-agg-topk
+    shape. Customer is filtered then BROADCAST; orders' date predicate
+    pushes to its scan; the top-10 is a TakeOrdered, never a global
+    sort. Orderkey tiebreak keeps the limit deterministic."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("orderkey"), "o_orderdate")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select(
+            "orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    f"""
+SELECT n.n_name AS nation,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= CAST('1996-01-01' AS DATE)
+  AND o.o_orderdate <  CAST('1997-01-01' AS DATE)
+GROUP BY n.n_name ORDER BY revenue DESC, nation ASC
+""",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-way join. Region-filtered
+    nation/supplier and the customer dim broadcast; the only fact-sized
+    shuffle is the lineitem⋈orders equi-join and the final small-key
+    aggregation — the local-supplier condition (customer and supplier
+    in the same nation) rides the supplier broadcast."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+@register(
     "cube_returnflag_linestatus",
     f"""
 SELECT l_returnflag, l_linestatus,
@@ -3966,6 +4165,11 @@ _CHECK_FIRST: list[str] = [
     #  * new in r3: clickstream transition matrix + running distinct users.
     "events_transition_matrix",
     "events_running_distinct_users",
+    #  * new in r3: the classic TPC-H forms (scan-agg, filter-join-topk,
+    #    6-way join) — first driver rows.
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -3988,9 +4192,6 @@ _CHECK_FIRST: list[str] = [
     "window_monthly_running_total",
     "monthly_avg_absent_as_zero",
     "text_lang_id",
-    "scalar_functions_showcase",
-    "proj_order_dates",
-    "point_query_order",
     "bottom5_vendors_ref_compat",
     "vendor_totals",
     "setop_intersect_nations",
@@ -4046,6 +4247,9 @@ _CHECK_LATE: list[str] = [
     "scd2_customer_dim",
     "events_gap_fill_hourly",
     "setop_except_nations",  # yielded its r3 rotation slot to stratified_sample_hash; ALL-form (r2 green) pins the mechanism
+    "scalar_functions_showcase",  # yielded its r3 rotation slot to tpch_q1; F1-F8 scalars exercised across the in-window catalog
+    "proj_order_dates",  # yielded its r3 rotation slot to tpch_q3; projection pruning plan-audited every run (test_plan_audit)
+    "point_query_order",  # yielded its r3 rotation slot to tpch_q5; predicate pushdown plan-audited every run
     "category_totals_ref_roundsum",  # yielded its r3 rotation slot to events_transition_matrix; round-then-sum quirk is unit-pinned (test_quirks)
     "top5_vendors",  # yielded its r3 rotation slot to events_running_distinct_users; sort-flip of bottom5_vendors_ref_compat (in-window)
     "unique_categories",  # yielded its r3 rotation slot to weighted_sample_es; DISTINCT covered by dedup_exact_survivors + setop_union_nations (in-window)
