@@ -748,6 +748,118 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q18_large_volume_customer",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice AS totalprice,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, orderkey ASC LIMIT 100
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the IN-subquery-with-HAVING
+    shape. The qualifying-order set is ONE aggregation of the fact
+    reused as a LEFT SEMI join (Catalyst's decorrelation of IN) — the
+    fact table is scanned twice (threshold pass + detail pass), which
+    beats carrying every lineitem through a window at 100 TB because
+    the threshold pass reduces map-side to one row per order. Top-100
+    plans as TakeOrdered with a totalprice/orderkey tiebreak."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    orders = _lt(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            F.col("o_orderkey").alias("orderkey"),
+            "o_orderdate",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counts by part attributes) on this
+    schema: NOT-IN exclusion (negative-balance suppliers stand in for
+    the complaint filter) + grouped COUNT DISTINCT. The NOT IN compiles
+    to a broadcast LEFT ANTI join (the exclusion set is tiny and its
+    key is non-null, so anti-join ≡ NOT IN here); the distinct count is
+    a two-level aggregation on the (brand,type,size) keys."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import load_table as _lt
+
+    bad = (
+        _lt(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = _lt(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").join(
+        F.broadcast(bad), "l_suppkey", "left_anti"
+    )
+    part = _lt(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .repartition(1)
+        .sortWithinPartitions(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
     "cube_returnflag_linestatus",
     f"""
 SELECT l_returnflag, l_linestatus,
@@ -4166,10 +4278,13 @@ _CHECK_FIRST: list[str] = [
     "events_transition_matrix",
     "events_running_distinct_users",
     #  * new in r3: the classic TPC-H forms (scan-agg, filter-join-topk,
-    #    6-way join) — first driver rows.
+    #    6-way join, IN-subquery+HAVING, NOT-IN + count-distinct) —
+    #    first driver rows.
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "tpch_q16_supplier_part_counts",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -4193,8 +4308,6 @@ _CHECK_FIRST: list[str] = [
     "monthly_avg_absent_as_zero",
     "text_lang_id",
     "bottom5_vendors_ref_compat",
-    "vendor_totals",
-    "setop_intersect_nations",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -4247,6 +4360,8 @@ _CHECK_LATE: list[str] = [
     "scd2_customer_dim",
     "events_gap_fill_hourly",
     "setop_except_nations",  # yielded its r3 rotation slot to stratified_sample_hash; ALL-form (r2 green) pins the mechanism
+    "setop_intersect_nations",  # yielded its r3 rotation slot to tpch_q18; ALL-form (r2 green) pins the mechanism
+    "vendor_totals",  # yielded its r3 rotation slot to tpch_q16; category_totals (in-window) pins the shape
     "scalar_functions_showcase",  # yielded its r3 rotation slot to tpch_q1; F1-F8 scalars exercised across the in-window catalog
     "proj_order_dates",  # yielded its r3 rotation slot to tpch_q3; projection pruning plan-audited every run (test_plan_audit)
     "point_query_order",  # yielded its r3 rotation slot to tpch_q5; predicate pushdown plan-audited every run
