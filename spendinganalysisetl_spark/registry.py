@@ -860,6 +860,49 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q13_customer_distribution",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    so zero-order customers keep a row, COUNT over the nullable side
+    (NULL join misses count as 0), then the histogram of counts — the
+    two-level distribution-of-counts shape. The second aggregation's
+    key space is tiny, so the plan is one fact-sized shuffle plus a
+    partial/final rollup."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import load_table as _lt
+
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey")
+    orders = _lt(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
     "cube_returnflag_linestatus",
     f"""
 SELECT l_returnflag, l_linestatus,
@@ -4285,6 +4328,7 @@ _CHECK_FIRST: list[str] = [
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     "tpch_q16_supplier_part_counts",
+    "tpch_q13_customer_distribution",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -4305,7 +4349,6 @@ _CHECK_FIRST: list[str] = [
     "join_anti_customers_without_orders",
     "window_top_orders_per_customer",
     "window_monthly_running_total",
-    "monthly_avg_absent_as_zero",
     "text_lang_id",
     "bottom5_vendors_ref_compat",
 ]
@@ -4362,6 +4405,7 @@ _CHECK_LATE: list[str] = [
     "setop_except_nations",  # yielded its r3 rotation slot to stratified_sample_hash; ALL-form (r2 green) pins the mechanism
     "setop_intersect_nations",  # yielded its r3 rotation slot to tpch_q18; ALL-form (r2 green) pins the mechanism
     "vendor_totals",  # yielded its r3 rotation slot to tpch_q16; category_totals (in-window) pins the shape
+    "monthly_avg_absent_as_zero",  # yielded its r3 rotation slot to tpch_q13; densified-mean quirk unit-pinned + monthly_unpivot_roundtrip r2 green
     "scalar_functions_showcase",  # yielded its r3 rotation slot to tpch_q1; F1-F8 scalars exercised across the in-window catalog
     "proj_order_dates",  # yielded its r3 rotation slot to tpch_q3; projection pruning plan-audited every run (test_plan_audit)
     "point_query_order",  # yielded its r3 rotation slot to tpch_q5; predicate pushdown plan-audited every run
