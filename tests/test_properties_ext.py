@@ -311,3 +311,58 @@ def test_change_feed_reconstruction_law(spark, tmp_path_factory, base, batch):
         if r["_change_type"] in ("insert", "update_postimage"):
             replayed[kk] = tuple(r[c] for c in cmp_cols)
     assert replayed == post, "pre + feed must reconstruct post"
+
+
+@given(
+    t_rows=st.lists(
+        st.tuples(KEYS, st.integers(1, 50), st.integers(0, 999)),
+        max_size=4,
+        unique_by=lambda r: r[0],
+    ),
+    b_rows=st.lists(
+        st.tuples(KEYS, st.integers(1, 50), st.integers(0, 999)),
+        max_size=4,
+        unique_by=lambda r: r[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_schema_evolution_laws(spark, t_rows, b_rows):
+    """mergeSchema laws for any key overlap: output columns are
+    target-order + batch-only appended; keys are the union; target-only
+    columns survive updates and are NULL on inserts; batch-only columns
+    are NULL exactly on the rows the batch did not win."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.upsert import merge_frames
+
+    target = spark.createDataFrame(
+        [(k, n, float(v), f"note-{k}") for k, n, v in t_rows],
+        "begin_date string, total_transactions long, total_spent double, old_note string",
+    ).withColumn("end_date", F.concat(F.col("begin_date"), F.lit("#e")))
+    batch = spark.createDataFrame(
+        [(k, n, float(v), f"cur-{k}") for k, n, v in b_rows],
+        "begin_date string, total_transactions long, total_spent double, currency string",
+    ).withColumn("end_date", F.concat(F.col("begin_date"), F.lit("#e")))
+
+    out = merge_frames(target, batch, evolve_schema=True).collect()
+    t_map = {r[0]: r for r in t_rows}
+    b_map = {r[0]: r for r in b_rows}
+
+    cols = merge_frames(target, batch, evolve_schema=True).columns
+    assert cols == [
+        "begin_date", "total_transactions", "total_spent", "old_note",
+        "end_date", "currency", "action",
+    ]
+    assert {r["begin_date"] for r in out} == set(t_map) | set(b_map)
+    for r in out:
+        k = r["begin_date"]
+        if r["action"] == "inserted":
+            assert k not in t_map and r["old_note"] is None
+            assert r["currency"] == f"cur-{k}"
+        elif r["action"] == "updated":
+            assert b_map[k][1] > t_map[k][1], "update requires growth"
+            assert r["old_note"] == f"note-{k}", "target-only col survives"
+            assert r["currency"] == f"cur-{k}"
+        elif r["action"] == "kept":
+            assert r["old_note"] == f"note-{k}"
+            assert r["currency"] is None, "batch-only col NULL when batch lost"
