@@ -602,3 +602,65 @@ def chunk_documents(
             F.element_at("chunk", -1).alias("last_token"),
         )
     )
+
+
+def token_drift_psi(
+    documents: DataFrame, split_id: int = 250, top_n: int = 200
+) -> DataFrame:
+    """Corpus drift monitor: Population Stability Index of the unigram
+    distribution between two corpus slices (here: doc_id < ``split_id``
+    as the reference snapshot vs the rest as the incoming one) — the
+    check a data pipeline runs before accepting a refreshed crawl, where
+    a PSI spike means the token mix moved (new boilerplate, a broken
+    source, a language shift).
+
+    Buckets are the ``top_n`` tokens of the COMBINED corpus (count-desc,
+    token-asc tiebreak — deterministic, engine-portable); each side's
+    distribution is add-one smoothed over those buckets so a token
+    absent on one side contributes a finite term. Per-bucket
+    contribution ``(p_new - p_ref) * ln(p_new / p_ref)`` is ≥ 0; the
+    output is the top contributors plus each side's token counts.
+
+    Scale shape: ONE corpus tokenize → one (side-conditional) hash
+    aggregation per token; totals and the top-n election are windows
+    over the aggregated vocab table (vocab-sized, never the corpus);
+    the PSI sum is an aggregation of ``top_n`` rows.
+    """
+    from pyspark.sql import Window
+
+    is_ref = F.col("doc_id") < split_id
+    toks = _spread(documents.select("doc_id", "text")).select(
+        is_ref.alias("is_ref"), F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_new"),
+    )
+    w_rank = Window.orderBy(
+        (F.col("c_ref") + F.col("c_new")).desc(), F.col("token").asc()
+    )
+    head = (
+        vocab.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= top_n)
+    )
+    tot = Window.partitionBy(F.lit(1))
+    p_ref = (F.col("c_ref") + 1).cast("double") / (
+        F.sum("c_ref").over(tot) + top_n
+    )
+    p_new = (F.col("c_new") + 1).cast("double") / (
+        F.sum("c_new").over(tot) + top_n
+    )
+    return (
+        head.withColumn(
+            "psi_term",
+            F.round((p_new - p_ref) * F.log(p_new / p_ref), 6) + F.lit(0.0),
+        )
+        .select(
+            "token",
+            F.col("c_ref").cast("long").alias("c_ref"),
+            F.col("c_new").cast("long").alias("c_new"),
+            "psi_term",
+        )
+        .orderBy(F.col("psi_term").desc(), F.col("token").asc())
+        .limit(20)
+    )

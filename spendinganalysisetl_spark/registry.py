@@ -860,6 +860,50 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_drift_psi",
+    """
+WITH toks AS (
+  SELECT doc_id < 250 AS is_ref,
+         unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_new
+  FROM toks GROUP BY token
+),
+head AS (
+  SELECT * FROM (
+    SELECT token, c_ref, c_new,
+           row_number() OVER (ORDER BY (c_ref + c_new) DESC, token ASC) AS rnk
+    FROM vocab
+  ) WHERE rnk <= 200
+),
+scored AS (
+  SELECT token, c_ref, c_new,
+         round(((CAST(c_new + 1 AS DOUBLE) / (sum(c_new) OVER () + 200))
+               - (CAST(c_ref + 1 AS DOUBLE) / (sum(c_ref) OVER () + 200)))
+               * ln((CAST(c_new + 1 AS DOUBLE) / (sum(c_new) OVER () + 200))
+                    / (CAST(c_ref + 1 AS DOUBLE) / (sum(c_ref) OVER () + 200))), 6)
+           + 0.0 AS psi_term
+  FROM head
+)
+SELECT token, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_new AS BIGINT) AS c_new, psi_term
+FROM scored ORDER BY psi_term DESC, token ASC LIMIT 20
+""",
+)
+def q_token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: Population Stability Index of the unigram
+    distribution between two corpus slices, top contributors
+    (operators/trainprep.py:token_drift_psi) — the accept/reject check
+    before a refreshed crawl joins the training mix."""
+    from spendinganalysisetl_spark.operators.trainprep import token_drift_psi
+
+    return token_drift_psi(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "tpch_q13_customer_distribution",
     """
 WITH per_cust AS (
@@ -4329,6 +4373,8 @@ _CHECK_FIRST: list[str] = [
     "tpch_q18_large_volume_customer",
     "tpch_q16_supplier_part_counts",
     "tpch_q13_customer_distribution",
+    #  * new in r3: corpus drift monitor (PSI between snapshot slices).
+    "token_drift_psi",
     # Rotation of demoted r1 greens whose code saw the most r2
     # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
     "category_totals",
@@ -4348,7 +4394,6 @@ _CHECK_FIRST: list[str] = [
     "setop_union_nations",
     "join_anti_customers_without_orders",
     "window_top_orders_per_customer",
-    "window_monthly_running_total",
     "text_lang_id",
     "bottom5_vendors_ref_compat",
 ]
@@ -4406,6 +4451,7 @@ _CHECK_LATE: list[str] = [
     "setop_intersect_nations",  # yielded its r3 rotation slot to tpch_q18; ALL-form (r2 green) pins the mechanism
     "vendor_totals",  # yielded its r3 rotation slot to tpch_q16; category_totals (in-window) pins the shape
     "monthly_avg_absent_as_zero",  # yielded its r3 rotation slot to tpch_q13; densified-mean quirk unit-pinned + monthly_unpivot_roundtrip r2 green
+    "window_monthly_running_total",  # yielded its r3 rotation slot to token_drift_psi; cumulative frame == window_rolling_3mo_avg (r2 green)
     "scalar_functions_showcase",  # yielded its r3 rotation slot to tpch_q1; F1-F8 scalars exercised across the in-window catalog
     "proj_order_dates",  # yielded its r3 rotation slot to tpch_q3; projection pruning plan-audited every run (test_plan_audit)
     "point_query_order",  # yielded its r3 rotation slot to tpch_q5; predicate pushdown plan-audited every run

@@ -426,3 +426,23 @@ def test_stratified_sample_hash_laws(spark):
     )
     kept2 = {r["doc_id"] for r in stratified_sample_hash(grown, fr).collect()}
     assert {r["doc_id"] for r in kept} <= kept2
+
+
+def test_token_drift_psi_detects_planted_shift(spark):
+    """PSI: identical halves give ~zero terms; a token dominating only
+    the new slice tops the contributor list."""
+    from spendinganalysisetl_spark.operators.trainprep import token_drift_psi
+
+    base = [(i, "alpha beta gamma delta") for i in range(100)]
+    shifted = [(i, "alpha beta gamma delta SPIKE SPIKE SPIKE") for i in range(100, 200)]
+    docs = spark.createDataFrame(base + shifted, "doc_id long, text string")
+    out = token_drift_psi(docs, split_id=100, top_n=5).collect()
+    assert out[0]["token"] == "spike"
+    assert out[0]["c_ref"] == 0 and out[0]["c_new"] == 300
+    assert out[0]["psi_term"] > 0.05
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(200)], "doc_id long, text string"
+    )
+    flat = token_drift_psi(same, split_id=100, top_n=3).collect()
+    assert all(r["psi_term"] < 0.001 for r in flat), "no drift => near-zero PSI"
