@@ -568,25 +568,15 @@ def lsh_cluster_stars(
     )
 
 
-def minhash_lsh_pairs_portable(
+def _portable_sig_bands(
     documents: DataFrame,
-    n_hashes: int = 8,
-    bands: int = 4,
-    shingle_n: int = 5,
-    jaccard_threshold: float = 0.6,
-    id_cap: int | None = 1000,
-) -> DataFrame:
-    """Oracle-checkable MinHash+LSH near-dup pairs: identical pipeline
-    shape to ``minhash_lsh_pairs`` (shingle → minhash → band → bucket
-    join → exact-Jaccard verify) but built on the portable md5-fold
-    Kirsch-Mitzenmacher hash family (``functions.text.hex_fold``) so a
-    DuckDB oracle reproduces the signatures bit-for-bit — this is the
-    differential-correctness proof for the whole MinHash family; the
-    xxhash64 variant stays the scale path (cheaper per-value hash,
-    wider signature). Capped to the first ``id_cap`` docs because the
-    md5 + hex-fold hashing is several times the per-shingle work of the
-    production variant.
-    """
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+    id_cap: int | None,
+):
+    """Shared front half of the portable MinHash family: (cached)
+    shingle sets and (cached) per-band signature keys."""
     from spendinganalysisetl_spark.functions.text import hex_fold
 
     assert n_hashes <= 8, "portable family: h1 + i*h2 overflows beyond i=7"
@@ -628,7 +618,31 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("band", "band_key"),
     )
-    banded = banded.cache()
+    return shingled, banded.cache()
+
+
+def minhash_lsh_pairs_portable(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.6,
+    id_cap: int | None = 1000,
+) -> DataFrame:
+    """Oracle-checkable MinHash+LSH near-dup pairs: identical pipeline
+    shape to ``minhash_lsh_pairs`` (shingle → minhash → band → bucket
+    join → exact-Jaccard verify) but built on the portable md5-fold
+    Kirsch-Mitzenmacher hash family (``functions.text.hex_fold``) so a
+    DuckDB oracle reproduces the signatures bit-for-bit — this is the
+    differential-correctness proof for the whole MinHash family; the
+    xxhash64 variant stays the scale path (cheaper per-value hash,
+    wider signature). Capped to the first ``id_cap`` docs because the
+    md5 + hex-fold hashing is several times the per-shingle work of the
+    production variant.
+    """
+    shingled, banded = _portable_sig_bands(
+        documents, n_hashes, bands, shingle_n, id_cap
+    )
     cand = (
         banded.alias("a")
         .join(
@@ -638,6 +652,68 @@ def minhash_lsh_pairs_portable(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
+def incremental_near_dup(
+    documents: DataFrame,
+    batch_mod: int = 10,
+    batch_rem: int = 7,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.6,
+    id_cap: int | None = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup detection: the MinHash analog of
+    ``incremental_dedup`` — near-dup pairs INVOLVING the arriving batch
+    (``doc_id % batch_mod == batch_rem`` stands in for the new slice),
+    via a probe-vs-index band join: the batch's band keys PROBE the full
+    band table, so history×history pairs are never enumerated.
+
+    Scale shape: in production the full band table is a STORED index
+    (banded signatures persist next to the corpus, bucketed on
+    (band, band_key)); an arriving batch shingles and signs ONLY its own
+    documents, the probe is a bucket-pruned equi-join, and verified new
+    pairs append to the pair/cluster store — per-batch cost is
+    O(batch × bands), independent of corpus size. Here both sides
+    derive from one table (the driver's parquet is the whole corpus) but
+    the PLAN has the probe shape: the left side of the band join is the
+    batch slice only.
+    """
+    shingled, banded = _portable_sig_bands(
+        documents, n_hashes, bands, shingle_n, id_cap
+    )
+    is_batch = (F.col("doc_id") % batch_mod) == batch_rem
+    probe = banded.filter(is_batch)
+    cand = (
+        probe.alias("p")
+        .join(
+            banded.alias("x"),
+            (F.col("p.band") == F.col("x.band"))
+            & (F.col("p.band_key") == F.col("x.band_key"))
+            & (F.col("p.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "x.doc_id").alias("id_a"),
+            F.greatest("p.doc_id", "x.doc_id").alias("id_b"),
+        )
         .distinct()
     )
     sh_a = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

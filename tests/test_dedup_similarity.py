@@ -466,3 +466,25 @@ def test_filtered_topk_prefilter_beats_postfilter(spark):
     assert [r["rnk"] for r in pre] == [1, 2, 3, 4, 5]
     # ranked by similarity within the filtered slice: closer y -> higher cos
     assert [r["c_id"] for r in pre] == [6, 7, 8, 9, 10]
+
+
+def test_incremental_near_dup_equals_filtered_full(spark, documents):
+    """Probe-vs-index incremental pairs == involving-batch subset of
+    the full portable pair set (no extra pairs, none missed)."""
+    from spendinganalysisetl_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_lsh_pairs_portable,
+    )
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_portable(documents).collect()
+    }
+    want = {
+        k: v for k, v in full.items() if k[0] % 10 == 7 or k[1] % 10 == 7
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in incremental_near_dup(documents).collect()
+    }
+    assert got == want
