@@ -903,6 +903,64 @@ def q_token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_drift_psi(load_table(spark, sf_dir, "documents"))
 
 
+_Q1_SPARK_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(signum(sum(CAST(floor(l_extendedprice*10000 + 0.5) AS BIGINT)))
+         * floor((abs(sum(CAST(floor(l_extendedprice*10000 + 0.5) AS BIGINT))) + 50) / 100.0) AS BIGINT) / CAST(100.0 AS DOUBLE)
+         AS sum_base_price,
+       CAST(signum(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)))
+         * floor((abs(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))) + 50) / 100.0) AS BIGINT) / CAST(100.0 AS DOUBLE)
+         AS sum_disc_price,
+       CAST(signum(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT)))
+         * floor((abs(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT))) + 5000) / 10000.0) AS BIGINT) / CAST(100.0 AS DOUBLE)
+         AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
+       round(CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_surface_q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {money_sum_sql('l_extendedprice')} AS sum_base_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       sign(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT)))
+         * floor((abs(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT))) + 5000) / 10000.0) / 100.0
+         AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
+       round(CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_sql_surface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door (§2/SURVEY "DataFrame or SQL, same engine"):
+    the Q1 pricing summary as a ``spark.sql`` TEXT query over
+    ``catalog.register_views`` — ANSI SQL in, the same Catalyst plan
+    family out as the DataFrame form (``tpch_q1_pricing_summary``),
+    checked against the same class of oracle. Proves a reference user
+    can bring plain SQL instead of the DataFrame API."""
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SPARK_SQL).repartition(1).sortWithinPartitions(
+        "l_returnflag", "l_linestatus"
+    )
+
+
 @register(
     "tpch_q13_customer_distribution",
     """
@@ -4395,6 +4453,8 @@ _CHECK_FIRST: list[str] = [
     "tpch_q18_large_volume_customer",
     "tpch_q16_supplier_part_counts",
     "tpch_q13_customer_distribution",
+    #  * new in r3: the SQL front door (spark.sql text over views).
+    "sql_surface_q1",
     #  * new in r3: corpus drift monitor (PSI between snapshot slices).
     "token_drift_psi",
     #  * new in r3: incremental MinHash near-dup (probe-vs-index shape).
@@ -4416,7 +4476,6 @@ _CHECK_FIRST: list[str] = [
     "cube_returnflag_linestatus",
     "rollup_returnflag_linestatus",
     "setop_union_nations",
-    "window_top_orders_per_customer",
     "text_lang_id",
     "bottom5_vendors_ref_compat",
 ]
@@ -4476,6 +4535,7 @@ _CHECK_LATE: list[str] = [
     "monthly_avg_absent_as_zero",  # yielded its r3 rotation slot to tpch_q13; densified-mean quirk unit-pinned + monthly_unpivot_roundtrip r2 green
     "window_monthly_running_total",  # yielded its r3 rotation slot to token_drift_psi; cumulative frame == window_rolling_3mo_avg (r2 green)
     "join_anti_customers_without_orders",  # yielded its r3 rotation slot to incremental_near_dup_batch; anti leg pinned by tpch_q16 (in-window)
+    "window_top_orders_per_customer",  # yielded its r3 rotation slot to sql_surface_q1; row_number top-k pinned by corpus_curation + tpch_q3 TakeOrdered (in-window)
     "scalar_functions_showcase",  # yielded its r3 rotation slot to tpch_q1; F1-F8 scalars exercised across the in-window catalog
     "proj_order_dates",  # yielded its r3 rotation slot to tpch_q3; projection pruning plan-audited every run (test_plan_audit)
     "point_query_order",  # yielded its r3 rotation slot to tpch_q5; predicate pushdown plan-audited every run
