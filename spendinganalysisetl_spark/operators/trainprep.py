@@ -256,6 +256,7 @@ def build_training_shards(
     n: int = 8,
     bench_mod: int = 20,
     bucket_width: int = 1 << 16,
+    observations: dict | None = None,
 ) -> DataFrame:
     """The end-to-end shard build a pretraining pipeline runs nightly,
     as ONE declarative plan: quality-gate → exact-dedup survivor
@@ -344,7 +345,26 @@ def build_training_shards(
         )
         .select("doc_id", "n_tok")
     )
-    return _pack_from_counts(clean, budget=budget, bucket_width=bucket_width)
+    out = _pack_from_counts(clean, budget=budget, bucket_width=bucket_width)
+    if observations is not None:
+        # Production counters WITHOUT an extra pass: a CollectMetrics
+        # node (pyspark Observation) on the manifest aggregates during
+        # whatever action the caller runs anyway — the "how many
+        # bins / docs / tokens made it past the gates tonight" numbers
+        # a pipeline dashboards, for free. Attached ABOVE the packing
+        # persist: metrics emitted inside a cache-materialization
+        # subquery don't reach the caller's listener.
+        from pyspark.sql import Observation
+
+        obs = Observation("shard_build")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("docs_packed"),
+            F.sum("n_tokens").alias("tokens_packed"),
+        )
+        observations["shard_build"] = obs
+    return out
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:

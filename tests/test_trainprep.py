@@ -446,3 +446,34 @@ def test_token_drift_psi_detects_planted_shift(spark):
     )
     flat = token_drift_psi(same, split_id=100, top_n=3).collect()
     assert all(r["psi_term"] < 0.001 for r in flat), "no drift => near-zero PSI"
+
+
+def test_shard_build_observed_metrics(spark):
+    """Observation counters ride the shard build's own pass: the
+    docs/tokens-packed metrics equal the manifest's sums without any
+    extra corpus scan."""
+    from spendinganalysisetl_spark.operators.trainprep import (
+        build_training_shards,
+    )
+
+    # per-doc-unique grams (shared text would be decontaminated away),
+    # with enough stopwords/length to pass the quality gate
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                # stopwords interleaved so every 8-gram contains a
+                # doc-unique token (a shared run would be decontaminated)
+                " ".join(f"w{i}x{j} the" for j in range(40)),
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_chars", __import__("pyspark").sql.functions.length("text"))
+    obs: dict = {}
+    bins = build_training_shards(docs, observations=obs).collect()
+    m = obs["shard_build"].get
+    assert m["n_bins"] == len(bins)
+    assert m["docs_packed"] == sum(r["n_docs"] for r in bins)
+    assert m["tokens_packed"] == sum(r["n_tokens"] for r in bins)
+    assert m["docs_packed"] > 0
