@@ -360,8 +360,9 @@ def build_training_shards(
         out = out.observe(
             obs,
             F.count(F.lit(1)).alias("n_bins"),
-            F.sum("n_docs").alias("docs_packed"),
-            F.sum("n_tokens").alias("tokens_packed"),
+            # coalesce: an all-gated-out run must dashboard 0, not NULL
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs_packed"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens_packed"),
         )
         observations["shard_build"] = obs
     return out

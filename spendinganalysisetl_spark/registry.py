@@ -548,9 +548,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem_rollup(load_table(spark, sf_dir, "lineitem"))
 
 
-@register(
-    "tpch_q1_pricing_summary",
-    f"""
+# ONE oracle text for both Q1 forms (DataFrame + SQL front door) —
+# a parity fix applied here reaches both queries.
+_Q1_ORACLE_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        {money_sum_sql('l_extendedprice')} AS sum_base_price,
@@ -566,8 +566,10 @@ FROM lineitem
 WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
-""",
-)
+"""
+
+
+@register("tpch_q1_pricing_summary", _Q1_ORACLE_SQL)
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary): the canonical scan-heavy aggregate a
     switching analyst runs first. All money/ratio aggregates go through
@@ -578,7 +580,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate filter."""
     from pyspark.sql import functions as F
 
-    from spendinganalysisetl_spark.functions.scalars import money_fold, money_sum
+    from spendinganalysisetl_spark.functions.scalars import money_sum
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
@@ -775,19 +777,18 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrdered with a totalprice/orderkey tiebreak."""
     from pyspark.sql import functions as F
 
-    from spendinganalysisetl_spark.catalog import load_table as _lt
-
-    li = _lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("s"))
         .filter(F.col("s") > 250)
         .select("l_orderkey")
     )
-    orders = _lt(spark, sf_dir, "orders").join(
+    orders = load_table(spark, sf_dir, "orders").join(
         big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
     )
-    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
@@ -835,17 +836,16 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     a two-level aggregation on the (brand,type,size) keys."""
     from pyspark.sql import functions as F
 
-    from spendinganalysisetl_spark.catalog import load_table as _lt
-
+    
     bad = (
-        _lt(spark, sf_dir, "supplier")
+        load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
-    li = _lt(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").join(
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").join(
         F.broadcast(bad), "l_suppkey", "left_anti"
     )
-    part = _lt(spark, sf_dir, "part").select(
+    part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
     return (
@@ -926,26 +926,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@register(
-    "sql_surface_q1",
-    f"""
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       {money_sum_sql('l_extendedprice')} AS sum_base_price,
-       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       sign(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT)))
-         * floor((abs(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT))) + 5000) / 10000.0) / 100.0
-         AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
-       round(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
-       round(CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
-""",
-)
+@register("sql_surface_q1", _Q1_ORACLE_SQL)
 def q_sql_surface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door (§2/SURVEY "DataFrame or SQL, same engine"):
     the Q1 pricing summary as a ``spark.sql`` TEXT query over
@@ -983,10 +964,9 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final rollup."""
     from pyspark.sql import functions as F
 
-    from spendinganalysisetl_spark.catalog import load_table as _lt
-
-    cust = _lt(spark, sf_dir, "customer").select("c_custkey")
-    orders = _lt(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
     per_cust = (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey")
