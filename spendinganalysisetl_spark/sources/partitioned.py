@@ -74,3 +74,58 @@ def partition_filters(df: DataFrame) -> str:
         if "PartitionFilters" in line:
             return line.strip()
     return ""
+
+
+def missing_partitions(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    partition_col: str,
+) -> list[str]:
+    """Backfill planner: partition values present in ``source`` but
+    absent from the partitioned output tree at ``path`` — the diff an
+    orchestrated incremental job runs FIRST so it (re)computes only
+    missing slices instead of the whole history.
+
+    Scale shape: the source side is ONE distinct aggregation of the
+    partition column (tiny key space by the low-cardinality policy
+    above); the output side never scans data at all — partition values
+    come from the file index's directory names. The returned list is
+    partition-count sized, safe to collect; feed each value through a
+    filtered ``write_partitioned(mode="append")`` run.
+    """
+    import os
+
+    have: set[str] = set()
+    if os.path.isdir(path):
+        prefix = f"{partition_col}="
+        have = {
+            d[len(prefix):]
+            for d in os.listdir(path)
+            if d.startswith(prefix)
+        }
+    want = [
+        r[0]
+        for r in source.select(partition_col).distinct().collect()
+        if r[0] is not None
+    ]
+    return sorted(str(v) for v in want if str(v) not in have)
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    partition_col: str,
+) -> list[str]:
+    """Run the backfill the planner found: append ONLY the missing
+    partition slices (one filtered write over the pruned source — the
+    partition predicate pushes into the source scan when ``source`` is
+    itself partition-pruned storage). Returns the values written.
+    Idempotent: a second call finds nothing missing and writes nothing.
+    """
+    todo = missing_partitions(spark, source, path, partition_col)
+    if todo:
+        slice_df = source.filter(F.col(partition_col).isin(todo))
+        write_partitioned(slice_df, path, partition_col, mode="append")
+    return todo

@@ -92,3 +92,30 @@ def test_partitioned_write_one_file_per_partition(part_tree):
     for d in month_dirs:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+def test_backfill_only_missing_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.partitioned import (
+        backfill_partitions,
+        missing_partitions,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "tree")
+    full = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("2024-01", "2024-02", "2024-03") for i in range(10)],
+        "month string, k long, v double",
+    )
+    # seed with one month present
+    write_partitioned(full.filter(F.col("month") == "2024-01"), out, "month")
+    assert missing_partitions(spark, full, out, "month") == ["2024-02", "2024-03"]
+
+    wrote = backfill_partitions(spark, full, out, "month")
+    assert wrote == ["2024-02", "2024-03"]
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    # idempotent: nothing left to do, nothing double-appended
+    assert backfill_partitions(spark, full, out, "month") == []
+    assert spark.read.parquet(out).count() == 30
