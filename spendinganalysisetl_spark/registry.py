@@ -1926,6 +1926,77 @@ ORDER BY media_id
 """
 
 
+@register(
+    "stream_running_distinct_users",
+    # Shares the batch twin's oracle (events_running_distinct_users):
+    # the per-user MIN(ts) stateful aggregation drains in complete
+    # mode (full state re-emitted; a user's first-seen day may move
+    # earlier as late files arrive — append/update could not retract
+    # it), and the days-sized cumulative curve derives from the drained
+    # per-user table.
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day, count(*) AS new_users FROM firsts GROUP BY first_day
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+""",
+)
+def q_stream_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running-DAU: REAL stream through a stateful per-user
+    MIN(ts) aggregation, complete-mode AvailableNow drain, then the
+    days-sized first-seen reduction + cumulative window over the
+    drained (user-count-sized) table — the third oracle-backed
+    streaming topology."""
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import table_path
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream = (
+        read_event_stream(spark, table_path(sf_dir, "events") + "*")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    name = f"stream_running_distinct_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    daily = (
+        spark.table(name)
+        .groupBy(F.to_date("first_ts").alias("first_day"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+        .select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            F.col("new_users").cast("long").alias("new_users"),
+            "cum_users",
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )
+
+
 @register("multimodal_features", _multimodal_expected_sql(resized=False))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.multimodal.ops import extract_features, fake_media_table
@@ -4412,6 +4483,7 @@ _CHECK_FIRST: list[str] = [
     #  * newly oracle-backed in r3 (complete-mode drain): the second
     #    streaming topology's first driver row.
     "stream_session_window",
+    "stream_running_distinct_users",
     #  * newly oracle-backed in r3 (precomputed golden-feature VALUES
     #    twin of the deterministic fake codec): first driver rows for
     #    the multimodal family.
@@ -4453,7 +4525,6 @@ _CHECK_FIRST: list[str] = [
     "dedup_exact_survivors",
     # Further rotation backfill (r1 greens, never re-checked since):
     # tail slots here are the first to yield to new r3 queries.
-    "cube_returnflag_linestatus",
     "rollup_returnflag_linestatus",
     "setop_union_nations",
     "text_lang_id",
@@ -4512,6 +4583,7 @@ _CHECK_LATE: list[str] = [
     "setop_except_nations",  # yielded its r3 rotation slot to stratified_sample_hash; ALL-form (r2 green) pins the mechanism
     "setop_intersect_nations",  # yielded its r3 rotation slot to tpch_q18; ALL-form (r2 green) pins the mechanism
     "vendor_totals",  # yielded its r3 rotation slot to tpch_q16; category_totals (in-window) pins the shape
+    "cube_returnflag_linestatus",  # yielded its r3 rotation slot to stream_running_distinct_users; grouping_sets_revenue (r2 green) generalizes cube
     "monthly_avg_absent_as_zero",  # yielded its r3 rotation slot to tpch_q13; densified-mean quirk unit-pinned + monthly_unpivot_roundtrip r2 green
     "window_monthly_running_total",  # yielded its r3 rotation slot to token_drift_psi; cumulative frame == window_rolling_3mo_avg (r2 green)
     "join_anti_customers_without_orders",  # yielded its r3 rotation slot to incremental_near_dup_batch; anti leg pinned by tpch_q16 (in-window)
