@@ -73,3 +73,38 @@ def test_cobucketed_join_no_shuffle_and_equal(spark, sf_dir, bucket_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_band_index_bucketed_probe(spark, tmp_path):
+    """The stored near-dup band index as a bucketed table: the batch's
+    band keys probe it with NO exchange on the index side — the
+    per-batch shape incremental_near_dup documents (the index paid its
+    shuffle once, at write)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.bucketing import (
+        plan_has_exchange,
+        write_bucketed,
+    )
+
+    # a toy band table: (doc_id, band, band_key) — band_key the join key
+    bands = spark.createDataFrame(
+        [(d, b, (d * 7 + b) % 13) for d in range(200) for b in range(4)],
+        "doc_id long, band int, band_key long",
+    )
+    write_bucketed(
+        bands, "band_index", str(tmp_path / "band_index"), "band_key",
+        n_buckets=4, sort_cols=("band_key",),
+    )
+    index = spark.table("band_index")
+    probe = spark.table("band_index").filter(F.col("doc_id") % 10 == 7)
+    joined = probe.alias("p").join(
+        index.alias("x"),
+        (F.col("p.band") == F.col("x.band"))
+        & (F.col("p.band_key") == F.col("x.band_key"))
+        & (F.col("p.doc_id") != F.col("x.doc_id")),
+    )
+    plan = joined._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS band_index")
