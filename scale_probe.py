@@ -56,6 +56,12 @@ QUERIES = [
     # linear) and the fused two-scan shard pipeline.
     "sequence_packing_bins",
     "training_shard_pipeline",
+    # r4 additions (VERDICT r3 ask #4): the fact-side scaling of the DQ
+    # gate and the NOT-IN + count-distinct form (lineitem/orders now
+    # replicate too), and the weighted sampler's pure-projection top-k.
+    "dq_check_lineitem",
+    "tpch_q16_supplier_part_counts",
+    "weighted_sample_es",
 ]
 
 
@@ -108,15 +114,83 @@ def _replicate(spark, src: str, dst: str, k: int) -> None:
         reps = shifted if reps is None else reps.unionByName(shifted)
     reps.write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
 
-    for t in (
-        "region nation customer supplier part orders lineitem embeddings"
-    ).split():
+    # lineitem + orders replicate with a CONSISTENT orderkey shift (the
+    # FK lineitem→orders must keep holding for the DQ gate) — the
+    # fact tables grow K×, the dimensions (part/supplier/customer) stay
+    # fixed, which is exactly how a warehouse scales.
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    reps = None
+    for i in range(k):
+        r = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok)
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(os.path.join(dst, "orders.parquet"))
+    reps = None
+    for i in range(k):
+        r = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok)
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(os.path.join(dst, "lineitem.parquet"))
+
+    for t in ("region nation customer supplier part embeddings").split():
         src_p = os.path.join(src, f"{t}.parquet")
         dst_p = os.path.join(dst, f"{t}.parquet")
         if os.path.isfile(src_p):
             shutil.copy(src_p, dst_p)
         else:
             shutil.copytree(src_p, dst_p)
+
+
+def _fixed_batch_probe(spark, sf_dir: str, big_dir: str, k: int) -> dict:
+    """Time probe_near_dup_batch with a FIXED batch against a stored,
+    bucketed band index built over the 1× and K× corpora."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.dedup import (
+        near_dup_index,
+        probe_near_dup_batch,
+    )
+    from spendinganalysisetl_spark.sources.bucketing import write_bucketed
+
+    batch = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % 50 == 7)  # ~100 docs, same at both scales
+    )
+    out = {}
+    for label, d in (("t_1x", sf_dir), (f"t_{k}x", big_dir)):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        shingled, banded = near_dup_index(docs)
+        idx_path = tempfile.mkdtemp(prefix="ndidx_")
+        try:
+            write_bucketed(
+                banded, "probe_band_idx", os.path.join(idx_path, "bands"),
+                "bk", n_buckets=8, sort_cols=("bk",),
+            )
+            shingled.sort("doc_id").write.mode("overwrite").parquet(
+                os.path.join(idx_path, "shingles")
+            )
+            shingled.unpersist()
+            banded.unpersist()
+            idx_b = spark.table("probe_band_idx")
+            idx_sh = spark.read.parquet(os.path.join(idx_path, "shingles"))
+
+            best = float("inf")
+            for _ in range(3):  # first rep is the warm-up
+                t0 = time.perf_counter()
+                probe_near_dup_batch(batch, idx_b, idx_sh).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best, 3)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS probe_band_idx")
+            shutil.rmtree(idx_path, ignore_errors=True)
+    out["ratio"] = round(out[f"t_{k}x"] / out["t_1x"], 2)
+    return out
 
 
 def main() -> None:
@@ -150,6 +224,20 @@ def main() -> None:
                 f"t_{k}x": round(tk, 3),
                 "ratio": round(tk / t1, 2),
             }
+
+        # Fixed-batch probe vs STORED index (VERDICT r3 ask #4): the
+        # incremental near-dup claim is per-batch cost O(batch×bands),
+        # independent of corpus size, GIVEN a stored index. Build the
+        # band/shingle index at each scale UNTIMED (that is the
+        # write-once cost the claim amortizes), then time the SAME
+        # batch (replica-0 ids, unshifted at both scales) probing it.
+        # Flat-ish t_kx/t_1x here is the measured form of the claim;
+        # the catalog query `incremental_near_dup_batch` instead scales
+        # its batch WITH the corpus (batch = 10% of docs), so it is
+        # deliberately not comparable.
+        report["near_dup_probe_fixed_batch_stored_index"] = (
+            _fixed_batch_probe(spark, SF_DIR, big, k)
+        )
         print(
             json.dumps(
                 {"k": k, "sf_dir": SF_DIR, "queries": report}, indent=1

@@ -733,6 +733,118 @@ def incremental_near_dup(
     )
 
 
+def near_dup_index(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    id_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The STORED half of incremental near-dup: ``(shingled, banded)``
+    for the history corpus — in production written ONCE next to the
+    corpus (the band table bucketed+sorted by ``bk`` via
+    ``sources.bucketing.write_bucketed``, the shingle store sorted by
+    ``doc_id``) and appended per batch. ``probe_near_dup_batch`` is the
+    per-batch half that reads these instead of recomputing the corpus.
+
+    The banded side carries ``bk`` — a scalar xxhash64 of (band,
+    band_key) — because the signature key itself is a STRUCT, which
+    neither ``bucketBy`` layouts nor IN-pushdown handle; the scalar is
+    the storage/pruning key, the struct stays in the join condition so
+    a hash collision can never produce a false pair."""
+    shingled, banded = _portable_sig_bands(
+        documents, n_hashes, bands, shingle_n, id_cap
+    )
+    return shingled, banded.withColumn("bk", F.xxhash64("band", "band_key"))
+
+
+def probe_near_dup_batch(
+    batch_docs: DataFrame,
+    index_banded: DataFrame,
+    index_shingled: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.6,
+    pushdown: bool = True,
+    max_probe_keys: int = 1_000_000,
+) -> DataFrame:
+    """Per-batch near-dup against a STORED index: shingle + sign ONLY
+    the arriving batch, probe the stored band table, Jaccard-verify the
+    candidates against stored shingles. With the index persisted, the
+    per-batch cost is O(batch × bands) plus candidate verification —
+    this is the operational form whose fused single-table twin is
+    ``incremental_near_dup`` (same signatures, same pairs).
+
+    ``pushdown=True`` collects the batch's distinct band keys and its
+    candidates' doc ids on the driver (both bounded by the BATCH size —
+    batch×bands keys, ≤2·candidates ids; ``max_probe_keys`` guards the
+    collect) and pushes them as IN-filters onto the index scans: on an
+    index written sorted by the filtered column, parquet row-group
+    stats prune the read to the matched groups, so probe I/O follows
+    the BATCH, not the corpus — the point-lookup half of the
+    "probe-vs-index" claim, measured in scale_probe.py (10× corpus,
+    fixed batch). The band join condition itself is unchanged, so
+    pushdown only ever removes rows the join would drop."""
+    b_shingled, b_banded = near_dup_index(
+        batch_docs, n_hashes, bands, shingle_n, None
+    )
+    idx = index_banded
+    if pushdown:
+        keys = [
+            r[0]
+            for r in b_banded.select("bk").distinct().limit(
+                max_probe_keys + 1
+            ).collect()
+        ]
+        if len(keys) <= max_probe_keys:
+            idx = index_banded.filter(F.col("bk").isin(keys))
+    cand = (
+        b_banded.alias("p")
+        .join(
+            idx.alias("x"),
+            (F.col("p.band") == F.col("x.band"))
+            & (F.col("p.band_key") == F.col("x.band_key"))
+            & (F.col("p.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "x.doc_id").alias("id_a"),
+            F.greatest("p.doc_id", "x.doc_id").alias("id_b"),
+        )
+        .distinct()
+    ).cache()
+    # Shingle lookup for the verify: batch shingles are already in hand;
+    # history shingles are point reads of the store, pruned by the
+    # candidates' ids (bounded by the batch's candidate fan-out).
+    hist_sh = index_shingled
+    if pushdown:
+        ids = [
+            r[0]
+            for r in cand.select(F.explode(F.array("id_a", "id_b")))
+            .distinct()
+            .limit(max_probe_keys + 1)
+            .collect()
+        ]
+        if len(ids) <= max_probe_keys:
+            hist_sh = index_shingled.filter(F.col("doc_id").isin(ids))
+    sh = b_shingled.unionByName(hist_sh).dropDuplicates(["doc_id"])
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
 def fuzzy_pairs_levenshtein(
     documents: DataFrame,
     prefix_len: int = 80,

@@ -1000,6 +1000,128 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem_cube(load_table(spark, sf_dir, "lineitem"))
 
 
+# --- classic decorrelation shapes (TPC-H Q4 / Q21 / Q2 adapted) ---------------
+# These three exist to pin Catalyst's subquery decorrelation on the
+# forms it rewrites DIFFERENTLY from Q16/Q18's IN / NOT IN: correlated
+# EXISTS (Q4), multi-correlated EXISTS + NOT EXISTS against the same
+# fact (Q21), and a correlated scalar MIN (Q2). Each is ONE SQL string
+# run verbatim by both engines (the text is dialect-common), and the
+# plan-audit suite asserts no per-row Subquery node survives in the
+# Spark physical plan — i.e. the rewrite produced joins+aggregates, the
+# only shape that works at 100 TB. The driver schema has no
+# l_commitdate/l_receiptdate/partsupp, so lateness is l_shipdate vs
+# o_orderdate and lineitem stands in for partsupp in Q2 — the
+# correlation STRUCTURE (what the test is about) is unchanged.
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_TPCH_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+  AND n.n_name IN ('NATION_0', 'NATION_3', 'NATION_7', 'NATION_12', 'NATION_19')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+# ORDER BY covers every selected column, so a LIMIT cut inside a tie
+# group can only drop rows that are identical to the kept ones — the
+# returned multiset is engine-independent.
+_TPCH_Q2_SQL = """
+SELECT round(s.s_acctbal, 2) + 0.0 AS acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_brand, round(l.l_extendedprice, 2) AS min_price
+FROM part p, lineitem l, supplier s, nation n
+WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND p.p_size BETWEEN 40 AND 50
+  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                           WHERE l2.l_partkey = p.p_partkey)
+ORDER BY acctbal DESC, n_name, s_name, p_partkey, min_price
+LIMIT 100
+"""
+
+
+@register("tpch_q4_order_priority_exists", _TPCH_Q4_SQL)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS with
+    a NON-equi outer reference inside the subquery (l_shipdate >
+    o_orderdate + 45 days — the lateness probe). Catalyst rewrites it
+    to ONE left-semi join carrying the mixed equi+range condition; the
+    quarter filter on orders pushes to the scan, so at 100 TB the semi
+    join's build side is one quarter of orders, not the fact."""
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q4_SQL).repartition(1).sortWithinPartitions(
+        "o_orderpriority"
+    )
+
+
+@register("tpch_q21_waiting_supplier", _TPCH_Q21_SQL)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest classic decorrelation — EXISTS and NOT EXISTS both
+    self-correlated against the fact, the NOT EXISTS additionally
+    referencing a SECOND outer table's column (o.o_orderdate) in a
+    range predicate. Catalyst plans a left-semi and a left-anti join
+    over lineitem re-scans keyed on l_orderkey; the nation IN-list and
+    the status filter stay scan-side. Same-key semi+anti means the
+    order-level work co-locates on one shuffle key at scale."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q21_SQL).repartition(1).sortWithinPartitions(
+        F.col("numwait").desc(), "s_name"
+    )
+
+
+@register("tpch_q2_min_cost_supplier", _TPCH_Q2_SQL)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN —
+    each part keeps only its cheapest lineitem (lineitem stands in for
+    partsupp). RewriteCorrelatedScalarSubquery turns the per-row
+    subquery into one partkey-level MIN aggregate joined back, so the
+    'for each row, run a query' form costs one extra aggregation at any
+    scale. The p_size filter prunes parts BEFORE the join; ties on the
+    min price survive on both engines identically because the ORDER BY
+    covers every output column."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return (
+        spark.sql(_TPCH_Q2_SQL)
+        .repartition(1)
+        .sortWithinPartitions(
+            F.col("acctbal").desc(), "n_name", "s_name", "p_partkey", "min_price"
+        )
+    )
+
+
 # --- event-time operators (SURVEY.md §2.9 ST2 batch-equivalent) ---------------
 
 
@@ -2027,6 +2149,52 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features(resize_images(fake_media_table(spark, 64), 32, 24))
         .coalesce(1)
         .sortWithinPartitions("media_id")
+    )
+
+
+def _frame_sample_expected_sql(n: int = 64, every_ms: int = 250) -> str:
+    """Golden oracle for ``sample_frames`` — same device as
+    ``_multimodal_expected_sql``: the fake frame-grab (multimodal/
+    ops.py:sample_frames) is a spec (payload = sha256(str(i))·8,
+    duration_ms = 1000+i, frame digest = sha256(payload ‖ be32(k))), so
+    the expected frame table is computed here, engine-independently,
+    and emitted as VALUES."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 2:  # fake_media_table: kind 'video' ⇔ media_id % 3 == 2
+            continue
+        payload = hashlib.sha256(str(i).encode()).digest() * 8
+        duration_ms = 1000 + i
+        for k in range(max(duration_ms // every_ms, 1)):
+            dig = hashlib.sha256(payload + k.to_bytes(4, "big")).hexdigest()
+            rows.append(f"({i}, {k}, '{dig}')")
+    values = ",\n".join(rows)
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx, frame_digest
+FROM (VALUES
+{values}
+) AS t(media_id, frame_idx, frame_digest)
+ORDER BY media_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample", _frame_sample_expected_sql())
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video rows — the row-EXPANDING
+    mapInPandas (UDTF shape): one input row yields duration_ms/250
+    frame rows, each with a deterministic fake frame digest. The video
+    filter stays scan-side below the Python stage; at 100 TB the
+    expansion factor is bounded per-task by the input partition size,
+    not the corpus (multimodal/ops.py:sample_frames)."""
+    from spendinganalysisetl_spark.multimodal.ops import fake_media_table, sample_frames
+
+    return (
+        sample_frames(fake_media_table(spark, 64), every_ms=250)
+        .coalesce(1)
+        .sortWithinPartitions("media_id", "frame_idx")
     )
 
 
@@ -4448,95 +4616,57 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # -- Round 3 window. Goal: after this round EVERY oracle-backed
-    # query has at least one green driver row across r1-r3. ----------
-    # The 8 oracle-backed queries with NO driver row after two rounds
-    # (the whole remaining correctness debt — VERDICT r2 ask #1).
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "fuzzy_pairs_levenshtein",
-    "events_value_anomalies",
-    "length_bucket_profile",
-    "dq_check_lineitem",
-    "corr_matrix_lineitem",
-    "similarity_brute_force_topk_blas",
-    # The r2 red row — signed-zero canonicalization applied (Spark
-    # `+ F.lit(0.0)`, oracle `+ 0.0`); must re-check green.
-    "bigram_pmi_collocations",
-    # Queries whose CODE changed in round 3 and therefore need a fresh
-    # driver row (r1/r2 greens predate the change):
-    #  * signed-zero canonicalization (+0.0 on rounded floats):
-    "similarity_brute_force_topk",
-    "similarity_filtered_topk",
-    "similarity_pairwise_dot_stats",
-    "vendor_monthly_trend",
-    "monthly_pct_change_inf_ref",
-    "doc_cross_entropy",
-    #  * MERGE delete_where 3VL coalesce (sources/upsert.py):
-    "merge_delete_retention",
-    "upsert_time_travel",
-    "upsert_merge_monthly",
-    #  * quality-rule routing marker (operators/quality.py) is covered
-    #    by dq_check_lineitem above; shard pipeline re-planned to ≤2
-    #    corpus scans this round:
-    "training_shard_pipeline",
-    #  * newly oracle-backed in r3 (complete-mode drain): the second
-    #    streaming topology's first driver row.
+    # -- Round 4 window. VERDICT r3 ask #1: retire every r1-only driver
+    # row (two rounds of refactors — the window idiom, the report
+    # rewrite, the LCA fixes — postdate them), plus first rows for the
+    # new r4 queries and re-checks for code that changed this round.
+    # Every demotion to _CHECK_LATE below carries its latest green
+    # driver round; the local oracle-parity gate covers ALL oracle
+    # entries on every pytest run regardless of window position.
+    # New in r4: the classic decorrelation shapes (correlated EXISTS /
+    # multi-correlated EXISTS+NOT EXISTS / correlated scalar MIN) and
+    # the frame-sampling UDTF shape — first driver rows.
+    "tpch_q4_order_priority_exists",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "multimodal_frame_sample",
+    # Streaming code changed in r4 (state store moved to RocksDB —
+    # provider is part of the execution path, so the oracle-backed
+    # streaming topologies need fresh rows under it):
+    "stream_tumbling_5min",
     "stream_session_window",
     "stream_running_distinct_users",
-    #  * newly oracle-backed in r3 (precomputed golden-feature VALUES
-    #    twin of the deterministic fake codec): first driver rows for
-    #    the multimodal family.
-    "multimodal_features",
-    "multimodal_resize_pipeline",
-    #  * new in r3: deterministic weighted sampling (E-S top-k) and
-    #    deterministic hash-based stratified sampling.
-    "weighted_sample_es",
-    "stratified_sample_hash",
-    #  * new in r3: clickstream transition matrix + running distinct users.
-    "events_transition_matrix",
-    "events_running_distinct_users",
-    #  * new in r3: the classic TPC-H forms (scan-agg, filter-join-topk,
-    #    6-way join, IN-subquery+HAVING, NOT-IN + count-distinct) —
-    #    first driver rows.
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_customer",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q13_customer_distribution",
-    #  * new in r3: the SQL front door (spark.sql text over views).
-    "sql_surface_q1",
-    #  * new in r3: corpus drift monitor (PSI between snapshot slices).
-    "token_drift_psi",
-    #  * new in r3: incremental MinHash near-dup (probe-vs-index shape).
-    "incremental_near_dup_batch",
-    # Rotation of demoted r1 greens whose code saw the most r2
-    # refactoring (VERDICT r2 ask #5) — re-confirm post-refactor.
-    "category_totals",
-    "monthly_pct_change_last",
-    "near_dup_clusters",
-    "corpus_curation",
-    "text_quality_scores",
-    "asof_join_click_purchase",
-    "report_fi_summary",
-    "ngram_jaccard_pairs",
-    "join_revenue_by_nation",
-    "dedup_exact_survivors",
-    # Further rotation backfill (r1 greens, never re-checked since):
-    # tail slots here are the first to yield to new r3 queries.
-    "rollup_returnflag_linestatus",
-    "setop_union_nations",
-    "text_lang_id",
-    "bottom5_vendors_ref_compat",
-]
-
-_CHECK_LATE: list[str] = [
-    # Every name below holds a GREEN driver row from CORRECTNESS_r02
-    # (sf0.01 rows+schema+hash all true) and its code is unchanged in
-    # round 3 — demoted to spend the 50-slot window on never-checked /
-    # changed-code queries. The local oracle-parity gate
-    # (tests/test_oracle_parity.py) still covers every one each run.
+    # The 25 oracle-backed queries whose ONLY driver row is from r1 —
+    # promoted en bloc (VERDICT r3 ask #1); after this round no
+    # oracle-backed query's latest driver check predates round 2.
+    "scalar_functions_showcase",
+    "events_tumbling_5min",
+    "events_session_window_native",
+    "monthly_pivot_wide",
+    "monthly_avg_absent_as_zero",
+    "category_totals_ref_roundsum",
+    "top5_vendors",
+    "unique_categories",
+    "vendor_totals",
+    "cube_returnflag_linestatus",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "join_anti_customers_without_orders",
+    "join_left_order_counts",
+    "join_semi_customers_with_orders",
+    "point_query_order",
+    "proj_order_dates",
+    "report_global_summary",
+    "monthly_category_amounts",
+    "window_monthly_running_total",
+    "window_rank_dense_rank",
+    "window_top_orders_per_customer",
+    "text_fingerprints",
+    "text_token_counts",
+    "dedup_stats",
+    # Standing rotation (remaining slots): the 18 OLDEST r2-green rows
+    # cycle back through so no green goes permanently unwatched; their
+    # r3-confirmed siblings yield the slots (each tagged [r3] below).
     "events_sessionize",
     "text_corpus_stats",
     "minhash_lsh_pairs_portable",
@@ -4555,58 +4685,93 @@ _CHECK_LATE: list[str] = [
     "window_order_navigation",
     "range_join_price_bands",
     "salted_revenue_by_flag",
-    "map_roundtrip_category_totals",
-    "text_repetition_scores",
-    "split_profile",
-    "doc_length_histogram",
-    "decontaminate_ngram_overlap",
-    "boilerplate_ngram_stats",
-    "sequence_packing_bins",
-    "pii_scrub_documents",
-    "domain_mix_weights",
-    "incremental_dedup_batch",
-    "vocab_top_terms",
-    "stream_tumbling_5min",
-    "corpus_shuffle_shards",
-    "events_props_json_stats",
-    "embedding_label_audit",
-    "source_quality_report",
-    "tfidf_top_terms",
-    "numeric_profile_lineitem",
-    "vocab_zipf_fit",
-    "incremental_monthly_refresh",
-    "embedding_quantize_int8",
-    "events_props_variant_stats",
-    "chunk_documents_sliding",
-    "scd2_customer_dim",
-    "events_gap_fill_hourly",
-    "setop_except_nations",  # yielded its r3 rotation slot to stratified_sample_hash; ALL-form (r2 green) pins the mechanism
-    "setop_intersect_nations",  # yielded its r3 rotation slot to tpch_q18; ALL-form (r2 green) pins the mechanism
-    "vendor_totals",  # yielded its r3 rotation slot to tpch_q16; category_totals (in-window) pins the shape
-    "cube_returnflag_linestatus",  # yielded its r3 rotation slot to stream_running_distinct_users; grouping_sets_revenue (r2 green) generalizes cube
-    "monthly_avg_absent_as_zero",  # yielded its r3 rotation slot to tpch_q13; densified-mean quirk unit-pinned + monthly_unpivot_roundtrip r2 green
-    "window_monthly_running_total",  # yielded its r3 rotation slot to token_drift_psi; cumulative frame == window_rolling_3mo_avg (r2 green)
-    "join_anti_customers_without_orders",  # yielded its r3 rotation slot to incremental_near_dup_batch; anti leg pinned by tpch_q16 (in-window)
-    "window_top_orders_per_customer",  # yielded its r3 rotation slot to sql_surface_q1; row_number top-k pinned by corpus_curation + tpch_q3 TakeOrdered (in-window)
-    "scalar_functions_showcase",  # yielded its r3 rotation slot to tpch_q1; F1-F8 scalars exercised across the in-window catalog
-    "proj_order_dates",  # yielded its r3 rotation slot to tpch_q3; projection pruning plan-audited every run (test_plan_audit)
-    "point_query_order",  # yielded its r3 rotation slot to tpch_q5; predicate pushdown plan-audited every run
-    "category_totals_ref_roundsum",  # yielded its r3 rotation slot to events_transition_matrix; round-then-sum quirk is unit-pinned (test_quirks)
-    "top5_vendors",  # yielded its r3 rotation slot to events_running_distinct_users; sort-flip of bottom5_vendors_ref_compat (in-window)
-    "unique_categories",  # yielded its r3 rotation slot to weighted_sample_es; DISTINCT covered by dedup_exact_survivors + setop_union_nations (in-window)
-    "window_rank_dense_rank",  # yielded its r3 rotation slot to multimodal_features; window family topk/running/rolling/navigation in-window
-    "monthly_pivot_wide",  # yielded its r3 rotation slot to multimodal_resize_pipeline; pivot leg exercised inside monthly_unpivot_roundtrip (r2 green)
-    "dedup_stats",  # yielded its r3 rotation slot to stream_session_window; summary counts of dedup_exact_survivors (in-window)
-    # Same-oracle twins / pure variants of an in-window or r2-green
-    # sibling (kept green by the same local gate).
-    "events_session_window_native",  # oracle shared with events_sessionize (r2 green)
-    "events_tumbling_5min",  # oracle shared with stream_tumbling_5min (r2 green)
-    "join_left_order_counts",  # outer-null semantics covered by join_full_outer_nation_counts (r2 green)
-    "join_semi_customers_with_orders",  # J2 probe; anti leg in-window via join_anti_customers_without_orders
-    "report_global_summary",  # subsumed by report_fi_summary assembly (in-window)
-    "text_token_counts",  # token features re-derived inside text_quality_scores (in-window)
-    "text_fingerprints",  # fingerprint path re-exercised by the portable MinHash/SimHash proofs (r2 green)
-    "monthly_category_amounts",  # equals the long output of monthly_unpivot_roundtrip (r2 green)
+]
+
+_CHECK_LATE: list[str] = [
+    # Every name below holds a GREEN driver row from the tagged round
+    # (rows+schema+hash all true in CORRECTNESS_r0N.json) and its code
+    # is unchanged in round 4 — demoted to spend the 50-slot window on
+    # the never-checked / code-changed / longest-unchecked queries
+    # above. The local oracle-parity gate (tests/test_oracle_parity.py)
+    # still covers every one on each pytest run.
+    #
+    # r3-green (checked two rounds after their last refactor):
+    "events_funnel_conversion",  # [r3]
+    "events_retention_cohorts",  # [r3]
+    "fuzzy_pairs_levenshtein",  # [r3]
+    "events_value_anomalies",  # [r3]
+    "length_bucket_profile",  # [r3]
+    "dq_check_lineitem",  # [r3] — r2→r3 bench doubling A/B-proven jitter (same-session r2-code vs r4-code medians within 2%)
+    "corr_matrix_lineitem",  # [r3]
+    "similarity_brute_force_topk_blas",  # [r3]
+    "bigram_pmi_collocations",  # [r3] — signed-zero fix confirmed green in r3
+    "similarity_brute_force_topk",  # [r3]
+    "similarity_filtered_topk",  # [r3]
+    "similarity_pairwise_dot_stats",  # [r3]
+    "vendor_monthly_trend",  # [r3]
+    "monthly_pct_change_inf_ref",  # [r3]
+    "doc_cross_entropy",  # [r3]
+    "merge_delete_retention",  # [r3] — 3VL coalesce fix confirmed green in r3
+    "upsert_time_travel",  # [r3]
+    "upsert_merge_monthly",  # [r3]
+    "training_shard_pipeline",  # [r3] — 2-FileScan re-plan confirmed green in r3
+    "multimodal_features",  # [r3]
+    "multimodal_resize_pipeline",  # [r3]
+    "weighted_sample_es",  # [r3]
+    "stratified_sample_hash",  # [r3]
+    "events_transition_matrix",  # [r3]
+    "events_running_distinct_users",  # [r3]
+    "tpch_q1_pricing_summary",  # [r3]
+    "tpch_q3_shipping_priority",  # [r3]
+    "tpch_q5_local_supplier_volume",  # [r3]
+    "tpch_q18_large_volume_customer",  # [r3]
+    "tpch_q16_supplier_part_counts",  # [r3]
+    "tpch_q13_customer_distribution",  # [r3]
+    "sql_surface_q1",  # [r3]
+    "token_drift_psi",  # [r3]
+    "incremental_near_dup_batch",  # [r3]
+    "category_totals",  # [r3]
+    "monthly_pct_change_last",  # [r3]
+    "near_dup_clusters",  # [r3]
+    "corpus_curation",  # [r3]
+    "text_quality_scores",  # [r3] — r2→r3 bench doubling A/B-proven jitter (same-session medians within 2%)
+    "asof_join_click_purchase",  # [r3]
+    "report_fi_summary",  # [r3]
+    "ngram_jaccard_pairs",  # [r3]
+    "join_revenue_by_nation",  # [r3]
+    "dedup_exact_survivors",  # [r3]
+    "rollup_returnflag_linestatus",  # [r3]
+    "setop_union_nations",  # [r3]
+    "text_lang_id",  # [r3]
+    "bottom5_vendors_ref_compat",  # [r3]
+    #
+    # r2-green, one rotation behind (the 18 oldest r2 rows are in the
+    # window above; these are the remainder — next round's rotation
+    # pool, oldest-first):
+    "map_roundtrip_category_totals",  # [r2]
+    "text_repetition_scores",  # [r2]
+    "split_profile",  # [r2]
+    "doc_length_histogram",  # [r2]
+    "corpus_shuffle_shards",  # [r2]
+    "events_props_json_stats",  # [r2]
+    "events_props_variant_stats",  # [r2]
+    "embedding_label_audit",  # [r2]
+    "decontaminate_ngram_overlap",  # [r2]
+    "boilerplate_ngram_stats",  # [r2]
+    "sequence_packing_bins",  # [r2]
+    "chunk_documents_sliding",  # [r2]
+    "scd2_customer_dim",  # [r2]
+    "pii_scrub_documents",  # [r2]
+    "domain_mix_weights",  # [r2]
+    "source_quality_report",  # [r2]
+    "vocab_top_terms",  # [r2]
+    "incremental_dedup_batch",  # [r2]
+    "tfidf_top_terms",  # [r2]
+    "numeric_profile_lineitem",  # [r2]
+    "incremental_monthly_refresh",  # [r2]
+    "vocab_zipf_fit",  # [r2]
+    "events_gap_fill_hourly",  # [r2]
+    "embedding_quantize_int8",  # [r2]
 ]
 
 

@@ -67,6 +67,24 @@ def get_spark(
         # which Spark's parquet converter rejects natively; read nanos as
         # long and convert in catalog.load_table (exact integer ns→µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Stateful streaming state lives in RocksDB, not the default
+        # in-heap HDFSBackedStateStore: at 100× the session-window /
+        # running-distinct / interval-join topologies the per-executor
+        # state exceeds heap, and RocksDB keeps it on local SSD with
+        # bounded memory (the §2.9 scale answer). Changelog
+        # checkpointing uploads per-batch deltas instead of full
+        # SST snapshots — the restart-fast setting for long-lived
+        # production streams. Batch plans ignore both keys.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -488,3 +488,44 @@ def test_incremental_near_dup_equals_filtered_full(spark, documents):
         for r in incremental_near_dup(documents).collect()
     }
     assert got == want
+
+
+def test_probe_vs_stored_index_equals_incremental(spark, documents, tmp_path):
+    """The operational split (near_dup_index stored once +
+    probe_near_dup_batch per batch) returns exactly the fused
+    incremental_near_dup pairs — with the index read back from a
+    BUCKETED band table and a doc_id-sorted shingle store, and the
+    probe's IN-pushdown on (verifying pushdown drops nothing)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.dedup import (
+        incremental_near_dup,
+        near_dup_index,
+        probe_near_dup_batch,
+    )
+    from spendinganalysisetl_spark.sources.bucketing import write_bucketed
+
+    capped = documents.filter(F.col("doc_id") < 1000)
+    shingled, banded = near_dup_index(capped)
+    write_bucketed(
+        banded, "ndi_bands", str(tmp_path / "bands"), "bk",
+        n_buckets=4, sort_cols=("bk",),
+    )
+    shingled.sort("doc_id").write.mode("overwrite").parquet(
+        str(tmp_path / "shingles")
+    )
+    try:
+        idx_b = spark.table("ndi_bands")
+        idx_sh = spark.read.parquet(str(tmp_path / "shingles"))
+        batch = capped.filter(F.col("doc_id") % 10 == 7)
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in probe_near_dup_batch(batch, idx_b, idx_sh).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in incremental_near_dup(documents).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ndi_bands")

@@ -5,6 +5,7 @@ joins broadcast, and the report aggregation is partial/final."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spendinganalysisetl_spark.catalog import load_table
@@ -196,3 +197,24 @@ def test_training_shards_scan_corpus_at_most_twice(spark, sf_dir):
     # scans in the final section only, or the tally doubles
     build = next(iter(builds)).split("== Initial Plan ==")[0]
     assert build.count("FileScan") == 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q4_order_priority_exists",
+        "tpch_q21_waiting_supplier",
+        "tpch_q2_min_cost_supplier",
+    ],
+)
+def test_classic_shapes_decorrelate(spark, sf_dir, name):
+    """The Q4/Q21/Q2 forms (correlated EXISTS, multi-correlated
+    EXISTS+NOT EXISTS, correlated scalar MIN) must all compile to
+    joins+aggregates — a surviving per-row Subquery node would mean
+    per-row re-execution, which cannot run at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = _plan(df)
+    assert "Subquery" not in plan, plan[:2000]
+    assert "Join" in plan

@@ -102,3 +102,40 @@ def test_dates_projection_prunes_columns(spark, sink):
     assert schemas
     assert "begin_date" in schemas[0] and "end_date" in schemas[0]
     assert "fi_summary" not in schemas[0], "projection must prune payload columns"
+
+
+def test_plan_cache_compiles_once_per_version(spark, sink):
+    """N requests at one sink version plan the scan ONCE; a MERGE that
+    moves the _CURRENT pointer triggers exactly one re-plan, and the
+    very next request serves the new version (pointer-fresh)."""
+    from spendinganalysisetl_spark.sources.upsert import merge_reports
+
+    srv = serve_reports(spark, sink)
+    try:
+        for _ in range(4):
+            _get(srv.base_url + "/dates")
+            _post(
+                srv.base_url + "/dates/summary",
+                {"begin_date": "2024-01-01", "end_date": "2024-01-31"},
+            )
+        assert srv.plan_cache.plan_count == 1, "one version → one compile"
+
+        merge_reports(
+            spark,
+            sink,
+            spark.createDataFrame(
+                [("2024-01-01", "2024-01-31", 25, 250.0, "Jan grew")], SCHEMA
+            ),
+        )
+        hit = _post(
+            srv.base_url + "/dates/summary",
+            {"begin_date": "2024-01-01", "end_date": "2024-01-31"},
+        )
+        assert hit["details"]["total_transactions"] == 25, (
+            "request after the MERGE serves the NEW version"
+        )
+        assert srv.plan_cache.plan_count == 2, "pointer moved → one re-plan"
+        _get(srv.base_url + "/dates")
+        assert srv.plan_cache.plan_count == 2, "same version again → cached"
+    finally:
+        srv.stop()

@@ -695,3 +695,32 @@ def test_event_stream_reader_probes_timestamp_resolution(spark, events_dir):
         ).collect()
     ]
     assert years and all(y > 2000 for y in years)
+
+
+def test_state_store_is_rocksdb(spark, events_dir):
+    """§2.9 100×-readiness: stateful streams must hold state in RocksDB
+    (spillable, disk-backed), not the default in-heap HDFS-backed
+    provider — asserted from the query's OWN progress metrics, so this
+    fails if the provider config ever stops reaching the stream."""
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream = (
+        read_event_stream(spark, events_dir)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    q = run_to_memory(stream, "rocksdb_probe", output_mode="complete")
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    ops = q.lastProgress["stateOperators"]
+    assert ops, "the aggregation must be a stateful operator"
+    rocks_metrics = [
+        k for k in ops[0].get("customMetrics", {}) if "rocksdb" in k.lower()
+    ]
+    assert rocks_metrics, "state store progress must report RocksDB metrics"
