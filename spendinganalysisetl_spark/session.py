@@ -62,7 +62,16 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Auto-broadcast stays at the 10 MB default: the earlier 64 MB
+        # setting made Catalyst broadcast a 6M-row LINEITEM projection
+        # as the build side of Q3/Q4/Q21 at the 10× bench scale (a
+        # fact-table broadcast — the exact plan that dies at 100 TB;
+        # caught by the sf1 bench, round 4). Dimensions are broadcast
+        # via explicit F.broadcast() hints throughout, and AQE still
+        # upgrades shuffle joins to broadcast from RUNTIME sizes, which
+        # is the safe direction — estimates can only defer a broadcast,
+        # never commit to an oversized one.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # The driver-generated events.parquet stores TIMESTAMP(NANOS),
         # which Spark's parquet converter rejects natively; read nanos as
         # long and convert in catalog.load_table (exact integer ns→µs).
