@@ -62,6 +62,15 @@ QUERIES = [
     "dq_check_lineitem",
     "tpch_q16_supplier_part_counts",
     "weighted_sample_es",
+    # r4b additions: the decorrelated classic shapes at 10× fact scale
+    # (the correlated aggregates must stay one extra agg+join, the
+    # Q22 anti join's build side stays the date-filtered orders slice)
+    # and the BPE trainer (ONE corpus scan scales; the merge rounds run
+    # on the vocab-sized table, so 10× corpus must NOT cost 10×).
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_volume_part_shippers",
+    "tpch_q22_dormant_rich_customers",
+    "bpe_train_merges",
 ]
 
 

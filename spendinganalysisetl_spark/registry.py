@@ -4763,6 +4763,24 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_train_merges")  # rows-only: the merge sequence is an
+# iteratively-learned model artifact (like the k-means cells) — no SQL
+# twin can replay 16 data-dependent merge rounds; the distributed
+# trainer is instead pinned BIT-FOR-BIT (merge order, tie-breaks,
+# counts) against an independent pure-Python Sennrich reference in
+# tests/test_bpe.py, on both a hand corpus and the real documents table.
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction over the corpus
+    (operators/bpe.py): ONE corpus scan collapses to word counts, then
+    every merge round runs on the vocab-sized weighted word table —
+    pair counting and merge application as Catalyst HOFs, one-row
+    collect per round, localCheckpoint so the iterative lineage stays
+    flat. Returns the learned merge table in rank order."""
+    from spendinganalysisetl_spark.operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=16)
+
+
 # --- driver check-window ordering ---------------------------------------------
 # The grading driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` (observed in round 1: CORRECTNESS_r01.json had rows for
