@@ -1230,6 +1230,601 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H completion (round 4c): the remaining 10 of the classic 22 ----------
+# With these the catalog covers every TPC-H query shape adapted to the
+# driver schema (no partsupp / l_shipmode / l_commitdate / p_container —
+# each adaptation keeps the STRUCTURE the query exists to exercise and
+# documents the stand-in). Implementation split follows the house rule:
+# hand-built DataFrame plans where the physical shape is the point
+# (join order, broadcast choice, conditional aggregation, disjunctive
+# pushdown), verbatim dialect-common SQL where subquery decorrelation is
+# the point (Q11's HAVING-scalar).
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+SELECT CAST({money_sum_sql('l_extendedprice * l_discount')} AS DOUBLE) AS revenue_increase,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= CAST('1996-01-01' AS DATE)
+  AND l_shipdate <  CAST('1997-01-01' AS DATE)
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-
+    aggregate — no join, no groupBy key. Every predicate (date range,
+    discount band, quantity cap) pushes to the parquet scan
+    (PushedFilters), the projection is 2 columns of 11 (ReadSchema),
+    and the aggregate is a partial/final pair with no shuffle beyond
+    the 1-row exchange. The query the scan path is benchmarked with:
+    at 100 TB it reads only row groups whose shipdate stats overlap
+    1996."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount"))
+        .cast("double")
+        .alias("revenue_increase"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= CAST('1996-01-01' AS DATE)
+  AND l.l_shipdate <  CAST('1998-01-01' AS DATE)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): two-nation trade flow. The nation
+    pair disjunction references BOTH sides (supplier's nation and
+    customer's nation), so it cannot collapse to per-scan filters —
+    but each arm's single-side implication CAN: supplier and customer
+    are each pre-filtered to the two-nation set before their (broadcast)
+    joins, and the cross-arm disjunction applies after, on rows already
+    cut to the candidate nations. The only fact-sized shuffle is
+    lineitem joining date-unfiltered orders; everything else rides
+    broadcasts. Year extraction stays JVM-side (date_format)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    pair = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").cast("long").alias("l_year"),
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .repartition(1)
+        .sortWithinPartitions("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+       round(
+         CAST({money_sum_sql("CASE WHEN n1.n_name = 'NATION_5' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")} AS DOUBLE)
+         / CAST({money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE),
+         6) + 0.0 AS mkt_share
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n2.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+  AND o.o_orderdate >= CAST('1996-01-01' AS DATE)
+  AND o.o_orderdate <  CAST('1998-01-01' AS DATE)
+GROUP BY o_year ORDER BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest classic join — 8
+    relations — with a CASE-inside-aggregate numerator. Everything
+    except orders⋈lineitem broadcasts: region-filtered customer side,
+    type-filtered part (cuts the fact FIRST — most selective), supplier
+    tagged with its nation name. The share is exact-cents numerator /
+    exact-cents denominator computed in ONE aggregate pass (the CASE
+    rides the same partial/final agg — no second scan, no self-join).
+    `+ 0.0` canonicalizes a potential -0.0 share. At 100 TB the plan
+    is: prune fact by broadcast part-hash, one shuffle to meet orders,
+    partial agg per year before the 2-row final."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nk")
+    ).select("c_custkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nk")
+    ).select("s_suppkey", "supp_nation")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    num = money_sum(
+        F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    )
+    den = money_sum(vol)
+    return (
+        joined.groupBy(
+            F.date_format("o_orderdate", "yyyy").cast("long").alias("o_year")
+        )
+        .agg(
+            (F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0)).alias(
+                "mkt_share"
+            )
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+SELECT n.n_name AS nation,
+       CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity')} AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit by supplier nation and
+    order year for parts matching a substring — the contains-LIKE
+    cannot prune row groups, but it DOES cut the broadcast build side
+    to ~1/8 of part before the fact join, and profit arithmetic is a
+    scan-side projection. partsupp's ps_supplycost doesn't exist in
+    the driver schema; 0.6 × p_retailprice stands in as unit cost (a
+    deterministic proxy — the shape under test is the 5-way join with
+    a computed measure, not the cost model). One fact shuffle
+    (lineitem⋈orders); supplier/nation/part all broadcast."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")
+    ).select("p_partkey", "p_retailprice")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation",
+            F.date_format("o_orderdate", "yyyy").cast("long").alias("o_year"),
+        )
+        .agg(money_sum(profit).alias("profit"))
+        .repartition(1)
+        .sortWithinPartitions(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       round(c.c_acctbal, 2) + 0.0 AS acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= CAST('1996-10-01' AS DATE)
+  AND o.o_orderdate <  CAST('1997-01-01' AS DATE)
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, acctbal, nation
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    revenue in a quarter. Both fact-side predicates push to their
+    scans (quarter on orders, returnflag on lineitem); the grouped
+    revenue shuffles on custkey and the top-20 is a TakeOrdered with a
+    custkey tiebreak, never a global sort. Customer attributes join
+    AFTER the aggregation keyed the fact — the wide dim columns ride
+    the 20-row side at scale (the classic 'aggregate-then-decorate'
+    ordering). Driver schema lacks c_address/c_phone; the remaining
+    dim columns keep the decorate step real."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        "c_custkey", "c_name",
+        (F.round(F.col("c_acctbal"), 2) + F.lit(0.0)).alias("acctbal"),
+        "nation",
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_TPCH_Q11_SQL = f"""
+SELECT l.l_partkey AS partkey,
+       {money_sum_sql('l.l_extendedprice * l.l_quantity')} AS stock_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY l.l_partkey
+HAVING {money_sum_sql('l.l_extendedprice * l.l_quantity')} > 0.002 * (
+  SELECT {money_sum_sql('l2.l_extendedprice * l2.l_quantity')}
+  FROM lineitem l2
+  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+  JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+  WHERE n2.n_name = 'NATION_3')
+ORDER BY stock_value DESC, partkey
+"""
+
+
+@register("tpch_q11_important_stock", _TPCH_Q11_SQL)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value for one
+    nation's suppliers, HAVING > fraction × an UNCORRELATED scalar
+    subquery computing the SAME total over the same filtered source.
+    Catalyst plans the scalar once (one extra aggregate over the
+    nation-filtered slice, its 1-row result broadcast into the HAVING
+    comparison) — never per-group. Run verbatim by both engines;
+    lineitem value (extendedprice × quantity) stands in for partsupp's
+    supplycost × availqty (driver schema has no partsupp); the
+    threshold-vs-global-scalar structure is the point."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return (
+        spark.sql(_TPCH_Q11_SQL)
+        .repartition(1)
+        .sortWithinPartitions(F.col("stock_value").desc(), "partkey")
+    )
+
+
+@register(
+    "tpch_q12_late_shipment_priority",
+    """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= CAST('1996-01-01' AS DATE)
+  AND l.l_shipdate <  CAST('1997-01-01' AS DATE)
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping priority classes): conditional
+    counting — BOTH output measures come from one pass (CASE inside
+    sum), split by order priority, over late-shipped lines. The
+    lateness predicate references both sides (l_shipdate vs
+    o_orderdate + 90d) so it applies at the join, while the year
+    window pushes to the lineitem scan. Driver schema has no
+    l_shipmode/l_commitdate/l_receiptdate: returnflag stands in for
+    the shipmode grouping and orderdate+90d for the commit-vs-receipt
+    lateness — the join-predicate + dual-CASE-aggregate structure is
+    unchanged. One fact shuffle, 3-row output."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    f"""
+SELECT round(
+         CAST(100.0 AS DOUBLE)
+         * CAST({money_sum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")} AS DOUBLE)
+         / CAST({money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE),
+         6) + 0.0 AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= CAST('1996-03-01' AS DATE)
+  AND l.l_shipdate <  CAST('1996-04-01' AS DATE)
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage-of-total with the
+    numerator's CASE keyed on a DIM attribute — the month-filtered
+    fact joins broadcast part once, and both the promo and total sums
+    come out of that single joined pass (no second scan for the
+    denominator). Promo parts are p_type = 'PROMO' literally in the
+    driver data (the classic form's LIKE 'PROMO%' collapses to
+    equality on this type domain). 1-row output; the month filter
+    prunes the fact scan."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = money_sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    )
+    total = money_sum(vol)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.round(
+                    F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_TPCH_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= CAST('1996-01-01' AS DATE)
+    AND l_shipdate <  CAST('1996-04-01' AS DATE)
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("tpch_q15_top_supplier", _TPCH_Q15_SQL)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a derived revenue view consumed twice
+    — once as the join input, once inside an uncorrelated scalar MAX.
+    The naive verbatim plan scans the fact TWICE (Spark inlines the
+    CTE into both uses); this build instead computes the supplier-
+    sized revenue aggregate ONCE and takes the max as an unpartitioned
+    window over that tiny table — one fact scan, one extra exchange of
+    a supplier-cardinality frame (the WindowExec single-partition
+    warning is bounded by |suppliers|, not the fact). Exact-cents
+    revenue makes the max-equality engine-stable; ties (multiple top
+    suppliers) survive identically on both sides."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+SELECT CAST({money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue — disjunctive predicates): an OR
+    of three AND-groups, each mixing part attributes (brand, size)
+    with lineitem attributes (quantity). The join must stay the
+    partkey equi-join — the disjunction is a residual, NOT a join
+    condition, or the plan degrades to a nested-loop. This build also
+    pushes the single-table IMPLICATIONS of the disjunction explicitly
+    (brand ∈ (12,23,34) ∧ size ≤ 15 on part; quantity ∈ [1,30] on
+    lineitem) — the factored-out prefilters a cost-based engine
+    derives, stated declaratively so both reach the parquet scans as
+    PushedFilters; part shrinks to a broadcast sliver BEFORE the fact
+    join. (Classic form's container/shipmode arms don't exist in the
+    driver schema; brand×size×quantity keeps three genuinely
+    overlapping cross-table arms.)"""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # --- event-time operators (SURVEY.md §2.9 ST2 batch-equivalent) ---------------
 
 
@@ -4864,23 +5459,27 @@ _CHECK_FIRST: list[str] = [
     "text_fingerprints",
     "text_token_counts",
     "dedup_stats",
-    # Standing rotation (remaining slots): the 18 OLDEST r2-green rows
+    # Round 4c: the TPC-H completion batch — never-checked oracle
+    # queries outrank rotation re-checks (standing policy), so these 10
+    # take the remaining slots and the demoted rotations (tagged [r2]
+    # in _CHECK_LATE) wait for round 5's window.
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    # Standing rotation (remaining slots): the OLDEST r2-green rows
     # cycle back through so no green goes permanently unwatched; their
     # r3-confirmed siblings yield the slots (each tagged [r3] below).
     "events_sessionize",
     "text_corpus_stats",
     "minhash_lsh_pairs_portable",
     "simhash_near_pairs_portable",
-    "cosine_near_dup_pairs",
-    "percentile_prices_by_priority",
-    "grouping_sets_revenue",
-    "events_interval_join",
-    "events_sliding_10min",
-    "correlated_subquery_above_brand_avg",
-    "monthly_unpivot_roundtrip",
-    "join_full_outer_nation_counts",
-    "setop_intersect_all_priorities",
-    "setop_except_all_priorities",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -4891,6 +5490,19 @@ _CHECK_LATE: list[str] = [
     # above. The local oracle-parity gate (tests/test_oracle_parity.py)
     # still covers every one on each pytest run.
     #
+    # r2-green rotations displaced by the round-4c TPC-H completion
+    # batch (never-checked oracles outrank re-checks); all ten hold
+    # green r2 rows on code untouched since, and cycle back in round 5:
+    "cosine_near_dup_pairs",  # [r2]
+    "percentile_prices_by_priority",  # [r2]
+    "grouping_sets_revenue",  # [r2]
+    "events_interval_join",  # [r2]
+    "events_sliding_10min",  # [r2]
+    "correlated_subquery_above_brand_avg",  # [r2]
+    "monthly_unpivot_roundtrip",  # [r2]
+    "join_full_outer_nation_counts",  # [r2]
+    "setop_intersect_all_priorities",  # [r2]
+    "setop_except_all_priorities",  # [r2]
     # r3-green (checked two rounds after their last refactor):
     "events_funnel_conversion",  # [r3]
     "events_retention_cohorts",  # [r3]

@@ -280,3 +280,65 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- TPC-H completion batch (round 4c) ----------------------------------------
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_dir):
+    """TPC-H Q19's OR-of-ANDs references both join sides; the plan must
+    keep the partkey equi-join (broadcast hash, never nested-loop /
+    cartesian) with the disjunction as a residual, and the single-table
+    implications (brand IN-set + size cap; quantity range) must reach
+    the parquet scans as pushed filters."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q19_disjunctive_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed), plan[:3000]
+    assert any("l_quantity" in ln for ln in pushed), plan[:3000]
+
+
+def test_q8_single_fact_shuffle_one_pass_share(spark, sf_dir):
+    """TPC-H Q8: every dim broadcasts (region-filtered customers,
+    type-filtered part, nation-tagged supplier) so the only shuffle
+    join is lineitem meeting orders, and BOTH the numerator (CASE) and
+    denominator come out of one partial/final aggregate — no second
+    scan of the fact."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q8_market_share"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+
+def test_q15_one_lineitem_scan(spark, sf_dir):
+    """TPC-H Q15's verbatim CTE form scans the fact twice (once for the
+    join input, once inside the scalar MAX). The build replaces the
+    uncorrelated scalar with a window-max over the supplier-sized
+    aggregate — exactly one lineitem FileScan may appear."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q15_top_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+
+def test_q6_pure_scan_aggregate(spark, sf_dir):
+    """TPC-H Q6 is the scan-path benchmark: all three predicates pushed,
+    2-column read schema, no join, partial/final aggregate only."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q6_forecast_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan[:2000]
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln and "l_discount" in ln and "l_quantity" in ln for ln in pushed), plan[:3000]
+    schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in schema and "l_tax" not in schema
