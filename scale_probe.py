@@ -71,6 +71,13 @@ QUERIES = [
     "tpch_q20_volume_part_shippers",
     "tpch_q22_dormant_rich_customers",
     "bpe_train_merges",
+    # r4d additions: the PCA pair. The fit is ONE Arrow pass reducing
+    # the corpus to kilobyte Gramian partials — 10× vectors must cost
+    # ≈10× scan and NOTHING downstream (the d×d assembly, eigh, and
+    # broadcast are corpus-independent); the projection adds the
+    # |corpus|×k output write on top.
+    "embedding_covariance_matrix",
+    "pca_projection_scores",
 ]
 
 
@@ -145,7 +152,19 @@ def _replicate(spark, src: str, dst: str, k: int) -> None:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(os.path.join(dst, "lineitem.parquet"))
 
-    for t in ("region nation customer supplier part embeddings").split():
+    # embeddings replicate with a vec_id shift; vectors copy through
+    # unchanged (the PCA probe measures the moment-reduction scan,
+    # whose cost depends on row count, not values — K identical copies
+    # even leave the covariance itself invariant).
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    reps = None
+    for i in range(k):
+        r = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vecs))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(os.path.join(dst, "embeddings.parquet"))
+
+    for t in ("region nation customer supplier part").split():
         src_p = os.path.join(src, f"{t}.parquet")
         dst_p = os.path.join(dst, f"{t}.parquet")
         if os.path.isfile(src_p):
