@@ -199,3 +199,41 @@ def nation_counts_full_outer(customer: DataFrame, supplier: DataFrame) -> DataFr
         .repartition(1)
         .sortWithinPartitions("nationkey")
     )
+
+
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension VERSION
+    that was effective at the fact's own timestamp — the lookup every
+    report against an SCD2 dimension (sources/upsert.py:scd2_apply)
+    needs, and the thing a plain key join silently gets wrong (it
+    matches every version, double-counting facts).
+
+    Semantics: inner join on the key with the interval residual
+    ``from_col <= ts < to_col`` (NULL ``to_col`` = still open). With a
+    well-formed SCD2 dimension (non-overlapping versions per key) each
+    fact matches EXACTLY one version — the cardinality-preservation
+    invariant tests/test_joins_merge.py pins.
+
+    Scale shape: this is an equi-join on the key — the interval check
+    is a residual FILTER on the matched pairs, not a join condition
+    explosion; each fact row meets only its key's version chain
+    (versions-per-key rows, ~1-3 in practice), never a cross product.
+    The dimension side (entities × versions) is broadcast when small;
+    at warehouse scale it hash-partitions on the key like any dim join
+    while facts stream. ``ts_col`` and the interval columns must be
+    mutually comparable (canonical: 'yyyy-MM-dd' strings, which order
+    lexicographically — the SCD2 sink's own convention)."""
+    cond = (
+        (fact[fact_key] == dim[dim_key])
+        & (fact[ts_col] >= dim[from_col])
+        & (dim[to_col].isNull() | (fact[ts_col] < dim[to_col]))
+    )
+    return fact.join(F.broadcast(dim), cond, "inner")

@@ -9,9 +9,13 @@ ever rescanning the raw data. An exact `count(DISTINCT ...)` over a new
 date range re-shuffles the corpus every time; the sketch rollup touches
 only bytes proportional to days × sketch size (~KBs).
 
-Estimates are engine-internal (DataSketches binary format), so the
-registry query is rows-only; accuracy vs the exact answers is pinned in
-tests/test_sketches.py (HLL lgK=12 → ~1.6% standard error).
+Estimates from the DataSketches members are engine-internal (binary
+format), so their registry query is rows-only; accuracy vs the exact
+answers is pinned in tests/test_sketches.py (HLL lgK=12 → ~1.6%
+standard error). The Count-Min sketch at the bottom of this module is
+the family's oracle-backed exception: built on the portable md5 fold,
+its counters and estimates are bit-reproducible in DuckDB
+(`cms_heavy_hitters`).
 """
 
 from __future__ import annotations
@@ -110,4 +114,137 @@ def segment_overlap_theta(events: DataFrame, type_a: str, type_b: str) -> DataFr
         F.theta_sketch_estimate(
             F.expr("theta_intersection(sk_a, sk_b)")
         ).alias("est_overlap"),
+    )
+
+
+# --- portable Count-Min sketch (the family's oracle-backed member) ----------
+
+
+def count_min_counters(
+    documents: DataFrame, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-Min sketch counter table ``(j, bucket, bsum)`` over the
+    corpus token stream — ``depth`` independent hash rows of ``width``
+    counters each.
+
+    Unlike the DataSketches members above (engine-internal binary
+    blobs, rows-only), this sketch is built from the portable md5 fold
+    (functions.text.hex_fold), so it is bit-reproducible in any engine:
+    counters are SUMS over deterministic hash buckets, which makes the
+    whole structure order-independent and mergeable by elementwise
+    addition — the property test_sketches pins (counters(A ∪ B) =
+    counters(A) + counters(B)).
+
+    Scale shape: ONE corpus tokenize collapses to the vocab-sized word
+    count table first (map-side partial aggregation absorbs the Zipf
+    head before any shuffle); the ``depth`` hash rows then explode the
+    VOCAB table, not the corpus, and re-aggregate to ``depth × width``
+    rows — kilobytes of state per 100 TB of text, the same
+    partial-persist-merge pattern as the HLL/KLL rollups.
+    """
+    from spendinganalysisetl_spark.functions.text import hex_fold, ws_tokens
+    from spendinganalysisetl_spark.partitioning import spread as _spread
+
+    toks = _spread(documents.select("text")).select(
+        F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    wc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = wc.select(
+        "token",
+        "cnt",
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"),
+    )
+    bucket = (
+        hex_fold(
+            F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("token"))),
+            1,
+            7,
+        )
+        % width
+    )
+    return (
+        rows.select("j", bucket.alias("bucket"), "cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("bsum"))
+    )
+
+
+def count_min_heavy_hitters(
+    documents: DataFrame, k: int = 20, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Heavy hitters with their Count-Min estimates beside the exact
+    truth: ``(token, n_occurrences, cms_est)`` for the top-``k`` corpus
+    tokens (exact-count desc, lexicographic tiebreak), where
+    ``cms_est = min_j counters[j][h_j(token)]``.
+
+    The one-sided CMS guarantee — ``cms_est ≥ n_occurrences`` always,
+    with overestimate bounded by collision mass — is asserted per row
+    in tests and visible in the output. At 100 TB the exact column is
+    what you CAN'T afford to recompute per question; the counter table
+    (``depth × width`` integers, mergeable across shards/days) answers
+    any point query without rescanning — this query is the calibration
+    report you run once at sketch-parameter-selection time.
+
+    Plan: the word-count table is persisted at the fork (candidates +
+    counters both read it; forked branches otherwise re-execute the
+    corpus scan), candidates are TakeOrderedAndProject top-k, and the
+    probe joins k×depth rows against the depth×width counter table —
+    both broadcast-sized.
+    """
+    from pyspark import StorageLevel
+
+    from spendinganalysisetl_spark.functions.text import hex_fold, ws_tokens
+    from spendinganalysisetl_spark.partitioning import spread as _spread
+
+    toks = _spread(documents.select("text")).select(
+        F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    wc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rows = wc.select(
+        "cnt",
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"),
+        "token",
+    )
+    bucket = (
+        hex_fold(
+            F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("token"))),
+            1,
+            7,
+        )
+        % width
+    )
+    counters = (
+        rows.select("j", bucket.alias("bucket"), "cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("bsum"))
+    )
+    head = wc.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    probes = head.select(
+        "token",
+        "cnt",
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"),
+    )
+    probes = probes.select(
+        "token",
+        "cnt",
+        "j",
+        bucket.alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("bsum").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "token",
+            F.col("cnt").alias("n_occurrences"),
+            "cms_est",
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.col("n_occurrences").desc(), F.col("token"))
     )

@@ -4413,6 +4413,91 @@ def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pit_join_orders_scd2",
+    f"""
+WITH cur AS (
+  SELECT c_custkey AS cust_id, c_mktsegment AS segment, c_acctbal AS acctbal,
+         '1990-01-01' AS effective_from, CAST(NULL AS VARCHAR) AS effective_to,
+         1 AS is_current
+  FROM customer
+),
+dim AS (
+  SELECT cust_id, segment, acctbal,
+         effective_from, '1998-06-01' AS effective_to, 0 AS is_current
+  FROM cur WHERE cust_id % 7 = 0
+  UNION ALL
+  SELECT cust_id, segment, acctbal + 100.0,
+         '1998-06-01', CAST(NULL AS VARCHAR), 1
+  FROM cur WHERE cust_id % 7 = 0
+  UNION ALL
+  SELECT * FROM cur WHERE cust_id % 7 <> 0
+)
+SELECT d.segment,
+       d.effective_from AS version_from,
+       count(*) AS n_orders,
+       {money_sum_sql('o.o_totalprice')} AS revenue
+FROM orders o
+JOIN dim d
+  ON o.o_custkey = d.cust_id
+ AND strftime(o.o_orderdate, '%Y-%m-%d') >= d.effective_from
+ AND (d.effective_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d') < d.effective_to)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_pit_join_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of the order facts against an SCD2 customer
+    dimension (operators/joins.py:pit_join over
+    sources/upsert.py:scd2_apply): every order is attributed to the
+    customer VERSION effective on its order date — versions split at
+    1998-06-01 for the %7 keys, so facts genuinely fan across versions.
+    A plain key join would double-count those customers' orders; the
+    interval residual picks exactly one version per fact. Revenue per
+    (segment, version) via the exact decimicent money fold. The oracle
+    re-derives the dimension legs as explicit UNION ALL branches — it
+    does not reuse the engine's SCD2 code."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.joins import pit_join
+    from spendinganalysisetl_spark.functions.scalars import money_sum
+    from spendinganalysisetl_spark.sources.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    cur = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("1990-01-01").alias("effective_from"),
+        F.lit(None).cast("string").alias("effective_to"),
+        F.lit(1).alias("is_current"),
+    )
+    chg = cur.filter(F.col("cust_id") % 7 == 0).select(
+        "cust_id",
+        "segment",
+        (F.col("acctbal") + F.lit(100.0)).alias("acctbal"),
+        F.lit("1998-06-01").alias("effective_from"),
+    )
+    dim = scd2_apply(cur, chg, key=("cust_id",), tracked=("segment", "acctbal"))
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        "o_totalprice",
+    )
+    joined = pit_join(fact, dim, "o_custkey", "cust_id", "odate")
+    return (
+        joined.groupBy(
+            "segment", F.col("effective_from").alias("version_from")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("segment", "version_from")
+    )
+
+
+@register(
     "pii_scrub_documents",
     """
 WITH p AS (
@@ -5376,6 +5461,51 @@ def q_sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_unique_users(daily)
 
 
+@register(
+    "cms_heavy_hitters",
+    f"""
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS token
+              FROM documents),
+wc AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+counters AS (
+  SELECT j,
+         {{fold}} % 512 AS bucket,
+         sum(cnt) AS bsum
+  FROM wc CROSS JOIN js GROUP BY 1, 2
+),
+head AS (SELECT token, cnt FROM wc ORDER BY cnt DESC, token ASC LIMIT 20),
+probes AS (
+  SELECT token, cnt, j, {{fold}} % 512 AS bucket
+  FROM head CROSS JOIN js
+)
+SELECT p.token,
+       p.cnt AS n_occurrences,
+       CAST(min(c.bsum) AS BIGINT) AS cms_est
+FROM probes p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY 1, 2
+ORDER BY n_occurrences DESC, token ASC
+""".format(
+        fold=hex_fold_sql("md5(CAST(j AS VARCHAR) || ':' || token)", 1, 7)
+    ),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Count-Min sketch calibration report: the top-20 corpus
+    tokens with exact counts and their CMS point estimates
+    (operators/sketches.py:count_min_heavy_hitters). The sketch is
+    built on the portable md5 fold, so — uniquely in the sketch family
+    — DuckDB reproduces every counter and estimate bit-for-bit; the
+    one-sided guarantee (est ≥ exact, overestimate = collision mass) is
+    visible per row. Counters are sums over deterministic buckets:
+    order-independent, mergeable by addition (pinned in
+    tests/test_sketches.py), depth×width integers per 100 TB shard."""
+    from spendinganalysisetl_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    return count_min_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
 @register("kmeans_cluster_profile")  # rows-only: full-corpus Lloyd cells are
 # engine-internal (deterministic init + iteration, but no DuckDB twin can fit
 # the same model); the distributed fit is differentially pinned against a
@@ -5531,16 +5661,17 @@ _CHECK_FIRST: list[str] = [
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive_revenue",
-    # Round 4d: distributed PCA front half — never-checked oracle
-    # query (the covariance the eigh diagonalizes, bit-for-bit in
-    # DuckDB HUGEINT math); outranks one more rotation re-check.
+    # Round 4d: distributed PCA front half (the covariance the eigh
+    # diagonalizes, bit-for-bit in DuckDB HUGEINT math) and the
+    # portable Count-Min sketch calibration report — never-checked
+    # oracle queries; each outranks one more rotation re-check.
     "embedding_covariance_matrix",
-    # Standing rotation (remaining slots): the OLDEST r2-green rows
-    # cycle back through so no green goes permanently unwatched; their
+    "cms_heavy_hitters",
+    "pit_join_orders_scd2",
+    # Standing rotation (remaining slot): the OLDEST r2-green row
+    # cycles back through so no green goes permanently unwatched; its
     # r3-confirmed siblings yield the slots (each tagged [r3] below).
     "events_sessionize",
-    "text_corpus_stats",
-    "minhash_lsh_pairs_portable",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -5556,6 +5687,10 @@ _CHECK_LATE: list[str] = [
     # green r2 rows on code untouched since, and cycle back in round 5:
     "simhash_near_pairs_portable",  # [r2] — yielded its r4 slot to the
     # never-checked embedding_covariance_matrix (r4d); cycles in r5
+    "minhash_lsh_pairs_portable",  # [r2] — yielded its r4 slot to the
+    # never-checked cms_heavy_hitters (r4d); cycles in r5
+    "text_corpus_stats",  # [r2] — yielded its r4 slot to the
+    # never-checked pit_join_orders_scd2 (r4d); cycles in r5
     "cosine_near_dup_pairs",  # [r2]
     "percentile_prices_by_priority",  # [r2]
     "grouping_sets_revenue",  # [r2]

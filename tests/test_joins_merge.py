@@ -98,3 +98,53 @@ def test_merge_frames_null_key_rows(spark):
     }
     assert rows[(None, None)] == (10, "kept")
     assert rows[("2024-01-01", "2024-01-31")] == (9, "updated")
+
+
+def test_pit_join_picks_exactly_one_version(spark):
+    """Each fact matches the ONE dimension version effective at its
+    timestamp; facts predating the key's first version drop (inner)."""
+    from spendinganalysisetl_spark.operators.joins import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2020-01-01", "2022-01-01", 0),
+            (1, "v2", "2022-01-01", None, 1),
+            (2, "w1", "2021-01-01", None, 1),
+        ],
+        "cust_id long, tag string, effective_from string, effective_to string, is_current int",
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, "2020-06-15"),  # inside v1
+            (101, 1, "2022-01-01"),  # boundary: from-inclusive → v2
+            (102, 1, "2021-12-31"),  # last day of v1
+            (103, 2, "2025-05-05"),  # open version
+            (104, 2, "2019-01-01"),  # predates w1 → dropped
+            (105, 3, "2021-01-01"),  # unknown key → dropped
+        ],
+        "fid long, cust long, odate string",
+    )
+    out = {
+        r["fid"]: r["tag"]
+        for r in pit_join(fact, dim, "cust", "cust_id", "odate").collect()
+    }
+    assert out == {100: "v1", 101: "v2", 102: "v1", 103: "w1"}
+
+
+def test_pit_join_cardinality_vs_plain_join(spark):
+    """The failure mode pit_join exists to avoid: a plain key join
+    multiplies facts by versions-per-key; the PIT residual restores
+    1:1 for every in-range fact."""
+    from spendinganalysisetl_spark.operators.joins import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", "2021-01-01", 0), (1, "b", "2021-01-01", None, 1)],
+        "cust_id long, tag string, effective_from string, effective_to string, is_current int",
+    )
+    fact = spark.createDataFrame(
+        [(i, 1, f"2020-0{1 + i % 9}-15") for i in range(9)],
+        "fid long, cust long, odate string",
+    )
+    plain = fact.join(dim, fact["cust"] == dim["cust_id"]).count()
+    pit = pit_join(fact, dim, "cust", "cust_id", "odate").count()
+    assert plain == 18 and pit == 9

@@ -73,3 +73,92 @@ def test_theta_overlap_matches_exact_intersection(spark, events):
     assert out["est_overlap"] == pytest.approx(exact, rel=0.1) or (
         exact == 0 and out["est_overlap"] == 0
     )
+
+
+# --- portable Count-Min sketch ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cms_docs(spark):
+    """Zipf-ish planted corpus: 'alpha' dominates, long tail of rare
+    tokens to supply collision mass at narrow widths."""
+    rows = []
+    for i in range(40):
+        toks = ["alpha"] * 5 + ["beta"] * 3 + ["gamma"] * 2 + [f"rare{i}_{j}" for j in range(4)]
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cms_one_sided_guarantee_all_tokens(spark, cms_docs):
+    """est ≥ exact for EVERY token (not just the head) at a narrow,
+    collision-rich width."""
+    from spendinganalysisetl_spark.functions.text import ws_tokens
+    from spendinganalysisetl_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    out = count_min_heavy_hitters(cms_docs, k=1000, depth=4, width=32).collect()
+    exact = {
+        r["token"]: r["cnt"]
+        for r in cms_docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert len(out) == len(exact)
+    over = 0
+    for r in out:
+        assert r["cms_est"] >= r["n_occurrences"], r
+        assert r["n_occurrences"] == exact[r["token"]]
+        over += r["cms_est"] > r["n_occurrences"]
+    # a 160+-token vocab in 32 buckets MUST collide somewhere
+    assert over > 0
+
+
+def test_cms_exact_when_width_dominates_vocab(spark, cms_docs):
+    """With width ≫ vocab and depth 4 the min over rows is exact for
+    every token (P[all four rows collide] ~ 0 at this size — asserted,
+    not hoped: the test fails loudly if the constants ever change)."""
+    from spendinganalysisetl_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    out = count_min_heavy_hitters(cms_docs, k=1000, depth=4, width=1 << 16).collect()
+    for r in out:
+        assert r["cms_est"] == r["n_occurrences"], r
+
+
+def test_cms_counters_merge_by_addition(spark, cms_docs):
+    """The 100 TB property: counters over A ∪ B equal the elementwise
+    sum of counters over A and counters over B — sketch partials from
+    shards/days merge without rescanning anything."""
+    from spendinganalysisetl_spark.operators.sketches import count_min_counters
+
+    a = cms_docs.filter(F.col("doc_id") < 20)
+    b = cms_docs.filter(F.col("doc_id") >= 20)
+    whole = {
+        (r["j"], r["bucket"]): r["bsum"]
+        for r in count_min_counters(cms_docs, depth=4, width=64).collect()
+    }
+    pa = {
+        (r["j"], r["bucket"]): r["bsum"]
+        for r in count_min_counters(a, depth=4, width=64).collect()
+    }
+    pb = {
+        (r["j"], r["bucket"]): r["bsum"]
+        for r in count_min_counters(b, depth=4, width=64).collect()
+    }
+    merged = dict(pa)
+    for k_, v in pb.items():
+        merged[k_] = merged.get(k_, 0) + v
+    assert merged == whole
+
+
+def test_cms_head_ordering_and_k(spark, cms_docs):
+    from spendinganalysisetl_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    out = count_min_heavy_hitters(cms_docs, k=3, depth=4, width=512).collect()
+    assert [r["token"] for r in out] == ["alpha", "beta", "gamma"]
+    assert out[0]["n_occurrences"] == 200
