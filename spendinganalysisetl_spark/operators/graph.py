@@ -1,0 +1,114 @@
+"""Graph analytics: PageRank over an edge table.
+
+Joins `operators.dedup.connected_components` in the graph family (the
+reference has no graph operators at all — SURVEY.md §2.3 notes nothing
+beyond key-probe joins; these are north-star pipeline machinery for
+entity/link analysis over warehouse facts).
+
+Determinism contract: PageRank here runs in FIXED-POINT INTEGER
+arithmetic — total rank mass is ``MASS = 10**12`` integer units, every
+per-edge share and damping step is integer (floor) division, and every
+aggregate is a sum of BIGINTs. Integer sums are order-independent, so
+unlike a float implementation the result is bit-identical across
+partitionings, retries, and engines: the DuckDB oracle
+(`pagerank_customer_supplier`) reproduces every rank unit exactly with
+five unrolled CTE iterations. The truncation this trades away is < 1
+unit per division — relative error ~1e-12 against exact rational
+PageRank, pinned by the float differential in tests/test_graph.py.
+
+Scale shape: one iteration = one equi-join (edges ⋈ ranks on src,
+shares precomputed per node so the division runs once per node, not
+once per edge) plus one shuffle sum on dst — the textbook distributed
+PageRank step. Edges are cached (probed every round); the rank table is
+``localCheckpoint``-ed per round to truncate lineage (on a real cluster
+use ``checkpoint()`` to reliable storage). Rank state is 16 bytes per
+node; the edge table never re-shuffles after the first round under a
+stable partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MASS = 10**12  # total integer rank mass
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank.
+
+    ``edges`` is a DIRECTED edge table ``(src, dst)`` — pass both
+    directions for an undirected graph. Every node must have at least
+    one out-edge (true by construction for undirected graphs; dangling
+    nodes would need a mass-redistribution term this deterministic
+    variant deliberately omits). Multi-edges count as parallel edges
+    (dedup upstream if unwanted).
+
+    Update rule, all in integer units (``r`` starts at ``MASS // n``):
+
+        share(v)   = r(v) div out_deg(v)
+        contrib(u) = sum over in-edges (w -> u) of share(w)
+        r'(u)      = base + (damping_pct * contrib(u)) div 100
+        base       = ((MASS div n) * (100 - damping_pct)) div 100
+
+    Returns ``(node, degree, rank_mass)`` — ``rank_mass`` is the final
+    BIGINT rank in MASS units (divide by ``MASS`` for the probability).
+    """
+    und = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # one scalar job; base must be a plan literal
+    base = ((MASS // n) * (100 - damping_pct)) // 100
+    ranks = nodes.withColumn("r", F.lit(MASS // n).cast("long")).localCheckpoint()
+    for _ in range(iterations):
+        shares = ranks.join(
+            deg, ranks["node"] == deg["src"]
+        ).select("node", F.expr("r div deg").alias("share"))
+        contrib = (
+            und.join(shares.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.join(deg, ranks["node"] == deg["src"]).select(
+        "node", F.col("deg").alias("degree"), F.col("r").alias("rank_mass")
+    )
+    und.unpersist()
+    return out
+
+
+def cotransaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer–supplier bipartite graph from the order
+    facts: an edge per DISTINCT (customer, supplier) pair that shares
+    an order, node ids typed as ``c<custkey>`` / ``s<suppkey>``.
+    Emitted in both directions (PageRank's undirected convention); the
+    distinct is one shuffle on the pair."""
+    pairs = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )

@@ -4497,6 +4497,81 @@ def q_pit_join_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(iterations: int = 5, damping: int = 85, k: int = 20) -> str:
+    """Unrolled-CTE DuckDB twin of operators/graph.py:pagerank — the
+    integer update rule is reproduced exactly (``//`` floor division on
+    positive integers ≡ Spark's ``div``), one CTE per iteration."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT nd.node, p.base + ({damping} * COALESCE(s.m, 0)) // 100 AS r
+  FROM nodes nd CROSS JOIN params p
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(rp.r // dg.d) AS m
+    FROM edges e
+    JOIN {prev} rp ON rp.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY 1
+  ) s ON s.node = nd.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b AS src, a AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+params AS (SELECT count(*) AS n,
+                  ((1000000000000 // count(*)) * {100 - damping}) // 100 AS base
+           FROM nodes),
+r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes CROSS JOIN params p),
+{chain}
+SELECT fin.node AS node,
+       CAST(dg.d AS BIGINT) AS degree,
+       CAST(fin.r AS BIGINT) AS rank_mass
+FROM {prev} fin
+JOIN deg dg ON dg.src = fin.node
+ORDER BY 3 DESC, 1 ASC
+LIMIT {k}
+"""
+
+
+@register("pagerank_customer_supplier", _pagerank_oracle_sql())
+def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier co-transaction graph
+    (operators/graph.py:pagerank over cotransaction_edges): top-20
+    nodes by rank after 5 damped iterations. Runs in fixed-point
+    integer arithmetic (MASS = 1e12 units, floor-division shares) so
+    every rank unit is order-independent and bit-reproducible — the
+    oracle unrolls the identical update rule as five DuckDB CTEs; no
+    float PageRank could be hash-compared this way. The float
+    differential (rel. err ~1e-12 vs numpy) is pinned in
+    tests/test_graph.py. One equi-join + one shuffle sum per iteration;
+    rank state is 16 bytes/node. The reference has no graph operators
+    (SURVEY.md §2.3); this joins connected_components as north-star
+    link-analysis machinery."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.graph import (
+        cotransaction_edges,
+        pagerank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pr = pagerank(cotransaction_edges(orders, lineitem), iterations=5)
+    return pr.orderBy(F.col("rank_mass").desc(), F.col("node").asc()).limit(20)
+
+
 @register(
     "pii_scrub_documents",
     """
@@ -5668,10 +5743,12 @@ _CHECK_FIRST: list[str] = [
     "embedding_covariance_matrix",
     "cms_heavy_hitters",
     "pit_join_orders_scd2",
-    # Standing rotation (remaining slot): the OLDEST r2-green row
-    # cycles back through so no green goes permanently unwatched; its
-    # r3-confirmed siblings yield the slots (each tagged [r3] below).
-    "events_sessionize",
+    # Round 4e: integer fixed-point PageRank — never-checked oracle
+    # query (the unrolled-CTE twin reproduces every rank unit); it
+    # outranks the standing-rotation re-check, so events_sessionize
+    # (r2-green, code untouched since) yields the final slot and is
+    # tagged [r2] in _CHECK_LATE to cycle back in round 5.
+    "pagerank_customer_supplier",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -5691,6 +5768,8 @@ _CHECK_LATE: list[str] = [
     # never-checked cms_heavy_hitters (r4d); cycles in r5
     "text_corpus_stats",  # [r2] — yielded its r4 slot to the
     # never-checked pit_join_orders_scd2 (r4d); cycles in r5
+    "events_sessionize",  # [r2] — yielded its r4 slot to the
+    # never-checked pagerank_customer_supplier (r4e); cycles in r5
     "cosine_near_dup_pairs",  # [r2]
     "percentile_prices_by_priority",  # [r2]
     "grouping_sets_revenue",  # [r2]

@@ -1,0 +1,95 @@
+"""PageRank (operators/graph.py): integer fixed-point determinism,
+float differential, and structural sanity.
+
+The operator's whole design premise is that floor-division fixed-point
+arithmetic (a) loses < 1 unit of MASS=1e12 per division — so it tracks
+exact float PageRank to ~1e-9 relative — while (b) making every sum
+order-independent, hence bit-reproducible across partitionings and
+engines (the property the `pagerank_customer_supplier` DuckDB oracle
+relies on). Both halves are pinned here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spendinganalysisetl_spark.operators.graph import MASS, pagerank
+
+N = 32  # power of two: MASS // N and the base term are exact
+
+
+def _pair_set() -> set[tuple[int, int]]:
+    """Deterministic irregular undirected graph on N nodes: a ring plus
+    skip chords (no RNG — fixed by construction)."""
+    pairs = set()
+    for i in range(N):
+        for j in (i + 1, i * 7 + 3, i * i + 5):
+            a, b = i, j % N
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+    return pairs
+
+
+def _edges_df(spark):
+    rows = []
+    for a, b in sorted(_pair_set()):
+        rows.append((f"n{a:02d}", f"n{b:02d}"))
+        rows.append((f"n{b:02d}", f"n{a:02d}"))
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def _float_pagerank(iterations: int = 5, damping: float = 0.85) -> dict[str, float]:
+    pairs = _pair_set()
+    adj: dict[int, list[int]] = {i: [] for i in range(N)}
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    r = np.full(N, 1.0 / N)
+    base = (1.0 - damping) / N
+    for _ in range(iterations):
+        nxt = np.full(N, base)
+        for v in range(N):
+            share = r[v] / len(adj[v])
+            for u in adj[v]:
+                nxt[u] += damping * share
+        r = nxt
+    return {f"n{i:02d}": r[i] for i in range(N)}
+
+
+def test_pagerank_matches_float_differential(spark):
+    got = {
+        row["node"]: row["rank_mass"]
+        for row in pagerank(_edges_df(spark), iterations=5).collect()
+    }
+    want = _float_pagerank()
+    assert set(got) == set(want)
+    for node, w in want.items():
+        assert got[node] / MASS == pytest.approx(w, rel=1e-6), node
+
+
+def test_pagerank_conserves_mass(spark):
+    ranks = [r["rank_mass"] for r in pagerank(_edges_df(spark), iterations=5).collect()]
+    total = sum(ranks)
+    # floor divisions only ever LOSE sub-unit remainders
+    assert total <= MASS
+    assert total >= int(0.9999 * MASS)
+
+
+def test_pagerank_is_deterministic_across_partitionings(spark):
+    df = _edges_df(spark)
+    a = sorted(map(tuple, pagerank(df, iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(7), iterations=3).collect()))
+    assert a == b
+
+
+def test_pagerank_star_center_dominates(spark):
+    leaves = [f"l{i}" for i in range(8)]
+    rows = [("hub", l) for l in leaves] + [(l, "hub") for l in leaves]
+    got = {
+        r["node"]: r["rank_mass"]
+        for r in pagerank(spark.createDataFrame(rows, ["src", "dst"]), iterations=5).collect()
+    }
+    assert all(got["hub"] > got[l] for l in leaves)
+    # leaves are symmetric: identical ranks, and degree column is right
+    assert len({got[l] for l in leaves}) == 1
