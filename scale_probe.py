@@ -78,6 +78,20 @@ QUERIES = [
     # |corpus|×k output write on top.
     "embedding_covariance_matrix",
     "pca_projection_scores",
+    # r4e/f additions. PageRank: facts replicate but customers/suppliers
+    # don't, so the DISTINCT pair collapse must absorb the 10× scan and
+    # leave the iteration cost (graph-sized) flat. CMS: corpus AND vocab
+    # grow ~10× (bijective perturbation mints new tokens) while the
+    # counter table stays depth×width — the word-count collapse is the
+    # only scaling stage. PIT join: facts 10×, dimension fixed — the
+    # interval-residual equi-join must scale like any dim join. Bloom:
+    # 10× rows hash into the same 32 buckets over the same custkey
+    # domain — the (bucket, value) DISTINCT absorbs the growth before
+    # any explode.
+    "pagerank_customer_supplier",
+    "cms_heavy_hitters",
+    "pit_join_orders_scd2",
+    "bloom_skip_report",
 ]
 
 

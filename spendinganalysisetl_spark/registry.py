@@ -942,6 +942,80 @@ def q_sql_surface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_SPINE_SPARK_SQL = f"""
+WITH RECURSIVE spine AS (
+  SELECT trunc(min(o_orderdate), 'MONTH') AS m,
+         trunc(max(o_orderdate), 'MONTH') AS mx
+  FROM orders
+  UNION ALL
+  SELECT add_months(m, 1), mx FROM spine WHERE m < mx
+),
+sparse AS (
+  SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+         count(*) AS n_orders,
+         {money_sum_sql('o_totalprice')} AS revenue
+  FROM orders
+  WHERE o_custkey % 997 = 1
+  GROUP BY 1
+)
+SELECT s.month,
+       CAST(coalesce(sp.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(sp.revenue, 0.0) AS DOUBLE) AS revenue
+FROM (SELECT date_format(m, 'yyyy-MM') AS month FROM spine) s
+LEFT JOIN sparse sp ON sp.month = s.month
+ORDER BY s.month
+"""
+
+
+@register(
+    "sql_surface_recursive_spine",
+    f"""
+WITH RECURSIVE spine AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS m,
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+  FROM orders
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE m < mx
+),
+sparse AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_orders,
+         {money_sum_sql('o_totalprice')} AS revenue
+  FROM orders
+  WHERE o_custkey % 997 = 1
+  GROUP BY 1
+)
+SELECT s.month,
+       CAST(coalesce(sp.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(sp.revenue, 0.0) AS DOUBLE) AS revenue
+FROM (SELECT strftime(m, '%Y-%m') AS month FROM spine) s
+LEFT JOIN sparse sp ON sp.month = s.month
+ORDER BY s.month
+""",
+)
+def q_sql_surface_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front door (Spark 4 ``WITH
+    RECURSIVE``, UNION ALL-only form): generate the complete month
+    spine between the first and last order month by recursion — the
+    anchor is an aggregate, the recursive member carries the bound —
+    then LEFT JOIN a deliberately sparse monthly total (a ~1/1000
+    customer slice) so most spine months gap-fill to zero. The linear
+    self-referencing recursion is the SAFE recursive-CTE shape at
+    scale (each step is one row); graph CLOSURE by recursive CTE is
+    deliberately NOT offered — path enumeration is exponential on
+    cyclic/dense graphs, and the iterative ``connected_components``
+    operator is the engine's closure path. Exact decimicent money fold
+    on both engines."""
+    from spendinganalysisetl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return (
+        spark.sql(_RECURSIVE_SPINE_SPARK_SQL)
+        .repartition(1)
+        .sortWithinPartitions("month")
+    )
+
+
 @register(
     "tpch_q13_customer_distribution",
     """
@@ -4570,6 +4644,96 @@ def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     pr = pagerank(cotransaction_edges(orders, lineitem), iterations=5)
     return pr.orderBy(F.col("rank_mass").desc(), F.col("node").asc()).limit(20)
+
+
+_BLOOM_PROBES = [1, 7, 77, 419, 777, 1313, 0, -7, 123456789]
+_BLOOM_FOLD_IDX = hex_fold_sql(
+    "md5(CAST(j AS VARCHAR) || ':' || CAST(v AS VARCHAR))", 1, 7
+)
+_BLOOM_FOLD_PROBE = hex_fold_sql(
+    "md5(CAST(j AS VARCHAR) || ':' || CAST(probe AS VARCHAR))", 1, 7
+)
+
+
+@register(
+    "bloom_skip_report",
+    f"""
+WITH base AS (SELECT o_orderkey % 32 AS bucket, o_custkey AS v FROM orders),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+idx AS (SELECT DISTINCT bucket, {_BLOOM_FOLD_IDX} % 65536 AS pos
+        FROM (SELECT DISTINCT bucket, v FROM base) CROSS JOIN js),
+probes AS (SELECT CAST(pv.probe AS BIGINT) AS probe
+           FROM (VALUES {", ".join(f"({p})" for p in _BLOOM_PROBES)}) pv(probe)),
+ppos AS (SELECT probe, j, {_BLOOM_FOLD_PROBE} % 65536 AS pos
+         FROM probes CROSS JOIN js),
+cand AS (SELECT p.probe, i.bucket
+         FROM ppos p JOIN idx i ON i.pos = p.pos
+         GROUP BY 1, 2 HAVING count(DISTINCT p.j) = 4),
+nc AS (SELECT probe, count(*) AS n FROM cand GROUP BY 1),
+tr AS (SELECT probe, count(DISTINCT bucket) AS nb, count(*) AS nr
+       FROM base JOIN probes ON v = probe GROUP BY 1)
+SELECT pr.probe,
+       COALESCE(nc.n, 0) AS n_candidate_buckets,
+       COALESCE(tr.nb, 0) AS n_true_buckets,
+       COALESCE(tr.nr, 0) AS n_rows
+FROM probes pr
+LEFT JOIN nc ON nc.probe = pr.probe
+LEFT JOIN tr ON tr.probe = pr.probe
+ORDER BY 1
+""",
+)
+def q_bloom_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom skipping-index calibration report
+    (sources/bloom_index.py): orders hashed into 32 buckets (standing
+    in for data files), a k=4/m=65536 Bloom filter built per bucket
+    over o_custkey — the high-cardinality point-lookup column that is
+    neither the partition nor the sort key — then 9 probe keys (present
+    and absent) pruned against the index and verified against the data.
+    Output per probe: candidate buckets (what the planner would scan),
+    true buckets, matching rows. One-sided containment (candidates ⊇
+    truth) is pinned in tests/test_bloom_index.py; the physical-file
+    variant (input_file_name index + candidate-only parquet read) is
+    exercised there too. Built on the portable md5 fold, so DuckDB
+    reproduces every set bit and candidate count exactly."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.sources.bloom_index import (
+        build_bloom_index,
+        candidate_buckets,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 32).alias("bucket"), F.col("o_custkey")
+    )
+    idx = build_bloom_index(base, "bucket", "o_custkey")
+    probes = spark.createDataFrame(
+        [(p,) for p in _BLOOM_PROBES], "probe bigint"
+    )
+    nc = (
+        candidate_buckets(idx, probes)
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tr = (
+        base.join(probes, base["o_custkey"] == probes["probe"])
+        .groupBy("probe")
+        .agg(
+            F.count_distinct("bucket").alias("nb"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+    )
+    return (
+        probes.join(nc, "probe", "left")
+        .join(tr, "probe", "left")
+        .select(
+            "probe",
+            F.coalesce("n", F.lit(0)).alias("n_candidate_buckets"),
+            F.coalesce("nb", F.lit(0)).alias("n_true_buckets"),
+            F.coalesce("nr", F.lit(0)).alias("n_rows"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("probe")
+    )
 
 
 @register(

@@ -1,0 +1,139 @@
+"""Bloom-filter file/bucket skipping index: point-lookup data skipping
+on a HIGH-cardinality column that is neither the partition key nor the
+sort key.
+
+Completes the data-skipping family:
+
+- ``sources.partitioned``  — directory pruning, LOW-cardinality equality
+- ``sources.sorted_layout`` — row-group zone maps, RANGE on the sort key
+- this module             — equality on any other column ("orders by
+  customer X" against a table partitioned by date and sorted by key)
+
+A 100 TB fact table answers that lookup today by scanning every file.
+A per-file Bloom filter over the column (k hash bits in an m-bit
+filter) lets the reader skip every file whose filter provably lacks the
+value — one-sided: a candidate file MAY contain it (false-positive rate
+~(fill)^k), a skipped file CANNOT. Parquet can embed such filters per
+column chunk; building the index as a TABLE (as Iceberg/Hudi metadata
+do) additionally lets the PLANNER prune the file list before any scan
+task launches, which is the version implemented here.
+
+Portability contract: positions come from the md5 hex fold
+(functions.text.hex_fold), so the whole index — set bits, candidate
+sets, pruning counts — is bit-reproducible in DuckDB; the
+``bloom_skip_report`` registry query oracle-checks the index math
+end-to-end (build → probe → prune → verify). The index is stored as
+DISTINCT ``(bucket, pos)`` set-bit rows — at most ``min(k·ndv, m)``
+rows per bucket; a production store packs them 64-per-BIGINT (the
+Count-Min module shows the packed-aggregate idiom), which changes
+storage, not semantics.
+
+Scale shape: the build is one ``distinct`` on (bucket, value) — the
+map-side partial absorbs per-bucket repeats — then a vocab-sized
+explode×k and a second distinct; no corpus re-shuffle. A probe touches
+``k`` index rows per bucket, never the data; the verified read opens
+only candidate files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.text import hex_fold
+
+K_HASHES = 4
+M_BITS = 65536
+
+
+def bloom_positions(value: Column, k: int = K_HASHES, m: int = M_BITS) -> Column:
+    """Array of the ``k`` filter positions for ``value`` — independent
+    hash rows via the seeded md5 fold (portable across engines)."""
+    return F.array(
+        *[
+            (
+                hex_fold(
+                    F.md5(F.concat_ws(":", F.lit(str(j)), value.cast("string"))),
+                    1,
+                    7,
+                )
+                % m
+            ).cast("int")
+            for j in range(k)
+        ]
+    )
+
+
+def build_bloom_index(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    k: int = K_HASHES,
+    m: int = M_BITS,
+) -> DataFrame:
+    """Set-bit table ``(bucket, pos)`` of each bucket's Bloom filter.
+    ``bucket_col`` is the file/bucket identity (a deterministic bucket
+    id, or ``input_file_name()`` for a physical-file index)."""
+    vals = df.select(F.col(bucket_col).alias("bucket"), F.col(value_col)).distinct()
+    return (
+        vals.select(
+            "bucket",
+            F.explode(bloom_positions(F.col(value_col), k, m)).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def candidate_buckets(
+    index: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "probe",
+    k: int = K_HASHES,
+    m: int = M_BITS,
+) -> DataFrame:
+    """Buckets the index CANNOT rule out for each probe value:
+    ``(probe, bucket)`` where all ``k`` probe positions are set. The
+    one-sided guarantee (candidates ⊇ true buckets) is pinned in
+    tests/test_bloom_index.py."""
+    ppos = probes.select(
+        F.col(probe_col).alias("probe"),
+        F.posexplode(bloom_positions(F.col(probe_col), k, m)).alias("j", "pos"),
+    )
+    return (
+        ppos.join(index, "pos")
+        .groupBy("probe", "bucket")
+        .agg(F.count_distinct("j").alias("nj"))
+        .filter(F.col("nj") == k)
+        .select("probe", "bucket")
+    )
+
+
+def point_read_with_bloom(
+    spark: SparkSession,
+    path: str,
+    value_col: str,
+    value,
+    k: int = K_HASHES,
+    m: int = M_BITS,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Point lookup that opens ONLY the files the Bloom index can't rule
+    out. ``index`` is the physical-file index (``build_bloom_index``
+    with ``input_file_name()``); built on the fly when omitted — a real
+    deployment persists it next to the table and maintains it per
+    commit. Returns the matching rows; tests assert the scan's
+    ``inputFiles()`` is the candidate subset, not the full listing."""
+    full = spark.read.parquet(path)
+    if index is None:
+        index = build_bloom_index(
+            full.withColumn("_file", F.input_file_name()), "_file", value_col, k, m
+        )
+    probe = spark.createDataFrame(
+        [(value,)], full.select(value_col).schema
+    ).withColumnRenamed(value_col, "probe")
+    files = [
+        r["bucket"] for r in candidate_buckets(index, probe, k=k, m=m).collect()
+    ]
+    if not files:
+        return full.filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(value_col) == value)

@@ -45,6 +45,41 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     )
 
 
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """CSV source with a quarantine channel — the third point on the
+    malformed-row policy axis (FAILFAST = abort, PERMISSIVE = silent
+    nulls, this = split): returns ``(good, quarantined)`` where
+    quarantined rows carry the raw malformed line for repair/replay.
+
+    A 100 TB ingest can't abort on one bad line and must not null it
+    away either; routing rejects to a side table with the original
+    bytes is the standard DLQ move. Implementation: PERMISSIVE parse
+    with ``columnNameOfCorruptRecord`` — one scan, the split is two
+    filters over the same cached parse (Spark requires the corrupt
+    column to be re-selected from a cache, not computed twice).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType as ST
+
+    with_corrupt = ST(schema.fields + [StructField("_corrupt_record", StringType())])
+    parsed = (
+        spark.read.schema(with_corrupt)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # Spark disallows filtering the corrupt column on the raw scan
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (the reference's native interchange shape)."""
     (

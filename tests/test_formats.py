@@ -90,3 +90,20 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_out):
     got = q.collect()
     want = orders.filter(F.col("o_orderkey") == 7).select("o_orderkey", "o_totalprice").collect()
     assert got == want
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_out):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from spendinganalysisetl_spark.sources.formats import read_csv_quarantine
+
+    with open(f"{tmp_out}/dlq.csv", "w") as f:
+        f.write("a,b\n1,2\nnot_a_number,3\n4,5\n6,oops\n")
+    schema = StructType([StructField("a", LongType()), StructField("b", LongType())])
+    good, bad = read_csv_quarantine(spark, f"{tmp_out}/dlq.csv", schema)
+    assert sorted((r["a"], r["b"]) for r in good.collect()) == [(1, 2), (4, 5)]
+    # quarantined rows carry the ORIGINAL line for repair/replay
+    assert sorted(r["raw_line"] for r in bad.collect()) == [
+        "6,oops",
+        "not_a_number,3",
+    ]
