@@ -4647,12 +4647,12 @@ def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOOM_PROBES = [1, 7, 77, 419, 777, 1313, 0, -7, 123456789]
-_BLOOM_FOLD_IDX = hex_fold_sql(
-    "md5(CAST(j AS VARCHAR) || ':' || CAST(v AS VARCHAR))", 1, 7
-)
-_BLOOM_FOLD_PROBE = hex_fold_sql(
-    "md5(CAST(j AS VARCHAR) || ':' || CAST(probe AS VARCHAR))", 1, 7
-)
+# Kirsch–Mitzenmacher: positions are h1 + j*h2 over ONE md5 (twin of
+# sources/bloom_index.py:bloom_positions).
+_BLOOM_H1_IDX = hex_fold_sql("md5(CAST(v AS VARCHAR))", 1, 7)
+_BLOOM_H2_IDX = hex_fold_sql("md5(CAST(v AS VARCHAR))", 8, 7)
+_BLOOM_H1_PROBE = hex_fold_sql("md5(CAST(probe AS VARCHAR))", 1, 7)
+_BLOOM_H2_PROBE = hex_fold_sql("md5(CAST(probe AS VARCHAR))", 8, 7)
 
 
 @register(
@@ -4660,15 +4660,18 @@ _BLOOM_FOLD_PROBE = hex_fold_sql(
     f"""
 WITH base AS (SELECT o_orderkey % 32 AS bucket, o_custkey AS v FROM orders),
 js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-idx AS (SELECT DISTINCT bucket, {_BLOOM_FOLD_IDX} % 65536 AS pos
-        FROM (SELECT DISTINCT bucket, v FROM base) CROSS JOIN js),
+vh AS (SELECT DISTINCT bucket, {_BLOOM_H1_IDX} AS h1, {_BLOOM_H2_IDX} AS h2
+       FROM (SELECT DISTINCT bucket, v FROM base)),
+idx AS (SELECT DISTINCT bucket, (h1 + j * h2) % 65536 AS pos
+        FROM vh CROSS JOIN js),
 probes AS (SELECT CAST(pv.probe AS BIGINT) AS probe
            FROM (VALUES {", ".join(f"({p})" for p in _BLOOM_PROBES)}) pv(probe)),
-ppos AS (SELECT probe, j, {_BLOOM_FOLD_PROBE} % 65536 AS pos
-         FROM probes CROSS JOIN js),
+ph AS (SELECT probe, {_BLOOM_H1_PROBE} AS h1, {_BLOOM_H2_PROBE} AS h2 FROM probes),
+ppos AS (SELECT probe, j, (h1 + j * h2) % 65536 AS pos
+         FROM ph CROSS JOIN js),
 cand AS (SELECT p.probe, i.bucket
          FROM ppos p JOIN idx i ON i.pos = p.pos
-         GROUP BY 1, 2 HAVING count(DISTINCT p.j) = 4),
+         GROUP BY 1, 2 HAVING count(*) = 4),
 nc AS (SELECT probe, count(*) AS n FROM cand GROUP BY 1),
 tr AS (SELECT probe, count(DISTINCT bucket) AS nb, count(*) AS nr
        FROM base JOIN probes ON v = probe GROUP BY 1)
