@@ -69,20 +69,25 @@ def build_bloom_index(
     """Set-bit table ``(bucket, pos)`` of each bucket's Bloom filter.
     ``bucket_col`` is the file/bucket identity (a deterministic bucket
     id, or ``input_file_name()`` for a physical-file index)."""
-    # Hash scan-side, ONE distinct — and SPREAD first: the md5 fold is
-    # the expensive part, and both a coarse file split (one local
-    # parquet file = one input partition) and a distinct-before-explode
-    # (AQE coalesces the small post-distinct shuffle to one partition)
-    # serialize it on a single core — each measured ~3 s of the ~4.7 s
-    # draft at sf0.1. After the spread the hashing fans out across the
-    # cluster and the shuffle's map-side partial aggregation absorbs
-    # repeated (bucket, pos) pairs before the single distinct exchange.
+    # Order of operations matters twice here, both ways measured at
+    # sf0.1: (1) DISTINCT the (bucket, value) pairs BEFORE hashing —
+    # the md5 fold is the expensive part and repeated values (10×
+    # replicated facts over the same key domain probed 2.98× instead of
+    # ~1× before this) should hash once, with the map-side partial
+    # absorbing repeats pre-shuffle; (2) SPREAD between the distinct
+    # and the explode — AQE coalesces the small post-distinct shuffle
+    # to ONE partition (and a single <128 MB local parquet file is one
+    # input partition to begin with), which serialized the fold on a
+    # single core for ~3 s of the 4.7 s draft. distinct → spread →
+    # hash-explode → distinct keeps the hash work both minimal and
+    # parallel.
     from spendinganalysisetl_spark.partitioning import spread
 
+    vals = df.select(F.col(bucket_col).alias("bucket"), F.col(value_col)).distinct()
     return (
-        spread(df.select(bucket_col, value_col))
+        spread(vals)
         .select(
-            F.col(bucket_col).alias("bucket"),
+            "bucket",
             F.explode(bloom_positions(F.col(value_col), k, m)).alias("pos"),
         )
         .distinct()
