@@ -92,6 +92,14 @@ QUERIES = [
     "cms_heavy_hitters",
     "pit_join_orders_scd2",
     "bloom_skip_report",
+    # r4g additions. Basket affinity: pair space is Σ per-basket
+    # |items|² — 10× baskets must cost ~10× pairs, never quadratic.
+    # A/B readout: one conditional-sum aggregate — pure scan scaling.
+    # Recurrence: distinct-date collapse + keyed window — 10× orders
+    # over the same customer domain mostly collapses.
+    "basket_brand_affinity",
+    "ab_welch_event_values",
+    "recurring_spend_customers",
 ]
 
 

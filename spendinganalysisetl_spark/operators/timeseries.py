@@ -103,3 +103,56 @@ def mean_absent_as_zero(dense: DataFrame) -> DataFrame:
         .agg(round2(F.avg("amount")).alias("avg_amount"))
         .repartition(1).sortWithinPartitions("name")
     )
+
+
+def recurring_customers(orders: DataFrame, k: int = 50) -> DataFrame:
+    """Recurring-spend detection: the customers whose order DATES are
+    most regularly spaced — the subscription/standing-order readout a
+    spending-analysis engine serves (the reference's domain; its
+    transformer only aggregates totals, SURVEY.md §2.4 — periodicity is
+    part of the generalized time-series surface).
+
+    Regularity = the coefficient of variation of the gaps between a
+    customer's distinct order dates, computed ENTIRELY in integer
+    arithmetic: gaps are integer days (one lag window per customer),
+    and CV² is emitted as floor-division basis points —
+    ``cv2_bp = 10000·n·(n·Σg² − (Σg)²) div ((n−1)·(Σg)²)`` — so the
+    DuckDB twin reproduces every row bit-for-bit with no
+    float-rounding surface at all (0 bp = perfectly periodic). Output:
+    the top-``k`` most regular customers with ≥4 distinct order dates,
+    ``(custkey, n_dates, mean_gap_days, cv2_bp)``.
+
+    Scale shape: distinct (customer, date) collapse, ONE window
+    partitioned by customer (never a global sort), then a per-customer
+    aggregate — magnitudes stay tiny (gaps < 10⁴ days, Σg² < 10⁹·n),
+    far inside BIGINT.
+    """
+    from pyspark.sql import Window
+
+    dates = orders.select(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("d")
+    ).distinct()
+    w = Window.partitionBy("custkey").orderBy("d")
+    gaps = (
+        dates.withColumn("g", F.datediff(F.col("d"), F.lag("d").over(w)))
+        .filter(F.col("g").isNotNull())
+        .select("custkey", F.col("g").cast("long").alias("g"))
+    )
+    agg = gaps.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("q"),
+    )
+    return (
+        agg.filter((F.col("n") >= 3) & (F.col("s") > 0))
+        .select(
+            "custkey",
+            (F.col("n") + 1).alias("n_dates"),
+            F.expr("s div n").alias("mean_gap_days"),
+            F.expr("(10000 * n * (n * q - s * s)) div ((n - 1) * (s * s))").alias(
+                "cv2_bp"
+            ),
+        )
+        .orderBy("cv2_bp", "custkey")
+        .limit(k)
+    )

@@ -4740,6 +4740,152 @@ def q_bloom_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_brand_affinity",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+               FROM lineitem JOIN part ON p_partkey = l_partkey),
+counts AS (SELECT item, count(*) AS n FROM items GROUP BY 1),
+total AS (SELECT count(DISTINCT bid) AS n_baskets FROM items),
+sup AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+        FROM items a JOIN items b ON a.bid = b.bid AND a.item < b.item
+        GROUP BY 1, 2)
+SELECT s.item_a, s.item_b,
+       CAST(s.support AS BIGINT) AS support,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       CAST((CAST(s.support AS HUGEINT) * t.n_baskets * 10000)
+            // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_bp
+FROM sup s
+JOIN counts ca ON ca.item = s.item_a
+JOIN counts cb ON cb.item = s.item_b
+CROSS JOIN total t
+ORDER BY support DESC, item_a ASC, item_b ASC
+LIMIT 20
+""",
+)
+def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (operators/affinity.py:basket_pairs):
+    top-20 co-occurring part-BRAND pairs across order baskets with
+    support, per-brand basket counts, and lift in basis points — the
+    association-rule readout over the same facts the reference
+    aggregates per category/vendor. The self-join is ON THE ORDER KEY,
+    so the pair space is Σ per-basket |items|² (single-digit baskets),
+    never corpus-quadratic; brand attaches by broadcast dim join; lift
+    is exact integer floor division on both engines (no float-rounding
+    half-boundary risk)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.affinity import basket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+    )
+    return basket_pairs(baskets, "basket_id", "item", 20)
+
+
+_AB_FOLD = hex_fold_sql("md5(CAST(user_id AS VARCHAR))", 1, 7)
+
+
+@register(
+    "ab_welch_event_values",
+    f"""
+WITH base AS (
+  SELECT event_type AS grp,
+         CAST({_AB_FOLD} % 2 AS INTEGER) AS v,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS dc
+  FROM events
+),
+agg AS (
+  SELECT grp,
+         sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+         CAST(sum(CASE WHEN v = 0 THEN dc ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN v = 1 THEN dc ELSE 0 END) AS BIGINT) AS s_b,
+         sum(CASE WHEN v = 0 THEN CAST(dc AS HUGEINT) * dc ELSE 0 END) AS q_a,
+         sum(CASE WHEN v = 1 THEN CAST(dc AS HUGEINT) * dc ELSE 0 END) AS q_b
+  FROM base GROUP BY grp
+)
+SELECT grp AS event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(s_a // n_a AS BIGINT) AS mean_a_decimicents,
+       CAST(s_b // n_b AS BIGINT) AS mean_b_decimicents,
+       round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) /
+             sqrt(CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * (n_a - 1) * n_a) +
+                  CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+                  / (CAST(n_b AS DOUBLE) * (n_b - 1) * n_b)), 4) + 0.0 AS t_stat
+FROM agg
+WHERE n_a > 1 AND n_b > 1
+ORDER BY event_type
+""",
+)
+def q_ab_welch_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/experiments.py): users split
+    deterministically into two variants by the portable md5 fold (the
+    split-assignment device — stable across runs/appends/engines,
+    unlike rand()), then per event type: arm sizes, mean event value
+    per arm as EXACT integer decimicents, and the Welch t statistic of
+    A−B. Moments are exact integer sums (Σv BIGINT, Σv² in
+    DECIMAL(38,0) — it overflows int64 already at sf0.1 — ≡ DuckDB
+    HUGEINT); only the final t drops to float, by the identical IEEE
+    expression on both engines, rounded and ±0.0-canonicalized. One
+    scan, conditional sums inside a single partial/final aggregate —
+    the variant split costs no second pass. Under the null (the fold
+    is independent of value) |t| stays small — the report doubles as a
+    seed-health check for the assignment hash."""
+    from spendinganalysisetl_spark.operators.experiments import ab_welch_report
+
+    return ab_welch_report(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "recurring_spend_customers",
+    """
+WITH dates AS (SELECT DISTINCT o_custkey AS custkey,
+                               CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+gaps AS (SELECT custkey,
+                date_diff('day', lag(d) OVER (PARTITION BY custkey ORDER BY d), d) AS g
+         FROM dates),
+agg AS (SELECT custkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(g) AS BIGINT) AS s,
+               CAST(sum(g * g) AS BIGINT) AS q
+        FROM gaps WHERE g IS NOT NULL GROUP BY custkey)
+SELECT custkey,
+       n + 1 AS n_dates,
+       s // n AS mean_gap_days,
+       (10000 * n * (n * q - s * s)) // ((n - 1) * (s * s)) AS cv2_bp
+FROM agg
+WHERE n >= 3 AND s > 0
+ORDER BY cv2_bp ASC, custkey ASC
+LIMIT 50
+""",
+)
+def q_recurring_spend_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-spend detection
+    (operators/timeseries.py:recurring_customers): the 50 customers
+    whose distinct order dates are most regularly spaced — the
+    subscription/standing-order readout of the reference's spending
+    domain. Gap statistics run entirely in integer arithmetic (gaps =
+    integer days via one customer-partitioned lag window; CV² emitted
+    as floor-division basis points), so the oracle is bit-for-bit with
+    zero float surface. Distinct-date collapse → keyed window →
+    per-key aggregate; nothing global."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.timeseries import recurring_customers
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("o_orderdate")
+    )
+    return recurring_customers(orders, 50)
+
+
+@register(
     "pii_scrub_documents",
     """
 WITH p AS (

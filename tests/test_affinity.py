@@ -1,0 +1,35 @@
+"""Market-basket affinity (operators/affinity.py): exact support,
+counts, and integer lift on a planted basket fixture."""
+
+from __future__ import annotations
+
+from spendinganalysisetl_spark.operators.affinity import basket_pairs
+
+
+def test_basket_pairs_exact(spark):
+    # 4 baskets: {x,y} {x,y} {x,z} {y}  → N=4, n_x=3, n_y=3, n_z=1
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"), (2, "y"),  # repeat collapses
+        (3, "x"), (3, "z"),
+        (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "basket_id int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["n_a"], r["n_b"], r["lift_bp"])
+        for r in basket_pairs(df).collect()
+    }
+    # lift(x,y) = 2*4/(3*3) = 0.8888.. → 8888 bp (floor)
+    assert got[("x", "y")] == (2, 3, 3, 8888)
+    # lift(x,z) = 1*4/(3*1) = 1.3333.. → 13333 bp
+    assert got[("x", "z")] == (1, 3, 1, 13333)
+    assert ("y", "z") not in got  # never co-occur
+    assert set(got) == {("x", "y"), ("x", "z")}
+
+
+def test_basket_pairs_ordering_and_k(spark):
+    rows = [(b, it) for b in range(10) for it in ("a", "b")] + [(0, "c")]
+    df = spark.createDataFrame(rows, "basket_id int, item string")
+    out = basket_pairs(df, k=1).collect()
+    assert len(out) == 1
+    assert (out[0]["item_a"], out[0]["item_b"], out[0]["support"]) == ("a", "b", 10)

@@ -1,0 +1,43 @@
+"""Recurring-spend detection (operators/timeseries.py:
+recurring_customers): exact integer gap statistics on planted cadences."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from spendinganalysisetl_spark.operators.timeseries import recurring_customers
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "o_custkey long, o_orderdate date")
+
+
+def test_perfectly_periodic_customer_scores_zero(spark):
+    base = dt.date(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=30 * i)) for i in range(6)]
+    # irregular customer: gaps 1, 50, 3, 200 days
+    irr = [0, 1, 51, 54, 254]
+    rows += [(2, base + dt.timedelta(days=d)) for d in irr]
+    out = {r["custkey"]: r for r in recurring_customers(_orders(spark, rows)).collect()}
+    assert out[1]["cv2_bp"] == 0
+    assert out[1]["n_dates"] == 6
+    assert out[1]["mean_gap_days"] == 30
+    assert out[2]["cv2_bp"] > 10000  # CV > 1: wildly irregular
+    # ordering: periodic customer first
+    ordered = recurring_customers(_orders(spark, rows)).collect()
+    assert ordered[0]["custkey"] == 1
+
+
+def test_exact_cv2_and_filters(spark):
+    base = dt.date(2024, 1, 1)
+    # gaps 10, 20, 30: n=3, s=60, q=1400, cv2 = 3*(3*1400-3600)/(2*3600) = 0.25
+    rows = [(7, base), (7, base + dt.timedelta(days=10)),
+            (7, base + dt.timedelta(days=30)), (7, base + dt.timedelta(days=60))]
+    # repeated same-date order collapses (distinct dates)
+    rows.append((7, base + dt.timedelta(days=10)))
+    # customer with only 3 dates (2 gaps) is dropped
+    rows += [(8, base), (8, base + dt.timedelta(days=5)), (8, base + dt.timedelta(days=9))]
+    out = recurring_customers(_orders(spark, rows)).collect()
+    assert [r["custkey"] for r in out] == [7]
+    assert out[0]["cv2_bp"] == 2500
+    assert out[0]["mean_gap_days"] == 20
