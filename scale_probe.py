@@ -100,6 +100,12 @@ QUERIES = [
     "basket_brand_affinity",
     "ab_welch_event_values",
     "recurring_spend_customers",
+    # r4h additions. BFS: the frontier form's per-hop join is
+    # frontier-sized — 10× facts collapse to the same graph, so hops
+    # must stay flat. Jaccard: per-customer pair space with a fixed
+    # supplier domain — the distinct collapse absorbs the replicas.
+    "bfs_reach_report",
+    "similar_suppliers_jaccard",
 ]
 
 

@@ -75,3 +75,64 @@ def basket_pairs(
         .orderBy(F.col("support").desc(), "item_a", "item_b")
         .limit(k)
     )
+
+
+def item_jaccard_pairs(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    k: int = 20,
+    min_support: int = 5,
+) -> DataFrame:
+    """Item–item Jaccard similarity over shared baskets — the
+    collaborative-filtering "similar items" primitive (suppliers alike
+    because the same customers buy from them, vendors alike because
+    they appear on the same statements).
+
+    Same per-basket self-join shape as ``basket_pairs`` (pair space
+    bounded by basket size), then ``jaccard_bp = 10000·|A∩B| div
+    (n_a + n_b − |A∩B|)`` in exact integer basis points.
+    ``min_support`` filters the degenerate rare-pair ties (two items
+    sharing their single basket score a perfect 10000). Ordered
+    jaccard desc, support desc, items asc; top-``k``.
+    """
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("bid", F.col("item").alias("item_a"))
+    b = items.select("bid", F.col("item").alias("item_b"))
+    inter = (
+        a.join(b, "bid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        inter.join(
+            F.broadcast(counts.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "n_a",
+            "n_b",
+            F.expr("(10000 * support) div (n_a + n_b - support)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy(
+            F.col("jaccard_bp").desc(), F.col("support").desc(), "item_a", "item_b"
+        )
+        .limit(k)
+    )

@@ -4885,6 +4885,115 @@ def q_recurring_spend_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recurring_customers(orders, 50)
 
 
+def _bfs_oracle_sql(max_hops: int = 4, source: str = "s1") -> str:
+    """Unrolled-CTE twin of operators/graph.py:bfs_levels over the
+    co-transaction graph: one chained min-aggregate CTE per hop."""
+    steps = []
+    prev = "l0"
+    for i in range(1, max_hops + 1):
+        steps.append(
+            f"""l{i} AS (
+  SELECT node, min(lvl) AS lvl FROM (
+    SELECT node, lvl FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.lvl + 1 AS lvl
+    FROM edges e JOIN {prev} p ON p.node = e.src
+  ) u GROUP BY node
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b AS src, a AS dst FROM pairs),
+l0 AS (SELECT '{source}' AS node, 0 AS lvl),
+{chain}
+SELECT CAST(lvl AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM {prev}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("bfs_reach_report", _bfs_oracle_sql())
+def q_bfs_reach_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reach (operators/graph.py:bfs_levels): nodes per
+    hop-distance from supplier s1 over the customer–supplier
+    co-transaction graph, 4 hops — the ego-network size-by-radius
+    readout (PageRank = how central, connected components = which
+    island, this = how far). Levels are min-propagated small integers
+    (no sums), so the result is trivially deterministic and the oracle
+    unrolls the identical hop chain as 4 CTEs. Each hop is one
+    equi-join + one min-aggregate over the cached edge table, the
+    whole search one lazy DAG."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.graph import (
+        bfs_levels,
+        cotransaction_edges,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    src = spark.createDataFrame([("s1",)], "node string")
+    levels = bfs_levels(cotransaction_edges(orders, lineitem), src, 4)
+    return (
+        levels.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .repartition(1)
+        .sortWithinPartitions("level")
+    )
+
+
+@register(
+    "similar_suppliers_jaccard",
+    """
+WITH items AS (SELECT DISTINCT o_custkey AS bid, l_suppkey AS item
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+counts AS (SELECT item, count(*) AS n FROM items GROUP BY 1),
+inter AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+          FROM items a JOIN items b ON a.bid = b.bid AND a.item < b.item
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT i.item_a, i.item_b,
+       CAST(i.support AS BIGINT) AS support,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       (10000 * CAST(i.support AS BIGINT)) // (ca.n + cb.n - i.support) AS jaccard_bp
+FROM inter i
+JOIN counts ca ON ca.item = i.item_a
+JOIN counts cb ON cb.item = i.item_b
+ORDER BY jaccard_bp DESC, support DESC, item_a ASC, item_b ASC
+LIMIT 20
+""",
+)
+def q_similar_suppliers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item–item similarity (operators/affinity.py:item_jaccard_pairs):
+    the 20 most similar supplier pairs by Jaccard overlap of their
+    customer sets — the collaborative-filtering "customers who buy
+    from X also buy from Y" primitive over the same order facts. The
+    self-join is per customer (pair space bounded by per-customer
+    supplier-set size, never |suppliers|²), similarity is exact
+    integer basis points (floor division — zero float surface), and a
+    minimum shared-customer support filters degenerate perfect-score
+    rare pairs."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.affinity import item_jaccard_pairs
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    baskets = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("basket_id"), F.col("l_suppkey").alias("item")
+    )
+    return item_jaccard_pairs(baskets, "basket_id", "item", 20, 5)
+
+
 @register(
     "pii_scrub_documents",
     """

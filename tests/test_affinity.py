@@ -33,3 +33,18 @@ def test_basket_pairs_ordering_and_k(spark):
     out = basket_pairs(df, k=1).collect()
     assert len(out) == 1
     assert (out[0]["item_a"], out[0]["item_b"], out[0]["support"]) == ("a", "b", 10)
+
+
+def test_item_jaccard_exact(spark):
+    from spendinganalysisetl_spark.operators.affinity import item_jaccard_pairs
+
+    # items x,y share baskets 1..6 of x's 1..8 and y's 1..6:
+    # inter=6, n_x=8, n_y=6, union=8 → jaccard 7500 bp
+    rows = [(b, "x") for b in range(1, 9)] + [(b, "y") for b in range(1, 7)]
+    # a rare pair sharing its single basket must be filtered by min_support
+    rows += [(100, "p"), (100, "q")]
+    df = spark.createDataFrame(rows, "basket_id int, item string")
+    out = item_jaccard_pairs(df, min_support=5).collect()
+    assert [(r["item_a"], r["item_b"], r["support"], r["jaccard_bp"]) for r in out] == [
+        ("x", "y", 6, 7500)
+    ]

@@ -93,3 +93,31 @@ def test_pagerank_star_center_dominates(spark):
     assert all(got["hub"] > got[l] for l in leaves)
     # leaves are symmetric: identical ranks, and degree column is right
     assert len({got[l] for l in leaves}) == 1
+
+
+def _path_edges(spark, chain):
+    rows = []
+    for a, b in zip(chain, chain[1:]):
+        rows += [(a, b), (b, a)]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_bfs_levels_on_a_path(spark):
+    from spendinganalysisetl_spark.operators.graph import bfs_levels
+
+    edges = _path_edges(spark, ["a", "b", "c", "d", "e"])
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["level"] for r in bfs_levels(edges, src, 4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+    # hop bound truncates the frontier, absent not NULL
+    got2 = {r["node"]: r["level"] for r in bfs_levels(edges, src, 2).collect()}
+    assert got2 == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_levels_multi_source_takes_min(spark):
+    from spendinganalysisetl_spark.operators.graph import bfs_levels
+
+    edges = _path_edges(spark, ["a", "b", "c", "d", "e"])
+    src = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = {r["node"]: r["level"] for r in bfs_levels(edges, src, 4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 0}
