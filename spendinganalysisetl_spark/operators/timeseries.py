@@ -156,3 +156,55 @@ def recurring_customers(orders: DataFrame, k: int = 50) -> DataFrame:
         .orderBy("cv2_bp", "custkey")
         .limit(k)
     )
+
+
+def ewma_forecast(
+    monthly: DataFrame,
+    key_col: str = "name",
+    period_col: str = "period",
+    value_col: str = "amount_decimicents",
+    window: int = 12,
+) -> DataFrame:
+    """Exponentially-weighted next-period forecast per key — the
+    one-step forecasting readout (the reference reports the LAST
+    period's pct-change; this projects the NEXT one).
+
+    EWMA with α = 1/2 over the trailing ``window`` periods, in EXACT
+    integer arithmetic: the weights are powers of two
+    (``2^(window-1-i)`` for the i-th most recent period, normalized by
+    ``2^window − 1``), so with decimicent inputs the whole forecast is
+    BIGINT adds/shifts/one floor division — bit-identical in any
+    engine, no float summation order anywhere (the same reason the
+    PageRank damping is integer). α = 1/2 is the classic "recent
+    months dominate" setting; other α values would need float weights
+    and lose the exactness device.
+
+    ``monthly`` is one row per (key, period) — aggregate first.
+    Returns ``(key, n_periods, last_value, forecast)`` in the input's
+    integer unit, forecasting from each key's latest ``window`` rows.
+    One keyed window (rank descending) + one keyed aggregate; nothing
+    global.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(period_col).desc())
+    recent = (
+        monthly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= window)
+        .withColumn("wgt", F.expr(f"shiftleft(1L, {window} - rn)"))
+    )
+    return (
+        recent.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_periods"),
+            F.max(F.when(F.col("rn") == 1, F.col(value_col))).alias("last_value"),
+            F.sum(F.col("wgt") * F.col(value_col)).alias("wsum"),
+            F.sum("wgt").alias("wtot"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_periods",
+            "last_value",
+            F.expr("wsum div wtot").alias("forecast"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(key_col)
+    )

@@ -4995,6 +4995,72 @@ def q_similar_suppliers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_forecast_priority_revenue",
+    """
+WITH monthly AS (
+  SELECT o_orderpriority AS key,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS period,
+         CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+),
+recent AS (
+  SELECT key, v,
+         row_number() OVER (PARTITION BY key ORDER BY period DESC) AS rn
+  FROM monthly
+),
+agg AS (
+  SELECT key,
+         count(*) AS n_periods,
+         max(CASE WHEN rn = 1 THEN v END) AS last_value,
+         sum(v * (CAST(1 AS BIGINT) << (12 - rn))) AS wsum,
+         sum(CAST(1 AS BIGINT) << (12 - rn)) AS wtot
+  FROM recent WHERE rn <= 12 GROUP BY key
+)
+SELECT key AS o_orderpriority,
+       CAST(n_periods AS BIGINT) AS n_periods,
+       last_value,
+       CAST(wsum // wtot AS BIGINT) AS forecast
+FROM agg ORDER BY 1
+""",
+)
+def q_ewma_forecast_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-month revenue forecast per order priority
+    (operators/timeseries.py:ewma_forecast): EWMA with α = 1/2 over
+    each key's trailing 12 months of EXACT decimicent monthly revenue.
+    Power-of-two weights keep the entire forecast in BIGINT
+    adds/shifts/one floor division — zero float surface, bit-for-bit
+    oracle (the same exactness device as PageRank's integer damping).
+    The reference's trend surface stops at last-month pct-change; this
+    is the projection the spending report actually wants. One keyed
+    window + one keyed aggregate."""
+    from pyspark.sql import functions as F
+
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("key"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "period"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)")
+            ).alias("v")
+        )
+    )
+    from spendinganalysisetl_spark.operators.timeseries import ewma_forecast
+
+    out = ewma_forecast(monthly, "key", "period", "v", 12)
+    return out.select(
+        F.col("key").alias("o_orderpriority"),
+        "n_periods",
+        "last_value",
+        "forecast",
+    )
+
+
+@register(
     "pii_scrub_documents",
     """
 WITH p AS (

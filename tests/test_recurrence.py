@@ -41,3 +41,35 @@ def test_exact_cv2_and_filters(spark):
     assert [r["custkey"] for r in out] == [7]
     assert out[0]["cv2_bp"] == 2500
     assert out[0]["mean_gap_days"] == 20
+
+
+def test_ewma_forecast_exact(spark):
+    from spendinganalysisetl_spark.operators.timeseries import ewma_forecast
+
+    rows = [
+        ("a", "2024-01", 1000), ("a", "2024-02", 2000), ("a", "2024-03", 4000),
+        ("b", "2024-03", 70000),
+    ]
+    df = spark.createDataFrame(rows, "name string, period string, amount_decimicents long")
+    got = {r["name"]: r for r in ewma_forecast(df, "name", "period", "amount_decimicents").collect()}
+    # key a: latest=4000 (w 2048), 2000 (w 1024), 1000 (w 512)
+    want = (4000 * 2048 + 2000 * 1024 + 1000 * 512) // (2048 + 1024 + 512)
+    assert got["a"]["forecast"] == want
+    assert got["a"]["last_value"] == 4000
+    assert got["a"]["n_periods"] == 3
+    # single-period key forecasts its only value exactly
+    assert got["b"]["forecast"] == 70000
+
+
+def test_ewma_window_truncates_old_history(spark):
+    from spendinganalysisetl_spark.operators.timeseries import ewma_forecast
+
+    # 15 months of value 100 plus a huge outlier 15 months ago:
+    # outside the 12-month window, it must not move the forecast.
+    rows = [("k", f"2023-{m:02d}", 100) for m in range(1, 13)]
+    rows += [("k", f"2024-{m:02d}", 100) for m in range(1, 4)]
+    rows[0] = ("k", "2023-01", 10**9)
+    df = spark.createDataFrame(rows, "name string, period string, amount_decimicents long")
+    out = ewma_forecast(df, "name", "period", "amount_decimicents").collect()[0]
+    assert out["forecast"] == 100
+    assert out["n_periods"] == 12
