@@ -1,21 +1,64 @@
-"""Market-basket affinity: co-occurrence support and lift over order
-baskets — the association-rule readout (which products sell together)
-that every retail/spending analytics engine ships, over the same fact
-tables the reference aggregates per category/vendor.
+"""Market-basket affinity: co-occurrence support, lift, and Jaccard
+similarity over baskets — the association-rule / "similar items"
+readouts (which products sell together, which suppliers share
+customers) that every retail/spending analytics engine ships, over the
+same fact tables the reference aggregates per category/vendor.
 
-Shape: one (order, item) distinct collapse, then a self-equi-join ON
-THE ORDER KEY — the pair space is Σ per-order |basket|², bounded by
-basket size (~items-per-order², single digits), never |items|²
-across the corpus; the same per-group-quadratic discipline as the
-blocked fuzzy join. Item counts and the order total attach by
-broadcast-sized joins; lift is a pure projection over exact integer
-counts, so the DuckDB twin reproduces every value bit-for-bit.
+Shape: one (basket, item) distinct collapse, then a self-equi-join ON
+THE BASKET KEY — the pair space is Σ per-basket |items|², bounded by
+basket size, never |items|² across the corpus; the same
+per-group-quadratic discipline as the blocked fuzzy join. Item counts
+attach by broadcast-sized joins; both metrics are pure integer
+projections (floor-division basis points), so the DuckDB twins
+reproduce every value bit-for-bit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pair_support(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Shared scaffolding for both affinity metrics: distinct
+    (basket, item), per-basket self-join with ``item_a < item_b``,
+    pair support, and both items' basket counts attached by broadcast.
+    Returns ``(item_a, item_b, support, n_a, n_b)``."""
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("bid", F.col("item").alias("item_a"))
+    b = items.select("bid", F.col("item").alias("item_b"))
+    support = (
+        a.join(b, "bid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        support.join(
+            F.broadcast(
+                counts.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+            ),
+            "item_b",
+        )
+    )
 
 
 def basket_pairs(
@@ -33,34 +76,18 @@ def basket_pairs(
     in BASIS POINTS via integer floor division (10000 ⇒ independence,
     >10000 ⇒ bought together more than independence predicts) — exact
     integer math end-to-end, so the DuckDB twin is bit-identical with
-    no float-rounding half-boundary risk. Ordered support desc, then
-    items asc.
+    no float-rounding half-boundary risk. The numerator promotes to
+    DECIMAL(38,0) (the oracle's HUGEINT): ``support·N·10000`` exceeds
+    int64 once baskets reach the tens of millions, and under ANSI mode
+    the long form would fail loudly right when the table grows.
+    Ordered support desc, then items asc.
     """
-    items = (
-        baskets.select(
-            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
-        )
-        .distinct()
-    )
-    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
-    total = items.select(F.count_distinct("bid").alias("n_baskets"))
-    a = items.select("bid", F.col("item").alias("item_a"))
-    b = items.select("bid", F.col("item").alias("item_b"))
-    support = (
-        a.join(b, "bid")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("support"))
+    total = (
+        baskets.select(F.col(basket_col).alias("bid"), F.col(item_col))
+        .select(F.count_distinct("bid").alias("n_baskets"))
     )
     return (
-        support.join(
-            F.broadcast(counts.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
-            "item_a",
-        )
-        .join(
-            F.broadcast(counts.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
-            "item_b",
-        )
+        _pair_support(baskets, basket_col, item_col)
         .crossJoin(F.broadcast(total))
         .select(
             "item_a",
@@ -68,9 +95,10 @@ def basket_pairs(
             "support",
             "n_a",
             "n_b",
-            F.expr("(support * n_baskets * 10000L) div (n_a * n_b)").alias(
-                "lift_bp"
-            ),
+            F.expr(
+                "CAST((CAST(support AS DECIMAL(38,0)) * n_baskets * 10000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_bp"),
         )
         .orderBy(F.col("support").desc(), "item_a", "item_b")
         .limit(k)
@@ -89,38 +117,15 @@ def item_jaccard_pairs(
     because the same customers buy from them, vendors alike because
     they appear on the same statements).
 
-    Same per-basket self-join shape as ``basket_pairs`` (pair space
-    bounded by basket size), then ``jaccard_bp = 10000·|A∩B| div
-    (n_a + n_b − |A∩B|)`` in exact integer basis points.
-    ``min_support`` filters the degenerate rare-pair ties (two items
-    sharing their single basket score a perfect 10000). Ordered
-    jaccard desc, support desc, items asc; top-``k``.
+    Same pair scaffolding as ``basket_pairs`` (``_pair_support``), then
+    ``jaccard_bp = 10000·|A∩B| div (n_a + n_b − |A∩B|)`` in exact
+    integer basis points. ``min_support`` filters the degenerate
+    rare-pair ties (two items sharing their single basket score a
+    perfect 10000). Ordered jaccard desc, support desc, items asc;
+    top-``k``.
     """
-    items = (
-        baskets.select(
-            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
-        )
-        .distinct()
-    )
-    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
-    a = items.select("bid", F.col("item").alias("item_a"))
-    b = items.select("bid", F.col("item").alias("item_b"))
-    inter = (
-        a.join(b, "bid")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= min_support)
-    )
     return (
-        inter.join(
-            F.broadcast(counts.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
-            "item_a",
-        )
-        .join(
-            F.broadcast(counts.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
-            "item_b",
-        )
+        _pair_support(baskets, basket_col, item_col, min_support)
         .select(
             "item_a",
             "item_b",

@@ -77,8 +77,17 @@ def ab_welch_report(
         "CAST(n_b * q_b - CAST(s_b AS DECIMAL(38,0)) * CAST(s_b AS DECIMAL(38,0)) AS DOUBLE)"
         " / (CAST(n_b AS DOUBLE) * (n_b - 1) * n_b)), 4) + 0.0"
     )
+    # Groups where BOTH arms are constant (pooled variance 0) have an
+    # undefined t — and under Spark's default ANSI mode the division
+    # would abort the whole report rather than emit inf/NaN. The guard
+    # is an exact integer comparison (each variance numerator is ≥ 0),
+    # so the DuckDB twin filters the identical rows.
+    var_guard = F.expr(
+        "(n_a * q_a - CAST(s_a AS DECIMAL(38,0)) * s_a)"
+        " + (n_b * q_b - CAST(s_b AS DECIMAL(38,0)) * s_b) > 0"
+    )
     return (
-        agg.filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+        agg.filter((F.col("n_a") > 1) & (F.col("n_b") > 1) & var_guard)
         .select(
             F.col("grp").alias(group_col),
             F.col("n_a").cast("long").alias("n_a"),

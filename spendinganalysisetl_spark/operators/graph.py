@@ -69,6 +69,8 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nd.count()  # one scalar job; the base term must be a plan literal
+    if n == 0:
+        raise ValueError("pagerank: edge frame is empty (no nodes to rank)")
     base = ((MASS // n) * (100 - damping_pct)) // 100
     ranks = nd.withColumn("r", F.lit(MASS // n).cast("long"))
     for _ in range(iterations):
@@ -172,4 +174,8 @@ def bfs_levels(
     out = hops[0]
     for h in hops[1:]:
         out = out.union(h)
+    # every returned frame is checkpoint-backed, so the edge cache is
+    # unreachable after this point — release it rather than pin it for
+    # the session (the connected_components discipline).
+    und.unpersist()
     return out

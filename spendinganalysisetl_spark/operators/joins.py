@@ -209,6 +209,7 @@ def pit_join(
     ts_col: str,
     from_col: str = "effective_from",
     to_col: str = "effective_to",
+    broadcast: bool = False,
 ) -> DataFrame:
     """Point-in-time join: each fact row picks the dimension VERSION
     that was effective at the fact's own timestamp — the lookup every
@@ -226,14 +227,18 @@ def pit_join(
     is a residual FILTER on the matched pairs, not a join condition
     explosion; each fact row meets only its key's version chain
     (versions-per-key rows, ~1-3 in practice), never a cross product.
-    The dimension side (entities × versions) is broadcast when small;
-    at warehouse scale it hash-partitions on the key like any dim join
-    while facts stream. ``ts_col`` and the interval columns must be
-    mutually comparable (canonical: 'yyyy-MM-dd' strings, which order
-    lexicographically — the SCD2 sink's own convention)."""
+    The dimension side (entities × versions) broadcasts when the
+    CALLER says it is small (``broadcast=True`` — a hard hint Spark
+    honors regardless of size, so it must not be baked in for a
+    generic SCD2 dimension that can reach hundreds of millions of
+    version rows); by default it hash-partitions on the key like any
+    dim join while facts stream, and AQE still upgrades small builds.
+    ``ts_col`` and the interval columns must be mutually comparable
+    (canonical: 'yyyy-MM-dd' strings, which order lexicographically —
+    the SCD2 sink's own convention)."""
     cond = (
         (fact[fact_key] == dim[dim_key])
         & (fact[ts_col] >= dim[from_col])
         & (dim[to_col].isNull() | (fact[ts_col] < dim[to_col]))
     )
-    return fact.join(F.broadcast(dim), cond, "inner")
+    return fact.join(F.broadcast(dim) if broadcast else dim, cond, "inner")

@@ -142,19 +142,27 @@ def count_min_counters(
     rows — kilobytes of state per 100 TB of text, the same
     partial-persist-merge pattern as the HLL/KLL rollups.
     """
-    from spendinganalysisetl_spark.functions.text import hex_fold, ws_tokens
+    return _counters_from_word_counts(_word_counts(documents), depth, width)
+
+
+def _word_counts(documents: DataFrame) -> DataFrame:
+    """One corpus tokenize collapsed to the vocab-sized (token, cnt)
+    table — the shared front half of both CMS entry points."""
+    from spendinganalysisetl_spark.functions.text import ws_tokens
     from spendinganalysisetl_spark.partitioning import spread as _spread
 
     toks = _spread(documents.select("text")).select(
         F.explode(ws_tokens(F.col("text"))).alias("token")
     )
-    wc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    rows = wc.select(
-        "token",
-        "cnt",
-        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"),
-    )
-    bucket = (
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _cms_bucket(width: int) -> F.Column:
+    """The CMS hash: seeded md5 fold of (j, token) — defined ONCE so
+    the counter build and the heavy-hitter probe can never diverge."""
+    from spendinganalysisetl_spark.functions.text import hex_fold
+
+    return (
         hex_fold(
             F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("token"))),
             1,
@@ -162,8 +170,18 @@ def count_min_counters(
         )
         % width
     )
+
+
+def _counters_from_word_counts(
+    wc: DataFrame, depth: int, width: int
+) -> DataFrame:
+    rows = wc.select(
+        "token",
+        "cnt",
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"),
+    )
     return (
-        rows.select("j", bucket.alias("bucket"), "cnt")
+        rows.select("j", _cms_bucket(width).alias("bucket"), "cnt")
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").alias("bsum"))
     )
@@ -193,35 +211,8 @@ def count_min_heavy_hitters(
     """
     from pyspark import StorageLevel
 
-    from spendinganalysisetl_spark.functions.text import hex_fold, ws_tokens
-    from spendinganalysisetl_spark.partitioning import spread as _spread
-
-    toks = _spread(documents.select("text")).select(
-        F.explode(ws_tokens(F.col("text"))).alias("token")
-    )
-    wc = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    rows = wc.select(
-        "cnt",
-        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"),
-        "token",
-    )
-    bucket = (
-        hex_fold(
-            F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("token"))),
-            1,
-            7,
-        )
-        % width
-    )
-    counters = (
-        rows.select("j", bucket.alias("bucket"), "cnt")
-        .groupBy("j", "bucket")
-        .agg(F.sum("cnt").alias("bsum"))
-    )
+    wc = _word_counts(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    counters = _counters_from_word_counts(wc, depth, width)
     head = wc.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
     probes = head.select(
         "token",
@@ -232,7 +223,7 @@ def count_min_heavy_hitters(
         "token",
         "cnt",
         "j",
-        bucket.alias("bucket"),
+        _cms_bucket(width).alias("bucket"),
     )
     est = (
         probes.join(F.broadcast(counters), ["j", "bucket"])

@@ -4557,7 +4557,9 @@ def q_pit_join_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
         "o_totalprice",
     )
-    joined = pit_join(fact, dim, "o_custkey", "cust_id", "odate")
+    # dim here is customer-sized — the broadcast hint is the call
+    # site's knowledge, not pit_join's default.
+    joined = pit_join(fact, dim, "o_custkey", "cust_id", "odate", broadcast=True)
     return (
         joined.groupBy(
             "segment", F.col("effective_from").alias("version_from")
@@ -4819,6 +4821,8 @@ SELECT grp AS event_type,
                   / (CAST(n_b AS DOUBLE) * (n_b - 1) * n_b)), 4) + 0.0 AS t_stat
 FROM agg
 WHERE n_a > 1 AND n_b > 1
+  AND (n_a * q_a - CAST(s_a AS HUGEINT) * s_a)
+      + (n_b * q_b - CAST(s_b AS HUGEINT) * s_b) > 0
 ORDER BY event_type
 """,
 )

@@ -105,9 +105,13 @@ def candidate_buckets(
     ``(probe, bucket)`` where all ``k`` probe positions are set. The
     one-sided guarantee (candidates ⊇ true buckets) is pinned in
     tests/test_bloom_index.py."""
-    ppos = probes.select(
-        F.col(probe_col).alias("probe"),
-        F.posexplode(bloom_positions(F.col(probe_col), k, m)).alias("j", "pos"),
+    # Distinct first: a duplicated probe value would double its (j, pos)
+    # rows and the nj == k filter below would then reject every TRUE
+    # bucket for it — a silent false negative, the one failure a Bloom
+    # index must never have.
+    ppos = probes.select(F.col(probe_col).alias("probe")).distinct().select(
+        "probe",
+        F.posexplode(bloom_positions(F.col("probe"), k, m)).alias("j", "pos"),
     )
     # count(*) ≡ count(distinct j) here: each probe contributes exactly
     # one (j, pos) row per hash row and the index is distinct on

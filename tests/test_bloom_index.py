@@ -70,3 +70,15 @@ def test_point_read_opens_candidate_files_only(spark, tmp_path):
     # absent key: no candidate files, empty result
     miss = point_read_with_bloom(spark, path, "k", 10**9)
     assert miss.count() == 0
+
+
+def test_duplicate_probes_keep_containment(spark):
+    # A duplicated probe value must not double its (j, pos) rows and
+    # trip the all-k-positions filter — containment holds regardless.
+    df = _base(spark)
+    idx = build_bloom_index(df, "bucket", "v")
+    probes = spark.createDataFrame([(7,), (7,), (7,)], "probe bigint")
+    cand = {
+        (r["probe"], r["bucket"]) for r in candidate_buckets(idx, probes).collect()
+    }
+    assert (7, 0) in cand
