@@ -230,3 +230,64 @@ def assemble_report(sales: DataFrame, top_k: int = 5) -> DataFrame:
         "spending_per_vendor",
         "top_5_vendors",
     )
+
+
+def revenue_concentration(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Revenue concentration per market segment: the Gini coefficient
+    of per-customer order revenue, in exact integer basis points
+    (0 = every active customer spends the same, →10000 = one customer
+    is the whole segment) — the inequality/whale-detection readout a
+    spending report adds beside its totals.
+
+    Gini over the ascending-sorted revenues x_1..x_n:
+    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` — computed entirely from
+    exact decimicent integers (Σ i·x in DECIMAL(38,0) ≡ HUGEINT; it
+    passes int64 around 10^19) with one floor division at the end, so
+    the DuckDB twin is bit-identical. Ranking ties (equal revenues)
+    don't affect the value: a tied block contributes the same Σ i·x
+    whichever order its members take, so the custkey tiebreak is for
+    determinism of the ROW ranks only.
+
+    Shape: facts collapse to customer grain first (one partial/final
+    aggregate), the rank window partitions by segment over that
+    customer-grain table (never the fact table), and the result is one
+    row per segment. Only customers with ≥1 order participate —
+    concentration among ACTIVE customers.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)")
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("x").asc(), F.col("ck").asc())
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("CAST(i * x AS DECIMAL(38,0))")).alias("six"),
+    )
+    return (
+        agg.select(
+            "segment",
+            F.col("n").alias("n_customers"),
+            F.col("sx").alias("revenue_decimicents"),
+            F.expr(
+                "CAST((10000 * (2 * six - (n + 1) * CAST(sx AS DECIMAL(38,0))))"
+                " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("segment")
+    )

@@ -5065,6 +5065,52 @@ def q_ewma_forecast_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "revenue_gini_by_segment",
+    """
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+         CAST(sum(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT segment, x,
+         row_number() OVER (PARTITION BY segment ORDER BY x ASC, ck ASC) AS i
+  FROM rev
+),
+agg AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(i AS HUGEINT) * x) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT segment,
+       n AS n_customers,
+       sx AS revenue_decimicents,
+       CAST((10000 * (2 * six - (CAST(n AS HUGEINT) + 1) * sx))
+            // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_bp
+FROM agg ORDER BY 1
+""",
+)
+def q_revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment
+    (operators/report.py:revenue_concentration): the Gini coefficient
+    of per-customer revenue in exact integer basis points — the
+    inequality/whale readout beside the report's totals. Facts
+    collapse to customer grain before the segment-partitioned rank
+    window; Σ i·x accumulates in DECIMAL(38,0) ≡ HUGEINT and the one
+    floor division at the end keeps the whole statistic bit-identical
+    in DuckDB (zero float surface, like the lift/CV²/EWMA family)."""
+    from spendinganalysisetl_spark.operators.report import revenue_concentration
+
+    return revenue_concentration(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
     "pii_scrub_documents",
     """
 WITH p AS (

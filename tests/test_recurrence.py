@@ -73,3 +73,25 @@ def test_ewma_window_truncates_old_history(spark):
     out = ewma_forecast(df, "name", "period", "amount_decimicents").collect()[0]
     assert out["forecast"] == 100
     assert out["n_periods"] == 12
+
+
+def test_gini_extremes_and_exact_value(spark):
+    from spendinganalysisetl_spark.operators.report import revenue_concentration
+
+    # uniform segment: everyone spends 10.0 → gini 0
+    orders = [(i, i, 10.0) for i in range(1, 6)]
+    # whale segment: one of five customers is ~all the revenue
+    orders += [(100 + i, 100 + i, 0.01) for i in range(1, 5)]
+    orders += [(105, 105, 100000.0)]
+    odf = spark.createDataFrame(orders, "o_orderkey long, o_custkey long, o_totalprice double")
+    cust = [(i, "UNIFORM") for i in range(1, 6)] + [(100 + i, "WHALE") for i in range(1, 6)]
+    cdf = spark.createDataFrame(cust, "c_custkey long, c_mktsegment string")
+    got = {r["segment"]: r for r in revenue_concentration(odf, cdf).collect()}
+    assert got["UNIFORM"]["gini_bp"] == 0
+    # hand computation: x=[100,100,100,100,1000000000] decimicents asc
+    x = [100, 100, 100, 100, 1000000000]
+    n, sx = 5, sum(x)
+    six = sum((i + 1) * v for i, v in enumerate(x))
+    want = (10000 * (2 * six - (n + 1) * sx)) // (n * sx)
+    assert got["WHALE"]["gini_bp"] == want
+    assert got["WHALE"]["gini_bp"] > 7900  # near-total concentration
