@@ -159,11 +159,16 @@ def hex_fold(md5_col: Column, start: int, width: int = 14) -> Column:
     (one JVM hash, no string folding).
 
     SQL twin: ``registry.hex_fold_sql``.
+
+    Implemented as ONE ``conv(substring(...), 16, 10)`` — bit-identical
+    to the positional digit fold (verified on 100k md5s, all widths in
+    use, with matching NULL propagation) but a 3-node expression instead
+    of a 14-op ``instr``/``substring`` chain. The chain form made
+    k-hash plans (Bloom/MinHash/CMS: 2 folds × k positions, each
+    inlined per reference) balloon to thousands of Catalyst nodes —
+    ~1.3 s of pure ANALYSIS time per fresh bloom plan at any data size,
+    and it re-expanded through projections into interpreted scan-side
+    filters. DuckDB has no conv(), so the SQL twin keeps the digit
+    fold — same value, engine-appropriate form on each side.
     """
-    total = F.lit(0).cast("long")
-    for p in range(start, start + width):
-        hv = (
-            F.instr(F.lit("0123456789abcdef"), F.substring(md5_col, p, 1)) - 1
-        ).cast("long")
-        total = total * 16 + hv
-    return total
+    return F.conv(F.substring(md5_col, start, width), 16, 10).cast("long")

@@ -59,15 +59,19 @@ def ab_welch_report(
         # term promote to DECIMAL(38,0)/HUGEINT.
         F.sum(F.when(F.col("v") == 0, F.col("dc")).otherwise(0)).alias("s_a"),
         F.sum(F.when(F.col("v") == 1, F.col("dc")).otherwise(0)).alias("s_b"),
+        # The per-element square must ALSO run in decimal — BIGINT*BIGINT
+        # overflows int64 for a single event value above ~3.0e5
+        # (ANSI-aborting the whole report), while the DuckDB twin
+        # multiplies in HUGEINT (CAST(dc AS HUGEINT) * dc).
         F.sum(
-            F.when(F.col("v") == 0, F.col("dc") * F.col("dc"))
-            .otherwise(0)
-            .cast("decimal(38,0)")
+            F.when(
+                F.col("v") == 0, F.col("dc").cast("decimal(38,0)") * F.col("dc")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
         ).alias("q_a"),
         F.sum(
-            F.when(F.col("v") == 1, F.col("dc") * F.col("dc"))
-            .otherwise(0)
-            .cast("decimal(38,0)")
+            F.when(
+                F.col("v") == 1, F.col("dc").cast("decimal(38,0)") * F.col("dc")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
         ).alias("q_b"),
     )
     t_expr = (

@@ -276,7 +276,10 @@ def revenue_concentration(orders: DataFrame, customer: DataFrame) -> DataFrame:
     agg = ranked.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.expr("CAST(i * x AS DECIMAL(38,0))")).alias("six"),
+        # Multiply IN decimal — i*x in BIGINT can overflow int64 for a
+        # large segment (rank × lifetime decimicents) before the cast,
+        # while the oracle computes CAST(i AS HUGEINT) * x.
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * x")).alias("six"),
     )
     return (
         agg.select(

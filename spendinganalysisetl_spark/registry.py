@@ -4644,7 +4644,11 @@ def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    pr = pagerank(cotransaction_edges(orders, lineitem), iterations=5)
+    # check_dangling=False: cotransaction_edges emits both directions,
+    # so every node has an out-edge by construction — skip the guard job.
+    pr = pagerank(
+        cotransaction_edges(orders, lineitem), iterations=5, check_dangling=False
+    )
     return pr.orderBy(F.col("rank_mass").desc(), F.col("node").asc()).limit(20)
 
 
@@ -4699,37 +4703,53 @@ def q_bloom_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth) is pinned in tests/test_bloom_index.py; the physical-file
     variant (input_file_name index + candidate-only parquet read) is
     exercised there too. Built on the portable md5 fold, so DuckDB
-    reproduces every set bit and candidate count exactly."""
+    reproduces every set bit and candidate count exactly.
+
+    Plan shape (the r4 draft paid ~13 AQE stage-jobs — 2.07 s at sf0.1
+    against a 0.07 s oracle; the floor here is JOB COUNT, not data):
+    the bitset build is two exchanges (spread + per-bucket set
+    aggregate), the probe is a broadcast + HOF filter with zero
+    exchanges, the verify leg pushes the 9 probe keys into the orders
+    scan as an IN filter instead of a join, and assembly UNIONs the two
+    per-probe legs into one aggregate instead of two broadcast joins."""
     from pyspark.sql import functions as F
 
     from spendinganalysisetl_spark.sources.bloom_index import (
-        build_bloom_index,
-        candidate_buckets,
+        build_bloom_bitsets,
+        candidate_buckets_bitset,
     )
 
     base = load_table(spark, sf_dir, "orders").select(
         (F.col("o_orderkey") % 32).alias("bucket"), F.col("o_custkey")
     )
-    idx = build_bloom_index(base, "bucket", "o_custkey")
+    idx = build_bloom_bitsets(base, "bucket", "o_custkey")
     probes = spark.createDataFrame(
         [(p,) for p in _BLOOM_PROBES], "probe bigint"
     )
     nc = (
-        candidate_buckets(idx, probes)
+        candidate_buckets_bitset(idx, probes)
         .groupBy("probe")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     tr = (
-        base.join(probes, base["o_custkey"] == probes["probe"])
-        .groupBy("probe")
+        base.filter(F.col("o_custkey").isin(_BLOOM_PROBES))
+        .groupBy(F.col("o_custkey").alias("probe"))
         .agg(
             F.count_distinct("bucket").alias("nb"),
             F.count(F.lit(1)).alias("nr"),
         )
     )
+    legs = nc.select(
+        "probe",
+        "n",
+        F.lit(None).cast("long").alias("nb"),
+        F.lit(None).cast("long").alias("nr"),
+    ).unionAll(tr.select("probe", F.lit(None).cast("long").alias("n"), "nb", "nr"))
+    merged = legs.groupBy("probe").agg(
+        F.max("n").alias("n"), F.max("nb").alias("nb"), F.max("nr").alias("nr")
+    )
     return (
-        probes.join(nc, "probe", "left")
-        .join(tr, "probe", "left")
+        probes.join(merged, "probe", "left")
         .select(
             "probe",
             F.coalesce("n", F.lit(0)).alias("n_candidate_buckets"),
@@ -6205,109 +6225,91 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # -- Round 4 window. VERDICT r3 ask #1: retire every r1-only driver
-    # row (two rounds of refactors — the window idiom, the report
-    # rewrite, the LCA fixes — postdate them), plus first rows for the
-    # new r4 queries and re-checks for code that changed this round.
-    # Every demotion to _CHECK_LATE below carries its latest green
-    # driver round; the local oracle-parity gate covers ALL oracle
-    # entries on every pytest run regardless of window position.
-    # New in r4: the classic decorrelation shapes (correlated EXISTS /
-    # multi-correlated EXISTS+NOT EXISTS / correlated scalar MIN, then
-    # the r4b batch: correlated scalar AVG / nested IN+HAVING-scalar /
-    # uncorrelated scalar + predicated NOT EXISTS) and the
-    # frame-sampling UDTF shape — first driver rows.
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_volume_part_shippers",
-    "tpch_q22_dormant_rich_customers",
-    "tpch_q4_order_priority_exists",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "multimodal_frame_sample",
-    # Streaming code changed in r4 (state store moved to RocksDB —
-    # provider is part of the execution path, so the oracle-backed
-    # streaming topologies need fresh rows under it), plus the new
-    # fourth topology (at-least-once dedup):
-    "stream_dedup_at_least_once",
-    "stream_tumbling_5min",
-    "stream_session_window",
-    "stream_running_distinct_users",
-    # The 25 oracle-backed queries whose ONLY driver row is from r1 —
-    # promoted en bloc (VERDICT r3 ask #1); after this round no
-    # oracle-backed query's latest driver check predates round 2.
-    "scalar_functions_showcase",
-    "events_tumbling_5min",
-    "events_session_window_native",
-    "monthly_pivot_wide",
-    "monthly_avg_absent_as_zero",
-    "category_totals_ref_roundsum",
-    "top5_vendors",
-    "unique_categories",
-    "vendor_totals",
-    "cube_returnflag_linestatus",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "join_anti_customers_without_orders",
-    "join_left_order_counts",
-    "join_semi_customers_with_orders",
-    "point_query_order",
-    "proj_order_dates",
-    "report_global_summary",
-    "monthly_category_amounts",
-    "window_monthly_running_total",
-    "window_rank_dense_rank",
-    "window_top_orders_per_customer",
-    "text_fingerprints",
-    "text_token_counts",
-    "dedup_stats",
-    # Round 4c: the TPC-H completion batch — never-checked oracle
-    # queries outrank rotation re-checks (standing policy), so these 10
-    # take the remaining slots and the demoted rotations (tagged [r2]
-    # in _CHECK_LATE) wait for round 5's window.
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    # Round 4d: distributed PCA front half (the covariance the eigh
-    # diagonalizes, bit-for-bit in DuckDB HUGEINT math) and the
-    # portable Count-Min sketch calibration report — never-checked
-    # oracle queries; each outranks one more rotation re-check.
-    "embedding_covariance_matrix",
-    "cms_heavy_hitters",
-    "pit_join_orders_scd2",
-    # Round 4e: integer fixed-point PageRank — never-checked oracle
-    # query (the unrolled-CTE twin reproduces every rank unit); it
-    # outranks the standing-rotation re-check, so events_sessionize
-    # (r2-green, code untouched since) yields the final slot and is
-    # tagged [r2] in _CHECK_LATE to cycle back in round 5.
+    # -- Round 5 window (VERDICT r4 asks #2 and #3). Priorities, in
+    # order: (a) the 9 r4-late oracle queries that have NEVER had a
+    # driver row; (b) first row for the new r5 query; (c) re-checks for
+    # code changed this round — graph-cache rework, the conv-based
+    # hex_fold (bit-identical, verified locally, but it rewrites the
+    # hash expression under every MinHash/SimHash/CMS/sampler/split
+    # query, so the most direct users re-earn driver rows); (d) the
+    # rotations that yielded their r4 slots (tagged [r2]) plus the
+    # entire oldest-[r2] block — after this round no oracle-backed
+    # query's latest driver row predates r3. Every demotion to
+    # _CHECK_LATE carries its latest green round; the local
+    # oracle-parity gate still covers every oracle each pytest run.
+    #
+    # (a) never-checked r4-late oracles — first driver rows. Five of
+    # the nine also changed in r5 (bloom plan rework; Welch decimal
+    # square; Gini decimal multiply; BFS persist+count; affinity
+    # mega-basket cap), so these rows double as re-checks:
+    "bloom_skip_report",
+    "sql_surface_recursive_spine",
+    "basket_brand_affinity",
+    "ab_welch_event_values",
+    "recurring_spend_customers",
+    "bfs_reach_report",
+    "similar_suppliers_jaccard",
+    "ewma_forecast_priority_revenue",
+    "revenue_gini_by_segment",
+    # (b) new in r5 — the binaryFile media-ingest source's first
+    # catalog entry (slot filled when the query lands later in r5):
+    # (c) code-changed r5: pagerank (cache swap + dangling guard) and
+    # the most direct hex_fold users (conv rewrite):
     "pagerank_customer_supplier",
+    "cms_heavy_hitters",
+    "minhash_lsh_pairs_portable",  # was [r2]-tagged rotation debt
+    "simhash_near_pairs_portable",  # was [r2]-tagged rotation debt
+    "weighted_sample_es",
+    "stratified_sample_hash",
+    "split_profile",
+    "corpus_shuffle_shards",
+    "incremental_near_dup_batch",
+    "near_dup_clusters",
+    "dedup_exact_survivors",
+    "ngram_jaccard_pairs",
+    # (d) rotations: the two remaining [r2]-tagged yields, then the
+    # whole oldest-[r2] block from _CHECK_LATE (26 names) — closing
+    # VERDICT r4 ask #3 in one round:
+    "text_corpus_stats",
+    "events_sessionize",
+    "window_rolling_3mo_avg",
+    "window_order_navigation",
+    "range_join_price_bands",
+    "salted_revenue_by_flag",
+    "map_roundtrip_category_totals",
+    "text_repetition_scores",
+    "doc_length_histogram",
+    "events_props_json_stats",
+    "events_props_variant_stats",
+    "embedding_label_audit",
+    "decontaminate_ngram_overlap",
+    "boilerplate_ngram_stats",
+    "sequence_packing_bins",
+    "chunk_documents_sliding",
+    "scd2_customer_dim",
+    "pii_scrub_documents",
+    "domain_mix_weights",
+    "source_quality_report",
+    "vocab_top_terms",
+    "incremental_dedup_batch",
+    "tfidf_top_terms",
+    "numeric_profile_lineitem",
+    "incremental_monthly_refresh",
+    "vocab_zipf_fit",
+    "events_gap_fill_hourly",
+    "embedding_quantize_int8",
 ]
 
 _CHECK_LATE: list[str] = [
     # Every name below holds a GREEN driver row from the tagged round
     # (rows+schema+hash all true in CORRECTNESS_r0N.json) and its code
-    # is unchanged in round 4 — demoted to spend the 50-slot window on
+    # is unchanged in round 5 — demoted to spend the 50-slot window on
     # the never-checked / code-changed / longest-unchecked queries
     # above. The local oracle-parity gate (tests/test_oracle_parity.py)
     # still covers every one on each pytest run.
     #
-    # r2-green rotations displaced by the round-4c TPC-H completion
-    # batch (never-checked oracles outrank re-checks); all ten hold
-    # green r2 rows on code untouched since, and cycle back in round 5:
-    "simhash_near_pairs_portable",  # [r2] — yielded its r4 slot to the
-    # never-checked embedding_covariance_matrix (r4d); cycles in r5
-    "minhash_lsh_pairs_portable",  # [r2] — yielded its r4 slot to the
-    # never-checked cms_heavy_hitters (r4d); cycles in r5
-    "text_corpus_stats",  # [r2] — yielded its r4 slot to the
-    # never-checked pit_join_orders_scd2 (r4d); cycles in r5
-    "events_sessionize",  # [r2] — yielded its r4 slot to the
-    # never-checked pagerank_customer_supplier (r4e); cycles in r5
+    # r2-green (no code change since; the md5-digest exact-dedup and
+    # cosine families don't touch hex_fold):
     "cosine_near_dup_pairs",  # [r2]
     "percentile_prices_by_priority",  # [r2]
     "grouping_sets_revenue",  # [r2]
@@ -6340,10 +6342,8 @@ _CHECK_LATE: list[str] = [
     "training_shard_pipeline",  # [r3] — 2-FileScan re-plan confirmed green in r3
     "multimodal_features",  # [r3]
     "multimodal_resize_pipeline",  # [r3]
-    "weighted_sample_es",  # [r3]
-    "stratified_sample_hash",  # [r3]
     "events_transition_matrix",  # [r3]
-    "events_running_distinct_users",  # [r3]
+    "events_running_distinct_users",  # [r3] — r4-green too (real-stream twin)
     "tpch_q1_pricing_summary",  # [r3]
     "tpch_q3_shipping_priority",  # [r3]
     "tpch_q5_local_supplier_volume",  # [r3]
@@ -6352,56 +6352,71 @@ _CHECK_LATE: list[str] = [
     "tpch_q13_customer_distribution",  # [r3]
     "sql_surface_q1",  # [r3]
     "token_drift_psi",  # [r3]
-    "incremental_near_dup_batch",  # [r3]
     "category_totals",  # [r3]
     "monthly_pct_change_last",  # [r3]
-    "near_dup_clusters",  # [r3]
     "corpus_curation",  # [r3]
     "text_quality_scores",  # [r3] — r2→r3 bench doubling A/B-proven jitter (same-session medians within 2%)
     "asof_join_click_purchase",  # [r3]
     "report_fi_summary",  # [r3]
-    "ngram_jaccard_pairs",  # [r3]
     "join_revenue_by_nation",  # [r3]
-    "dedup_exact_survivors",  # [r3]
     "rollup_returnflag_linestatus",  # [r3]
     "setop_union_nations",  # [r3]
     "text_lang_id",  # [r3]
     "bottom5_vendors_ref_compat",  # [r3]
     #
-    # r2-green, one rotation behind (the 14 oldest r2 rows are in the
-    # window above; these are the remainder — next round's rotation
-    # pool, oldest-first; the first four yielded their r4 window slots
-    # to the r4b additions (three decorrelation shapes + the streaming
-    # dedup topology), which as never-checked queries outrank freshness
-    # rotation):
-    "window_rolling_3mo_avg",  # [r2]
-    "window_order_navigation",  # [r2]
-    "range_join_price_bands",  # [r2]
-    "salted_revenue_by_flag",  # [r2]
-    "map_roundtrip_category_totals",  # [r2]
-    "text_repetition_scores",  # [r2]
-    "split_profile",  # [r2]
-    "doc_length_histogram",  # [r2]
-    "corpus_shuffle_shards",  # [r2]
-    "events_props_json_stats",  # [r2]
-    "events_props_variant_stats",  # [r2]
-    "embedding_label_audit",  # [r2]
-    "decontaminate_ngram_overlap",  # [r2]
-    "boilerplate_ngram_stats",  # [r2]
-    "sequence_packing_bins",  # [r2]
-    "chunk_documents_sliding",  # [r2]
-    "scd2_customer_dim",  # [r2]
-    "pii_scrub_documents",  # [r2]
-    "domain_mix_weights",  # [r2]
-    "source_quality_report",  # [r2]
-    "vocab_top_terms",  # [r2]
-    "incremental_dedup_batch",  # [r2]
-    "tfidf_top_terms",  # [r2]
-    "numeric_profile_lineitem",  # [r2]
-    "incremental_monthly_refresh",  # [r2]
-    "vocab_zipf_fit",  # [r2]
-    "events_gap_fill_hourly",  # [r2]
-    "embedding_quantize_int8",  # [r2]
+    # r4-green: the entire round-4 window (50/50 green in
+    # CORRECTNESS_r04.json), demoted en bloc to fund the round-5 window
+    # above. None of their code changed in r5 except the streaming
+    # topologies' shared session config (unchanged since r4) — the
+    # freshest rows in the catalog, first in line for the r6 rotation:
+    "tpch_q17_small_qty_revenue",  # [r4]
+    "tpch_q20_volume_part_shippers",  # [r4]
+    "tpch_q22_dormant_rich_customers",  # [r4]
+    "tpch_q4_order_priority_exists",  # [r4]
+    "tpch_q21_waiting_supplier",  # [r4]
+    "tpch_q2_min_cost_supplier",  # [r4]
+    "multimodal_frame_sample",  # [r4]
+    "stream_dedup_at_least_once",  # [r4]
+    "stream_tumbling_5min",  # [r4]
+    "stream_session_window",  # [r4]
+    "stream_running_distinct_users",  # [r4]
+    "scalar_functions_showcase",  # [r4]
+    "events_tumbling_5min",  # [r4]
+    "events_session_window_native",  # [r4]
+    "monthly_pivot_wide",  # [r4]
+    "monthly_avg_absent_as_zero",  # [r4]
+    "category_totals_ref_roundsum",  # [r4]
+    "top5_vendors",  # [r4]
+    "unique_categories",  # [r4]
+    "vendor_totals",  # [r4]
+    "cube_returnflag_linestatus",  # [r4]
+    "setop_except_nations",  # [r4]
+    "setop_intersect_nations",  # [r4]
+    "join_anti_customers_without_orders",  # [r4]
+    "join_left_order_counts",  # [r4]
+    "join_semi_customers_with_orders",  # [r4]
+    "point_query_order",  # [r4]
+    "proj_order_dates",  # [r4]
+    "report_global_summary",  # [r4]
+    "monthly_category_amounts",  # [r4]
+    "window_monthly_running_total",  # [r4]
+    "window_rank_dense_rank",  # [r4]
+    "window_top_orders_per_customer",  # [r4]
+    "text_fingerprints",  # [r4]
+    "text_token_counts",  # [r4]
+    "dedup_stats",  # [r4]
+    "tpch_q6_forecast_revenue",  # [r4]
+    "tpch_q7_volume_shipping",  # [r4]
+    "tpch_q8_market_share",  # [r4]
+    "tpch_q9_product_profit",  # [r4]
+    "tpch_q10_returned_items",  # [r4]
+    "tpch_q11_important_stock",  # [r4]
+    "tpch_q12_late_shipment_priority",  # [r4]
+    "tpch_q14_promo_revenue",  # [r4]
+    "tpch_q15_top_supplier",  # [r4]
+    "tpch_q19_disjunctive_revenue",  # [r4]
+    "embedding_covariance_matrix",  # [r4]
+    "pit_join_orders_scd2",  # [r4]
 ]
 
 

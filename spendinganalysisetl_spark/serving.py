@@ -64,8 +64,13 @@ class VersionedPlanCache:
         self.plan_count = 0
 
     def frame(self) -> DataFrame:
-        live = _resolve_data_dir(self._sink)
+        # Resolve the pointer INSIDE the lock: two concurrent requests
+        # straddling a MERGE commit could otherwise race — the thread
+        # holding the older pointer enters the lock last and overwrites
+        # the newer cached frame, serving the stale version (and
+        # inflating plan_count) until a later request flips it back.
         with self._lock:
+            live = _resolve_data_dir(self._sink)
             if live != self._live_dir:
                 self._frame = self._spark.read.parquet(live)
                 self._live_dir = live

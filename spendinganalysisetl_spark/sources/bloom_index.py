@@ -23,16 +23,18 @@ Portability contract: positions come from the md5 hex fold
 sets, pruning counts — is bit-reproducible in DuckDB; the
 ``bloom_skip_report`` registry query oracle-checks the index math
 end-to-end (build → probe → prune → verify). The index is stored as
-DISTINCT ``(bucket, pos)`` set-bit rows — at most ``min(k·ndv, m)``
-rows per bucket; a production store packs them 64-per-BIGINT (the
-Count-Min module shows the packed-aggregate idiom), which changes
-storage, not semantics.
+one ``(bucket, bset)`` row per bucket — a sorted position array of at
+most ``min(k·ndv, m)`` ints (a production store packs it 64-per-BIGINT,
+the Count-Min module's packed-aggregate idiom — storage, not
+semantics); ``build_bloom_index`` exposes the exploded
+``(bucket, pos)`` row form of the same filter.
 
-Scale shape: the build is one ``distinct`` on (bucket, value) — the
-map-side partial absorbs per-bucket repeats — then a vocab-sized
-explode×k and a second distinct; no corpus re-shuffle. A probe touches
-``k`` index rows per bucket, never the data; the verified read opens
-only candidate files.
+Scale shape: the build is scan → hash → explode×k → per-bucket
+``collect_set`` — two exchanges, and the map-side partial collect_set
+caps shuffle volume at ≤ buckets·m positions per map task however many
+rows feed it. A probe BROADCASTS the hashed probe list against the
+bitset table and filters with an ``array_contains`` HOF — zero
+probe-side exchanges; the verified read opens only candidate files.
 """
 
 from __future__ import annotations
@@ -59,6 +61,50 @@ def bloom_positions(value: Column, k: int = K_HASHES, m: int = M_BITS) -> Column
     return F.array(*[((h1 + F.lit(j) * h2) % m).cast("int") for j in range(k)])
 
 
+def build_bloom_bitsets(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    k: int = K_HASHES,
+    m: int = M_BITS,
+) -> DataFrame:
+    """Per-bucket Bloom filter as ONE row ``(bucket, bset)`` where
+    ``bset`` is the sorted array of set positions (≤ min(k·ndv, m)
+    ints — at most m·4 bytes per bucket, the same information a packed
+    m-bit word array carries). This is the aggregate form the planner
+    probes: bucket-count rows, no per-bit table.
+
+    Build shape — TWO exchanges total (spread + the final aggregate),
+    measured at sf0.1: hash at row grain (the conv-based fold is ~3
+    cheap ops — a pre-dedup pass isn't worth its exchange), explode the
+    k positions, and ``collect_set`` per bucket. The map-side partial
+    collect_set bounds shuffle volume at ≤ buckets·m positions PER MAP
+    TASK regardless of row count — repeats dedup before the wire, so
+    the shape holds at 100 TB. SPREAD first because a single <128 MB
+    parquet file is one input partition and the explode+partial-agg
+    would serialize on a core. The per-bucket set output (bucket-count
+    rows, not a set-bit table) is what lets the probe side broadcast
+    instead of shuffle-join.
+
+    explode_OUTER, deliberately: the positions array is provably
+    non-empty (k>0 literals), so outer ≡ inner — but an INNER explode
+    makes InferFiltersFromGenerate add ``size(arr) > 0``, and the
+    positions array re-expands through the projection into a per-row
+    md5-fold filter pushed into the parquet scan (interpreted, no CSE):
+    measured 8 s of the 9.6 s draft at sf0.1 on one core."""
+    from spendinganalysisetl_spark.partitioning import spread
+
+    return (
+        spread(df.select(F.col(bucket_col).alias("bucket"), F.col(value_col)))
+        .select(
+            "bucket",
+            F.explode_outer(bloom_positions(F.col(value_col), k, m)).alias("pos"),
+        )
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_set("pos")).alias("bset"))
+    )
+
+
 def build_bloom_index(
     df: DataFrame,
     bucket_col: str,
@@ -66,31 +112,41 @@ def build_bloom_index(
     k: int = K_HASHES,
     m: int = M_BITS,
 ) -> DataFrame:
-    """Set-bit table ``(bucket, pos)`` of each bucket's Bloom filter.
+    """Set-bit table ``(bucket, pos)`` of each bucket's Bloom filter —
+    the exploded row form of :func:`build_bloom_bitsets` (a collect_set
+    explodes to exactly the DISTINCT (bucket, pos) rows).
     ``bucket_col`` is the file/bucket identity (a deterministic bucket
     id, or ``input_file_name()`` for a physical-file index)."""
-    # Order of operations matters twice here, both ways measured at
-    # sf0.1: (1) DISTINCT the (bucket, value) pairs BEFORE hashing —
-    # the md5 fold is the expensive part and repeated values (10×
-    # replicated facts over the same key domain probed 2.98× instead of
-    # ~1× before this) should hash once, with the map-side partial
-    # absorbing repeats pre-shuffle; (2) SPREAD between the distinct
-    # and the explode — AQE coalesces the small post-distinct shuffle
-    # to ONE partition (and a single <128 MB local parquet file is one
-    # input partition to begin with), which serialized the fold on a
-    # single core for ~3 s of the 4.7 s draft. distinct → spread →
-    # hash-explode → distinct keeps the hash work both minimal and
-    # parallel.
-    from spendinganalysisetl_spark.partitioning import spread
+    return build_bloom_bitsets(df, bucket_col, value_col, k, m).select(
+        "bucket", F.explode("bset").alias("pos")
+    )
 
-    vals = df.select(F.col(bucket_col).alias("bucket"), F.col(value_col)).distinct()
+
+def candidate_buckets_bitset(
+    bitsets: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "probe",
+    k: int = K_HASHES,
+    m: int = M_BITS,
+) -> DataFrame:
+    """Buckets the bitset index cannot rule out for each probe —
+    the zero-shuffle probe path: the (tiny) probe list hashes into a
+    positions array, BROADCASTS against the bucket-count bitset table,
+    and a ``forall(..., array_contains(...))`` HOF keeps the pairs
+    where every probe position is set. No exchange, no aggregate —
+    candidate math runs entirely inside one codegen stage. Probe rows
+    pass through as given — array membership is idempotent, so a
+    duplicated probe value yields duplicate candidate ROWS but can
+    never flip a verdict (pure projection semantics; an explicit
+    ``.distinct()`` here would cost an exchange job even on a 9-row
+    probe list — dedup upstream if row multiplicity matters)."""
+    pb = probes.select(F.col(probe_col).alias("probe")).withColumn(
+        "_pp", bloom_positions(F.col("probe"), k, m)
+    )
     return (
-        spread(vals)
-        .select(
-            "bucket",
-            F.explode(bloom_positions(F.col(value_col), k, m)).alias("pos"),
-        )
-        .distinct()
+        bitsets.join(F.broadcast(pb))
+        .filter(F.expr("forall(_pp, p -> array_contains(bset, p))"))
+        .select("probe", "bucket")
     )
 
 

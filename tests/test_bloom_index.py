@@ -72,6 +72,32 @@ def test_point_read_opens_candidate_files_only(spark, tmp_path):
     assert miss.count() == 0
 
 
+def test_bitset_path_matches_row_path(spark):
+    # the broadcast/HOF bitset probe must produce EXACTLY the row-path
+    # candidate set (same filter, two physical forms)
+    from spendinganalysisetl_spark.sources.bloom_index import (
+        build_bloom_bitsets,
+        candidate_buckets_bitset,
+    )
+
+    df = _base(spark)
+    probes = spark.createDataFrame(
+        [(7,), (63,), (155,), (10**9,), (-42,), (7,)], "probe bigint"
+    )
+    row_cand = {
+        (r["probe"], r["bucket"])
+        for r in candidate_buckets(build_bloom_index(df, "bucket", "v"), probes).collect()
+    }
+    bit_cand = {
+        (r["probe"], r["bucket"])
+        for r in candidate_buckets_bitset(
+            build_bloom_bitsets(df, "bucket", "v"), probes
+        ).collect()
+    }
+    assert bit_cand == row_cand
+    assert {(7, 0), (63, 1), (155, 3)} <= bit_cand
+
+
 def test_duplicate_probes_keep_containment(spark):
     # A duplicated probe value must not double its (j, pos) rows and
     # trip the all-k-positions filter — containment holds regardless.

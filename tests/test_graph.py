@@ -95,6 +95,33 @@ def test_pagerank_star_center_dominates(spark):
     assert len({got[l] for l in leaves}) == 1
 
 
+def test_pagerank_rejects_dangling_nodes(spark):
+    # directed graph with a sink: a->b, b has no out-edge — the integer
+    # variant omits the dangling-mass term, so it must refuse loudly
+    # instead of silently leaking rank mass.
+    df = spark.createDataFrame([("a", "b"), ("c", "a")], ["src", "dst"])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, iterations=2)
+    # the guard is skippable when the caller guarantees the precondition
+    und = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    assert pagerank(und, iterations=2, check_dangling=False).count() == 2
+
+
+def test_pagerank_convergence_delta_decays(spark):
+    from spendinganalysisetl_spark.operators.graph import pagerank_convergence
+
+    deltas = pagerank_convergence(_edges_df(spark), iterations=5)
+    assert [it for it, _ in deltas] == [1, 2, 3, 4, 5]
+    # |r_t - r_{t-1}| decays (geometric ~damping per round on this
+    # irregular graph); strictly monotone after the first step
+    vals = [d for _, d in deltas]
+    assert all(a > b for a, b in zip(vals, vals[1:])), vals
+    # and it converges well below the starting displacement
+    assert vals[-1] < vals[0] // 10
+
+
 def _path_edges(spark, chain):
     rows = []
     for a, b in zip(chain, chain[1:]):
