@@ -14,7 +14,11 @@ super-linear growth. This is the strongest local evidence that the
 shapes hold toward the 100 TB target: the per-query constants change on
 a real cluster, the exponents don't.
 
-Usage: python scale_probe.py [K]   (default 10; prints one JSON line)
+Usage: python scale_probe.py [K] [query ...]
+(default K=10 over the full QUERIES list; naming queries restricts the
+probe to that subset — used for the 100× run on the flagship plans,
+where replicating every table 100× for all 30 probes would take hours
+without changing the answer)
 """
 
 from __future__ import annotations
@@ -254,6 +258,7 @@ def main() -> None:
     from spendinganalysisetl_spark.session import get_spark
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    subset = sys.argv[2:] or None
     spark = get_spark(app_name="scale_probe")
     qs = ordered_queries()
     big = tempfile.mkdtemp(prefix=f"scale_probe_{k}x_")
@@ -271,7 +276,9 @@ def main() -> None:
             return best
 
         report = {}
-        for name in QUERIES:
+        for name in (subset or QUERIES):
+            if name not in qs:  # e.g. the fixed-batch probe's own key
+                continue
             run(name, SF_DIR)  # warm (codegen, footers)
             t1 = run(name, SF_DIR)
             tk = run(name, big)
@@ -291,9 +298,10 @@ def main() -> None:
         # the catalog query `incremental_near_dup_batch` instead scales
         # its batch WITH the corpus (batch = 10% of docs), so it is
         # deliberately not comparable.
-        report["near_dup_probe_fixed_batch_stored_index"] = (
-            _fixed_batch_probe(spark, SF_DIR, big, k)
-        )
+        if subset is None or "near_dup_probe_fixed_batch_stored_index" in subset:
+            report["near_dup_probe_fixed_batch_stored_index"] = (
+                _fixed_batch_probe(spark, SF_DIR, big, k)
+            )
         print(
             json.dumps(
                 {"k": k, "sf_dir": SF_DIR, "queries": report}, indent=1

@@ -19,22 +19,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pair_support(
+def _items(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
-    min_support: int = 1,
+    max_basket_size: int | None,
 ) -> DataFrame:
-    """Shared scaffolding for both affinity metrics: distinct
-    (basket, item), per-basket self-join with ``item_a < item_b``,
-    pair support, and both items' basket counts attached by broadcast.
-    Returns ``(item_a, item_b, support, n_a, n_b)``."""
+    """Distinct ``(bid, item)`` rows, with baskets larger than
+    ``max_basket_size`` dropped. The size filter is a window count over
+    the basket key — the downstream self-join shuffles on the same key,
+    so the partitioning is reused (no extra exchange)."""
+    from pyspark.sql import Window
+
     items = (
         baskets.select(
             F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
         )
         .distinct()
     )
+    if max_basket_size is not None:
+        items = (
+            items.withColumn(
+                "_bs", F.count(F.lit(1)).over(Window.partitionBy("bid"))
+            )
+            .filter(F.col("_bs") <= max_basket_size)
+            .drop("_bs")
+        )
+    return items
+
+
+def oversized_baskets(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    max_basket_size: int = 1024,
+) -> DataFrame:
+    """Audit twin of the mega-basket guard: one row per basket the cap
+    would drop, ``(bid, basket_size)``, largest first — run alongside a
+    capped affinity readout so exclusions are counted, not silent."""
+    return (
+        baskets.select(
+            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("basket_size"))
+        .filter(F.col("basket_size") > max_basket_size)
+        .orderBy(F.col("basket_size").desc(), F.col("bid").asc())
+    )
+
+
+def _pair_support(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Shared scaffolding for both affinity metrics: distinct
+    (basket, item), per-basket self-join with ``item_a < item_b``,
+    pair support, and both items' basket counts attached by broadcast.
+    Returns ``(item_a, item_b, support, n_a, n_b)``.
+
+    ``max_basket_size`` is the mega-basket guard: the pair space is
+    Σ|basket|², so ONE pathological basket (a wholesale account touching
+    every item) makes the self-join quadratic in that basket — the same
+    failure the fuzzy join's blocking discipline prevents. Baskets over
+    the cap are excluded ENTIRELY (pairs, item counts, and the callers'
+    basket denominator all use the same filtered table, so every ratio
+    stays internally consistent); audit how many were dropped with
+    :func:`oversized_baskets`."""
+    items = _items(baskets, basket_col, item_col, max_basket_size)
     counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     a = items.select("bid", F.col("item").alias("item_a"))
     b = items.select("bid", F.col("item").alias("item_b"))
@@ -66,6 +121,7 @@ def basket_pairs(
     basket_col: str = "basket_id",
     item_col: str = "item",
     k: int = 20,
+    max_basket_size: int | None = 1024,
 ) -> DataFrame:
     """Top-``k`` co-occurring item pairs by support, with lift.
 
@@ -81,13 +137,17 @@ def basket_pairs(
     int64 once baskets reach the tens of millions, and under ANSI mode
     the long form would fail loudly right when the table grows.
     Ordered support desc, then items asc.
+
+    ``max_basket_size`` (default 1024) drops mega-baskets from the
+    WHOLE computation — pairs, item counts, and this denominator — so
+    one wholesale account can't turn the per-basket self-join quadratic
+    (see ``_pair_support``); ``None`` disables the guard.
     """
-    total = (
-        baskets.select(F.col(basket_col).alias("bid"), F.col(item_col))
-        .select(F.count_distinct("bid").alias("n_baskets"))
+    total = _items(baskets, basket_col, item_col, max_basket_size).select(
+        F.count_distinct("bid").alias("n_baskets")
     )
     return (
-        _pair_support(baskets, basket_col, item_col)
+        _pair_support(baskets, basket_col, item_col, 1, max_basket_size)
         .crossJoin(F.broadcast(total))
         .select(
             "item_a",
@@ -111,6 +171,7 @@ def item_jaccard_pairs(
     item_col: str = "item",
     k: int = 20,
     min_support: int = 5,
+    max_basket_size: int | None = 1024,
 ) -> DataFrame:
     """Item–item Jaccard similarity over shared baskets — the
     collaborative-filtering "similar items" primitive (suppliers alike
@@ -121,11 +182,12 @@ def item_jaccard_pairs(
     ``jaccard_bp = 10000·|A∩B| div (n_a + n_b − |A∩B|)`` in exact
     integer basis points. ``min_support`` filters the degenerate
     rare-pair ties (two items sharing their single basket score a
-    perfect 10000). Ordered jaccard desc, support desc, items asc;
+    perfect 10000). ``max_basket_size`` is the mega-basket guard (see
+    ``basket_pairs``). Ordered jaccard desc, support desc, items asc;
     top-``k``.
     """
     return (
-        _pair_support(baskets, basket_col, item_col, min_support)
+        _pair_support(baskets, basket_col, item_col, min_support, max_basket_size)
         .select(
             "item_a",
             "item_b",

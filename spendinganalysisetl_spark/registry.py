@@ -3075,6 +3075,93 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic on-disk media drop for the binaryFile ingest query:
+# 12 files, extensions cycling through image/audio/video/unknown,
+# content = sha256(str(i)) repeated (i+1) times — pure spec, so the
+# expected report is computable here (engine-independently) as VALUES.
+_MEDIA_FIXTURE_EXTS = ["jpg", "wav", "mp4", "dat"]
+_MEDIA_FIXTURE_KINDS = {"jpg": "image", "wav": "audio", "mp4": "video", "dat": "binary"}
+_MEDIA_FIXTURE_N = 12
+
+
+def _media_fixture_files() -> list[tuple[str, bytes]]:
+    import hashlib
+
+    out = []
+    for i in range(_MEDIA_FIXTURE_N):
+        ext = _MEDIA_FIXTURE_EXTS[i % len(_MEDIA_FIXTURE_EXTS)]
+        content = hashlib.sha256(str(i).encode()).digest() * (i + 1)
+        out.append((f"media_{i:02d}.{ext}", content))
+    return out
+
+
+def _ensure_media_fixture() -> str:
+    """Write (idempotently) the fixture drop under /tmp and return the
+    directory — rewriting ~4 KB of spec-derived bytes per call keeps the
+    query self-contained in the driver's fresh process."""
+    import os
+
+    d = "/tmp/spark_graft_media_fixture"
+    os.makedirs(d, exist_ok=True)
+    for name, content in _media_fixture_files():
+        p = os.path.join(d, name)
+        if not os.path.exists(p) or os.path.getsize(p) != len(content):
+            with open(p, "wb") as f:
+                f.write(content)
+    return d
+
+
+def _ingest_media_expected_sql() -> str:
+    import hashlib
+
+    rows = []
+    for name, content in _media_fixture_files():
+        ext = name.rsplit(".", 1)[-1]
+        kind = _MEDIA_FIXTURE_KINDS[ext]
+        md = hashlib.md5(content).hexdigest()
+        rows.append(f"('{name}', '{kind}', {len(content)}, '{md}')")
+    values = ",\n".join(rows)
+    return f"""
+SELECT file_name, kind, CAST(n_bytes AS BIGINT) AS n_bytes, payload_md5
+FROM (VALUES
+{values}
+) AS t(file_name, kind, n_bytes, payload_md5)
+ORDER BY file_name
+"""
+
+
+@register("ingest_media_report", _ingest_media_expected_sql())
+def q_ingest_media_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile media ingest (multimodal/ops.py:ingest_media_dir —
+    the one implemented SOURCE that had no catalog entry, VERDICT r4
+    ask #6): a deterministic 12-file media drop is ingested through
+    Spark's binaryFile FileFormat into the MEDIA_SCHEMA shape, and the
+    report emits per-file name, extension-derived kind, byte count, and
+    payload md5 — everything content-derived, nothing path-dependent,
+    so the golden VALUES oracle (computed from the fixture spec with
+    hashlib) pins the whole ingest path: listing, glob, kind mapping,
+    payload bytes. Scale shape: binaryFile listing distributes,
+    pathGlobFilter prunes before read, tasks read only their files
+    (sized by maxPartitionBytes)."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.multimodal.ops import ingest_media_dir
+
+    media = ingest_media_dir(spark, _ensure_media_fixture(), glob="media_*")
+    return (
+        media.select(
+            F.element_at(F.split(F.col("source_path"), "/"), -1).alias(
+                "file_name"
+            ),
+            "kind",
+            "n_bytes",
+            F.md5(F.col("payload")).alias("payload_md5"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("file_name")
+    )
+
+
 # --- as-of join (SURVEY.md §2.3 gap note — operator Spark lacks natively) -----
 
 
@@ -4764,8 +4851,10 @@ def q_bloom_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "basket_brand_affinity",
     """
-WITH items AS (SELECT DISTINCT l_orderkey AS bid, p_brand AS item
-               FROM lineitem JOIN part ON p_partkey = l_partkey),
+WITH items0 AS (SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+items AS (SELECT bid, item FROM items0
+          QUALIFY count(*) OVER (PARTITION BY bid) <= 1024),
 counts AS (SELECT item, count(*) AS n FROM items GROUP BY 1),
 total AS (SELECT count(DISTINCT bid) AS n_baskets FROM items),
 sup AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
@@ -4792,9 +4881,11 @@ def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     association-rule readout over the same facts the reference
     aggregates per category/vendor. The self-join is ON THE ORDER KEY,
     so the pair space is Σ per-basket |items|² (single-digit baskets),
-    never corpus-quadratic; brand attaches by broadcast dim join; lift
-    is exact integer floor division on both engines (no float-rounding
-    half-boundary risk)."""
+    never corpus-quadratic — and the max_basket_size=1024 guard (r5)
+    drops any pathological mega-basket before pairing, mirrored in the
+    oracle's QUALIFY window filter; brand attaches by broadcast dim
+    join; lift is exact integer floor division on both engines (no
+    float-rounding half-boundary risk)."""
     from pyspark.sql import functions as F
 
     from spendinganalysisetl_spark.operators.affinity import basket_pairs
@@ -4978,8 +5069,10 @@ def q_bfs_reach_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similar_suppliers_jaccard",
     """
-WITH items AS (SELECT DISTINCT o_custkey AS bid, l_suppkey AS item
-               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+WITH items0 AS (SELECT DISTINCT o_custkey AS bid, l_suppkey AS item
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+items AS (SELECT bid, item FROM items0
+          QUALIFY count(*) OVER (PARTITION BY bid) <= 1024),
 counts AS (SELECT item, count(*) AS n FROM items GROUP BY 1),
 inter AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
           FROM items a JOIN items b ON a.bid = b.bid AND a.item < b.item
@@ -5002,10 +5095,11 @@ def q_similar_suppliers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer sets — the collaborative-filtering "customers who buy
     from X also buy from Y" primitive over the same order facts. The
     self-join is per customer (pair space bounded by per-customer
-    supplier-set size, never |suppliers|²), similarity is exact
-    integer basis points (floor division — zero float surface), and a
-    minimum shared-customer support filters degenerate perfect-score
-    rare pairs."""
+    supplier-set size, never |suppliers|², with the max_basket_size
+    guard against whale accounts mirrored in the oracle's QUALIFY
+    filter), similarity is exact integer basis points (floor division —
+    zero float surface), and a minimum shared-customer support filters
+    degenerate perfect-score rare pairs."""
     from pyspark.sql import functions as F
 
     from spendinganalysisetl_spark.operators.affinity import item_jaccard_pairs
@@ -6252,7 +6346,8 @@ _CHECK_FIRST: list[str] = [
     "ewma_forecast_priority_revenue",
     "revenue_gini_by_segment",
     # (b) new in r5 — the binaryFile media-ingest source's first
-    # catalog entry (slot filled when the query lands later in r5):
+    # catalog entry:
+    "ingest_media_report",
     # (c) code-changed r5: pagerank (cache swap + dangling guard) and
     # the most direct hex_fold users (conv rewrite):
     "pagerank_customer_supplier",

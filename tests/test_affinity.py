@@ -35,6 +35,32 @@ def test_basket_pairs_ordering_and_k(spark):
     assert (out[0]["item_a"], out[0]["item_b"], out[0]["support"]) == ("a", "b", 10)
 
 
+def test_mega_basket_guard_drops_whale_from_everything(spark):
+    from spendinganalysisetl_spark.operators.affinity import oversized_baskets
+
+    # 3 normal baskets {x,y} + one whale basket touching 20 items
+    # (incl. x and y). cap=10: the whale must vanish from pairs, item
+    # counts, AND the lift denominator.
+    rows = [(b, it) for b in (1, 2, 3) for it in ("x", "y")]
+    rows += [(99, f"w{i:02d}") for i in range(18)] + [(99, "x"), (99, "y")]
+    df = spark.createDataFrame(rows, "basket_id int, item string")
+
+    capped = {
+        (r["item_a"], r["item_b"]): (r["support"], r["n_a"], r["n_b"], r["lift_bp"])
+        for r in basket_pairs(df, max_basket_size=10).collect()
+    }
+    # N=3, support=3, n_x=n_y=3 → lift = 3*3/(3*3) = 10000 bp exactly
+    assert capped == {("x", "y"): (3, 3, 3, 10000)}
+
+    # uncapped: whale contributes 20*19/2 = 190 pairs and shifts counts
+    # 190 whale pairs; (x,y) merges with the normal-basket pair
+    uncapped = basket_pairs(df, max_basket_size=None, k=1000).collect()
+    assert len(uncapped) == 190
+    # audit twin counts exactly the dropped basket
+    audit = oversized_baskets(df, max_basket_size=10).collect()
+    assert [(r["bid"], r["basket_size"]) for r in audit] == [(99, 20)]
+
+
 def test_item_jaccard_exact(spark):
     from spendinganalysisetl_spark.operators.affinity import item_jaccard_pairs
 
