@@ -5067,6 +5067,61 @@ def q_bfs_reach_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bfs_reach_deep",
+    """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b AS src, a AS dst FROM pairs),
+reach(node, lvl) AS (
+  SELECT 's1' AS node, 0 AS lvl
+  UNION
+  SELECT e.dst AS node, r.lvl + 1 AS lvl
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lvl < 8
+)
+SELECT CAST(min_lvl AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, min(lvl) AS min_lvl FROM reach GROUP BY node)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_bfs_reach_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-hop BFS reach (8 hops) — the same frontier search as
+    bfs_reach_report, oracle-checked against a genuine WITH RECURSIVE
+    twin instead of the hop-pinned 4-CTE unroll: the recursive form
+    enumerates every ≤8-step walk's (node, level) pairs (UNION-dedup
+    bounds them; min(level) per node ≡ BFS distance), so the oracle
+    covers ANY hop bound without re-generating SQL. On the engine side
+    the early-exit makes deep bounds free once the ego network
+    saturates (the per-hop frontier empties and the loop breaks), and
+    the graph cache is shared with bfs_reach_report via the
+    sameSemantics-aware swap — the two queries pay for one edge
+    build."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.graph import (
+        bfs_levels,
+        cotransaction_edges,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    src = spark.createDataFrame([("s1",)], "node string")
+    levels = bfs_levels(cotransaction_edges(orders, lineitem), src, 8)
+    return (
+        levels.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .repartition(1)
+        .sortWithinPartitions("level")
+    )
+
+
+@register(
     "similar_suppliers_jaccard",
     """
 WITH items0 AS (SELECT DISTINCT o_custkey AS bid, l_suppkey AS item
@@ -6392,7 +6447,10 @@ _CHECK_FIRST: list[str] = [
     "incremental_monthly_refresh",
     "vocab_zipf_fit",
     "events_gap_fill_hourly",
-    "embedding_quantize_int8",
+    # new-in-r5 bfs_reach_deep (never-checked oracles outrank rotation
+    # re-checks — standing policy), displacing embedding_quantize_int8
+    # to the front of the r6 rotation pool:
+    "bfs_reach_deep",
 ]
 
 _CHECK_LATE: list[str] = [
@@ -6458,6 +6516,8 @@ _CHECK_LATE: list[str] = [
     "setop_union_nations",  # [r3]
     "text_lang_id",  # [r3]
     "bottom5_vendors_ref_compat",  # [r3]
+    "embedding_quantize_int8",  # [r2] — yielded its r5 window slot to
+    # the never-checked bfs_reach_deep; front of the r6 rotation pool
     #
     # r4-green: the entire round-4 window (50/50 green in
     # CORRECTNESS_r04.json), demoted en bloc to fund the round-5 window
