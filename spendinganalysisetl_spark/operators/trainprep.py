@@ -570,6 +570,68 @@ def domain_mix_weights(
     )
 
 
+def resample_to_mixture(
+    documents: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    max_weight_bp: int = 50000,
+) -> DataFrame:
+    """APPLY a domain-mixture target: deterministic fractional
+    resampling of each domain toward the uniform doc share — the
+    executable half of ``domain_mix_weights`` (which only REPORTS the
+    weights). Returns ``(id, domain, copy_idx)``: over-represented
+    domains are hash-thinned, under-represented ones replicated (whole
+    copies + one hash-gated fractional copy), so the expected output
+    mixture is uniform up to the ``max_weight_bp`` repetition cap —
+    "upsample low-resource languages to the target mix" from a
+    pretraining data recipe.
+
+    Exactness: the per-domain weight is integer basis points
+    ``w_bp = min(cap, (10000·N) div (D·n_d))``; a document emits
+    ``w_bp div 10000`` whole copies plus one more iff its md5 fold
+    ``% 10000 < w_bp % 10000``. Deterministic per id (stable across
+    runs/engines/appends — never ``rand()``), and every step is integer
+    floor arithmetic, so the DuckDB twin reproduces the exact copy set.
+
+    Scale shape: one vocab-sized aggregate (domain counts), weights
+    joined back by BROADCAST (|domains| rows), then a pure projection +
+    ``posexplode(sequence(...))`` whose expansion is bounded by the
+    cap — no corpus shuffle at all."""
+    base = documents.select(
+        F.col(id_col).alias("id"), F.col(domain_col).alias("domain")
+    )
+    st = base.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
+    # Corpus totals via an unpartitioned window OVER THE AGGREGATED ROWS
+    # (|domains| rows — the domain_mix_weights idiom; a crossJoin with a
+    # separate totals aggregate would rescan the corpus).
+    weights = st.select(
+        "domain",
+        F.least(
+            F.lit(max_weight_bp).cast("long"),
+            F.expr("(10000 * sum(n_d) over ()) div (count(1) over () * n_d)"),
+        ).alias("w_bp"),
+    )
+    from spendinganalysisetl_spark.functions.text import hex_fold
+
+    enriched = base.join(F.broadcast(weights), "domain").select(
+        "id",
+        "domain",
+        (
+            F.expr("w_bp div 10000")
+            + F.when(
+                (hex_fold(F.md5(F.col("id").cast("string")), 1, 7) % 10000)
+                < F.expr("w_bp % 10000"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("int").alias("n_copies"),
+    )
+    return enriched.filter(F.col("n_copies") > 0).select(
+        "id",
+        "domain",
+        F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"),
+    )
+
+
 def chunk_documents(
     documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
 ) -> DataFrame:

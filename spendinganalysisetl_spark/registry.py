@@ -5378,6 +5378,78 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_weights(load_table(spark, sf_dir, "documents"), max_weight=5.0)
 
 
+_MIX_FOLD = hex_fold_sql("md5(CAST(doc_id AS VARCHAR))", 1, 7)
+
+
+@register(
+    "domain_mixture_resample",
+    f"""
+WITH d AS (SELECT doc_id, lang FROM documents),
+st AS (SELECT lang, count(*) AS n_d FROM d GROUP BY 1),
+w AS (SELECT lang, n_d,
+             LEAST(50000, (10000 * (SELECT sum(n_d) FROM st))
+                          // ((SELECT count(*) FROM st) * n_d)) AS w_bp
+      FROM st),
+per AS (SELECT d.doc_id, d.lang,
+               CAST(w_bp // 10000 AS BIGINT)
+               + (CASE WHEN {_MIX_FOLD} % 10000 < (w_bp % 10000)
+                       THEN 1 ELSE 0 END) AS c
+        FROM d JOIN w ON w.lang = d.lang),
+agg AS (SELECT lang, count(*) AS docs_in,
+               sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS docs_kept,
+               sum(c) AS copies_out
+        FROM per GROUP BY 1)
+SELECT lang,
+       CAST(docs_in AS BIGINT) AS docs_in,
+       CAST(docs_kept AS BIGINT) AS docs_kept,
+       CAST(copies_out AS BIGINT) AS copies_out,
+       CAST((10000 * copies_out) // (SELECT sum(copies_out) FROM agg)
+            AS BIGINT) AS share_bp
+FROM agg ORDER BY lang
+""",
+)
+def q_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling APPLIED
+    (operators/trainprep.py:resample_to_mixture — the executable half
+    of domain_mix_weights): every language deterministically thinned or
+    replicated toward the uniform doc share (whole copies + one
+    md5-fold-gated fractional copy, repetition capped at 5.0×), then
+    the per-language audit — docs in, docs kept, copies emitted, and
+    the realized output share in basis points. All integer floor
+    arithmetic on the portable fold, so the DuckDB twin reproduces the
+    exact copy multiset. Scale shape: one vocab-sized domain aggregate,
+    weights broadcast back, then a pure projection + bounded
+    sequence-explode — the corpus never shuffles."""
+    from pyspark.sql import functions as F
+
+    from spendinganalysisetl_spark.operators.trainprep import resample_to_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    res = resample_to_mixture(docs, "lang", "doc_id", max_weight_bp=50000)
+    agg = res.groupBy(F.col("domain").alias("lang")).agg(
+        F.count_distinct("id").alias("docs_kept"),
+        F.count(F.lit(1)).alias("copies_out"),
+    )
+    din = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_in"))
+    return (
+        din.join(agg, "lang", "left")
+        .select(
+            "lang",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
+            F.coalesce("copies_out", F.lit(0)).cast("long").alias("copies_out"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST((10000 * copies_out) div (sum(copies_out) over ()) AS BIGINT)"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )
+
+
 # Quality-score + fingerprint CTEs — DuckDB twin of
 # textanalysis._quality_parts + fingerprint (same formulas as the
 # corpus_curation oracle; duplicated there verbatim).
@@ -6321,6 +6393,37 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=16)
 
 
+@register("bpe_encode_corpus")  # rows-only: encoding replays the
+# data-dependent learned merges — inexpressible in one SQL statement;
+# the encoder itself is pinned bit-for-bit against an independent
+# pure-Python Sennrich reference in tests/test_bpe.py (train + encode),
+# and n_words/n_chars reconcile with the oracle-backed token counters.
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under the trained vocabulary (operators/bpe.py:
+    bpe_encode_stats) — the apply half of the tokenizer pair: 16 merges
+    learned from the corpus (one scan + vocab-sized rounds), then every
+    document encoded in Arrow-batched mapInPandas with the merge table
+    broadcast as a plain dict and a per-batch word cache (Zipf-heavy
+    words encode once per distinct word per batch). Output: per-doc
+    word/token/char counts and the chars-per-token compression — the
+    readout a data pipeline uses to budget token shards. The merge
+    table is memoized per (session, sf_dir) via ``shared`` — a
+    production pipeline trains the vocabulary ONCE and encodes every
+    shard under it, so this query measures the encode pass, not a
+    retrain (bpe_train_merges measures training itself)."""
+    from spendinganalysisetl_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = shared(
+        spark, sf_dir, "bpe_merges_16", lambda: bpe_train(docs, n_merges=16)
+    )
+    return (
+        bpe_encode_stats(docs, merges)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 @register("pca_projection_scores")  # rows-only: the eigenbasis comes out
 # of LAPACK eigh — no SQL twin can eigendecompose; the covariance it
 # diagonalizes IS oracle-checked bit-for-bit (embedding_covariance_matrix),
@@ -6416,7 +6519,10 @@ _CHECK_FIRST: list[str] = [
     "incremental_near_dup_batch",
     "near_dup_clusters",
     "dedup_exact_survivors",
-    "ngram_jaccard_pairs",
+    # new-in-r5 never-checked oracle (outranks the ngram_jaccard_pairs
+    # re-check, which was window padding — its shingling never touched
+    # hex_fold; demoted back to [r3] in _CHECK_LATE):
+    "domain_mixture_resample",
     # (d) rotations: the two remaining [r2]-tagged yields, then the
     # whole oldest-[r2] block from _CHECK_LATE (26 names) — closing
     # VERDICT r4 ask #3 in one round:
@@ -6511,6 +6617,8 @@ _CHECK_LATE: list[str] = [
     "text_quality_scores",  # [r3] — r2→r3 bench doubling A/B-proven jitter (same-session medians within 2%)
     "asof_join_click_purchase",  # [r3]
     "report_fi_summary",  # [r3]
+    "ngram_jaccard_pairs",  # [r3] — yielded its r5 slot to the
+    # never-checked domain_mixture_resample (no hex_fold in its path)
     "join_revenue_by_nation",  # [r3]
     "rollup_returnflag_linestatus",  # [r3]
     "setop_union_nations",  # [r3]

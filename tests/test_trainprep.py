@@ -477,3 +477,52 @@ def test_shard_build_observed_metrics(spark):
     assert m["docs_packed"] == sum(r["n_docs"] for r in bins)
     assert m["tokens_packed"] == sum(r["n_tokens"] for r in bins)
     assert m["docs_packed"] > 0
+
+
+def test_resample_to_mixture_laws(spark):
+    """Planted 3-domain skew: the resampler's copy multiset follows the
+    integer spec exactly, is deterministic, and moves the mixture
+    toward uniform under the cap."""
+    import hashlib
+
+    from spendinganalysisetl_spark.operators.trainprep import resample_to_mixture
+
+    # domains: big=60 docs, mid=30, small=10 → N=100, D=3, target n=33.3
+    rows = (
+        [(i, "big") for i in range(60)]
+        + [(100 + i, "mid") for i in range(30)]
+        + [(200 + i, "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_to_mixture(df, "lang", "doc_id", max_weight_bp=50000)
+    got = sorted((r["id"], r["domain"], r["copy_idx"]) for r in out.collect())
+
+    # independent pure-Python reimplementation of the spec
+    def fold(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16)
+
+    w = {"big": min(50000, 10000 * 100 // (3 * 60)),   # 5555
+         "mid": min(50000, 10000 * 100 // (3 * 30)),   # 11111
+         "small": min(50000, 10000 * 100 // (3 * 10))}  # 33333
+    want = []
+    for i, lang in rows:
+        c = w[lang] // 10000 + (1 if fold(i) % 10000 < w[lang] % 10000 else 0)
+        want += [(i, lang, k) for k in range(1, c + 1)]
+    assert got == sorted(want)
+
+    # determinism across partitionings
+    got2 = sorted(
+        (r["id"], r["domain"], r["copy_idx"])
+        for r in resample_to_mixture(df.repartition(7), "lang", "doc_id").collect()
+    )
+    assert got2 == got
+
+    # mixture actually moves toward uniform: 'small' gets 3-4 copies per
+    # doc, 'big' is thinned below its input count
+    from collections import Counter
+
+    by = Counter(d for _, d, _ in got)
+    assert by["small"] >= 30  # 10 docs × ~3.33
+    assert by["big"] < 60
+    # cap respected
+    assert max(Counter((i, d) for i, d, _ in got).values()) <= 5
