@@ -98,6 +98,37 @@ def test_bitset_path_matches_row_path(spark):
     assert {(7, 0), (63, 1), (155, 3)} <= bit_cand
 
 
+def test_bitset_build_two_exchanges_probe_zero(spark):
+    """Pin the r5 plan shape. Build: exactly TWO exchanges (the spread
+    repartition + the per-bucket set aggregate) and NO md5-fold filter
+    pushed into the source — an INNER explode regressing to
+    InferFiltersFromGenerate would re-expand the positions array into a
+    per-row interpreted filter at the scan (8 s of the 9.6 s draft).
+    Probe: ZERO exchanges — broadcast + HOF only."""
+    from spendinganalysisetl_spark.sources.bloom_index import (
+        build_bloom_bitsets,
+        candidate_buckets_bitset,
+    )
+
+    df = _base(spark)
+    bits = build_bloom_bitsets(df, "bucket", "v")
+    # executedPlan BEFORE execution = the single adaptive initial tree
+    # (sparkPlan() is pre-EnsureRequirements and misses the agg exchange)
+    build_plan = bits._jdf.queryExecution().executedPlan().toString()
+    assert build_plan.count("Exchange") == 2, build_plan[:2000]
+    # the fold must not reconstitute as a filter below the projection
+    assert "Filter (size(" not in build_plan, build_plan[:2000]
+
+    probes = spark.createDataFrame([(7,), (63,)], "probe bigint")
+    cand = candidate_buckets_bitset(bits, probes)
+    cand_plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the probe side adds ONLY its broadcast — no shuffle exchange
+    assert cand_plan.count("Exchange hashpartitioning") == build_plan.count(
+        "Exchange hashpartitioning"
+    ), cand_plan[:2000]
+    assert "BroadcastExchange" in cand_plan  # hashed probe list broadcasts
+
+
 def test_duplicate_probes_keep_containment(spark):
     # A duplicated probe value must not double its (j, pos) rows and
     # trip the all-k-positions filter — containment holds regardless.
