@@ -110,6 +110,13 @@ QUERIES = [
     # supplier domain — the distinct collapse absorbs the replicas.
     "bfs_reach_report",
     "similar_suppliers_jaccard",
+    # r5 additions. Deep BFS: saturation early-exit means 8 hop bounds
+    # cost what the ego network costs, at any fact scale. Mixture
+    # resample: one vocab-sized aggregate + broadcast weights + bounded
+    # explode — pure scan scaling. Media ingest is fixture-sized (no
+    # probe); bpe_encode shares bpe_train_merges' corpus-scan shape.
+    "bfs_reach_deep",
+    "domain_mixture_resample",
 ]
 
 
