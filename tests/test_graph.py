@@ -109,6 +109,32 @@ def test_pagerank_rejects_dangling_nodes(spark):
     assert pagerank(und, iterations=2, check_dangling=False).count() == 2
 
 
+def test_cache_swap_releases_only_on_graph_change(spark):
+    """The r5 pin-bounding contract: repeat invocations on the SAME
+    graph keep the previous call's edge cache warm (CacheManager dedups
+    identical plans — releasing it would re-materialize every bench
+    rep); a DIFFERENT graph releases the old pins, so at most one graph
+    stays cached per operator."""
+    from spendinganalysisetl_spark.operators import graph as G
+
+    df = _edges_df(spark)
+    pagerank(df, iterations=2, check_dangling=False).collect()
+    und1 = G._LAST_CACHES["pagerank"][1][0]
+    assert und1.storageLevel.useMemory or und1.storageLevel.useDisk
+
+    # same graph (semantically identical plan — same frame here; in the
+    # catalog path repeat `spark.read.parquet` plans compare equal too,
+    # while a fresh createDataFrame is a NEW relation and would not):
+    pagerank(df, iterations=2, check_dangling=False).collect()
+    assert und1.storageLevel.useMemory or und1.storageLevel.useDisk
+
+    # different graph: the old pin is released
+    other = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    pagerank(other, iterations=2, check_dangling=False).collect()
+    lvl = und1.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+
 def test_pagerank_convergence_delta_decays(spark):
     from spendinganalysisetl_spark.operators.graph import pagerank_convergence
 
