@@ -268,6 +268,12 @@ def main() -> None:
     subset = sys.argv[2:] or None
     spark = get_spark(app_name="scale_probe")
     qs = ordered_queries()
+    if subset:
+        # A typo'd name must fail loudly, not silently shrink the report.
+        known = set(qs) | {"near_dup_probe_fixed_batch_stored_index"}
+        unknown = [n for n in subset if n not in known]
+        if unknown:
+            raise SystemExit(f"scale_probe: unknown query name(s): {unknown}")
     big = tempfile.mkdtemp(prefix=f"scale_probe_{k}x_")
     try:
         _replicate(spark, SF_DIR, big, k)

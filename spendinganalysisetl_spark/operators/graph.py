@@ -35,27 +35,36 @@ from pyspark.sql import functions as F
 MASS = 10**12  # total integer rank mass
 
 # Caches pinned by the LAST call of each lazy-returning operator,
-# released when that operator is next invoked on a DIFFERENT graph.
-# The returned plans reference the cached edge/degree tables, so an
-# in-function unpersist would defeat the cache before the caller
-# executes; an eager checkpoint instead measured 2.5× slower (it
-# materializes the full rank state outside the final-stage path). Same
-# graph (sameSemantics) → Spark's CacheManager dedups the new persist
-# onto the existing entry, so nothing is released and repeat
-# invocations stay warm; different graph → the old entries are
-# released first. Net: at most ONE graph pinned per operator instead
-# of accumulating per bench/catalog invocation. Not thread-safe —
-# matches the one-session bench/driver model; call sites interleaving
-# graphs across threads should unpersist explicitly.
-_LAST_CACHES: dict[str, tuple[DataFrame, list]] = {}
+# released when that operator is next invoked with a DIFFERENT input
+# (edge frame AND, for BFS, source frame — keying on edges alone
+# orphaned the source-specific frontier caches of a seeds loop). The
+# returned plans reference the cached tables, so an in-function
+# unpersist would defeat the cache before the caller executes; an
+# eager checkpoint instead measured 2.5× slower (it materializes the
+# full rank state outside the final-stage path). Same inputs
+# (sameSemantics on every key frame) → Spark's CacheManager dedups the
+# new persist onto the existing entry, so nothing is released and
+# repeat invocations stay warm; different inputs → every previous
+# entry is released first. Net: at most ONE input set pinned per
+# operator instead of accumulating per bench/catalog invocation.
+# Known sharing caveat (accepted, perf-only and self-healing): the
+# canonical `edges.select("src","dst")` plan is ONE CacheManager entry
+# shared across operators, so pagerank switching graphs also evicts a
+# bfs_levels pin on the same edges — the next call simply re-pins and
+# re-materializes. Not thread-safe — matches the one-session
+# bench/driver model; call sites interleaving graphs across threads
+# should unpersist explicitly.
+_LAST_CACHES: dict[str, tuple[list, list]] = {}
 
 
-def _swap_caches(op: str, key: DataFrame, new: list) -> None:
+def _swap_caches(op: str, keys: list, new: list) -> None:
     prev = _LAST_CACHES.get(op)
     if prev is not None:
-        prev_key, prev_caches = prev
+        prev_keys, prev_caches = prev
         try:
-            same = prev_key.sameSemantics(key)
+            same = len(prev_keys) == len(keys) and all(
+                p.sameSemantics(k) for p, k in zip(prev_keys, keys)
+            )
         except Exception:
             same = False
         if not same:
@@ -64,7 +73,44 @@ def _swap_caches(op: str, key: DataFrame, new: list) -> None:
                     c.unpersist()
                 except Exception:
                     pass
-    _LAST_CACHES[op] = (key, new)
+    _LAST_CACHES[op] = (keys, new)
+
+
+def _edges_degrees(
+    edges: DataFrame, check_dangling: bool, op: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared PageRank setup: cache the edge table, derive the
+    (node, deg) table, count nodes, and ENFORCE the no-dangling-node
+    precondition (a dst with no out-edges receives mass but
+    redistributes none — silently wrong on a directed sink-bearing
+    graph). Raises with caches released on empty/dangling input."""
+    und = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    nd = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nd.count()  # one scalar job; the base term must be a plan literal
+    if n == 0:
+        und.unpersist()
+        nd.unpersist()
+        raise ValueError(f"{op}: edge frame is empty (no nodes to rank)")
+    if check_dangling:
+        n_dangling = (
+            und.select(F.col("dst").alias("node"))
+            .distinct()
+            .join(nd, "node", "left_anti")
+            .count()
+        )
+        if n_dangling:
+            und.unpersist()
+            nd.unpersist()
+            raise ValueError(
+                f"{op}: {n_dangling} dangling node(s) (in-edges but no "
+                "out-edges) — this integer variant omits the dangling-mass "
+                "term; add self-loops / reverse edges, or drop the sinks"
+            )
+    return und, nd, n
 
 
 def pagerank(
@@ -95,39 +141,10 @@ def pagerank(
     Returns ``(node, degree, rank_mass)`` — ``rank_mass`` is the final
     BIGINT rank in MASS units (divide by ``MASS`` for the probability).
     """
-    und = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     # (node, deg) is carried WITH the rank state — one table instead of
     # separate nodes/deg lookups, which would cost an extra join every
     # iteration.
-    nd = (
-        und.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = nd.count()  # one scalar job; the base term must be a plan literal
-    if n == 0:
-        und.unpersist()
-        nd.unpersist()
-        raise ValueError("pagerank: edge frame is empty (no nodes to rank)")
-    if check_dangling:
-        # Enforce the no-dangling-node precondition loudly: a dst that
-        # never appears as a src receives mass but redistributes none —
-        # silently wrong on a directed sink-bearing graph. One
-        # frontier-sized anti-join against the cached tables.
-        n_dangling = (
-            und.select(F.col("dst").alias("node"))
-            .distinct()
-            .join(nd, "node", "left_anti")
-            .count()
-        )
-        if n_dangling:
-            und.unpersist()
-            nd.unpersist()
-            raise ValueError(
-                f"pagerank: {n_dangling} dangling node(s) (in-edges but no "
-                "out-edges) — this integer variant omits the dangling-mass "
-                "term; add self-loops / reverse edges, or drop the sinks"
-            )
+    und, nd, n = _edges_degrees(edges, check_dangling, "pagerank")
     base = ((MASS // n) * (100 - damping_pct)) // 100
     ranks = nd.withColumn("r", F.lit(MASS // n).cast("long"))
     for _ in range(iterations):
@@ -158,7 +175,7 @@ def pagerank(
     # bound lineage instead (the connected_components pattern).
     # The caches stay pinned until the NEXT pagerank call (the returned
     # lazy plan reads them when the caller executes) — see _swap_caches.
-    _swap_caches("pagerank", und, [und, nd])
+    _swap_caches("pagerank", [und], [und, nd])
     return ranks.select(
         "node", F.col("deg").alias("degree"), F.col("r").alias("rank_mass")
     )
@@ -168,6 +185,7 @@ def pagerank_convergence(
     edges: DataFrame,
     iterations: int = 5,
     damping_pct: int = 85,
+    check_dangling: bool = True,
 ) -> list[tuple[int, int]]:
     """Per-iteration convergence readout: ``(iteration, delta_mass)``
     where ``delta_mass = Σ_nodes |r_t − r_{t−1}|`` in integer MASS
@@ -181,18 +199,11 @@ def pagerank_convergence(
     the delta — so the lazy single-DAG form would re-evaluate earlier
     rounds exponentially). Diagnostic tool, not the serving path: run
     it once per graph shape, then call ``pagerank`` with the chosen
-    iteration count."""
-    und = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    nd = (
-        und.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = nd.count()
-    if n == 0:
-        und.unpersist()
-        nd.unpersist()
-        raise ValueError("pagerank_convergence: edge frame is empty")
+    iteration count. Enforces the same no-dangling-node precondition
+    as ``pagerank`` — deltas from the mass-leaking variant would
+    reflect leakage, not convergence, giving advice for a computation
+    ``pagerank`` itself refuses to run."""
+    und, nd, n = _edges_degrees(edges, check_dangling, "pagerank_convergence")
     base = ((MASS // n) * (100 - damping_pct)) // 100
     ranks = nd.withColumn("r", F.lit(MASS // n).cast("long")).localCheckpoint()
     deltas: list[tuple[int, int]] = []
@@ -309,6 +320,9 @@ def bfs_levels(
         out = out.union(h)
     # The frontier caches are already materialized (counted), so the
     # returned union reads InMemoryTableScans; they and the edge cache
-    # stay pinned until the NEXT bfs_levels call — see _swap_caches.
-    _swap_caches("bfs_levels", und, [und, *caches])
+    # stay pinned until the NEXT bfs_levels call on different inputs —
+    # the key includes the SOURCES frame, so a seeds loop over one
+    # graph releases each seed's frontier caches instead of orphaning
+    # them (see _swap_caches).
+    _swap_caches("bfs_levels", [und, sources], [und, *caches])
     return out

@@ -3097,17 +3097,37 @@ def _media_fixture_files() -> list[tuple[str, bytes]]:
 
 def _ensure_media_fixture() -> str:
     """Write (idempotently) the fixture drop under /tmp and return the
-    directory — rewriting ~4 KB of spec-derived bytes per call keeps the
-    query self-contained in the driver's fresh process."""
+    directory — reconciling ~4 KB of spec-derived bytes per call keeps
+    the query self-contained in the driver's fresh process. Robustness
+    (review r5): files are verified by CONTENT (not just size) and
+    written via temp-name + ``os.replace`` so a concurrent reader never
+    sees a truncated payload; stale ``media_*`` files from an older
+    fixture spec are removed (the query's glob would ingest them but
+    the VALUES oracle wouldn't know them)."""
+    import glob as _glob
     import os
 
     d = "/tmp/spark_graft_media_fixture"
     os.makedirs(d, exist_ok=True)
-    for name, content in _media_fixture_files():
+    want = dict(_media_fixture_files())
+    for name, content in want.items():
         p = os.path.join(d, name)
-        if not os.path.exists(p) or os.path.getsize(p) != len(content):
-            with open(p, "wb") as f:
-                f.write(content)
+        try:
+            with open(p, "rb") as f:
+                if f.read() == content:
+                    continue
+        except OSError:
+            pass
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(content)
+        os.replace(tmp, p)
+    for p in _glob.glob(os.path.join(d, "media_*")):
+        if os.path.basename(p) not in want:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     return d
 
 

@@ -135,6 +135,17 @@ def test_cache_swap_releases_only_on_graph_change(spark):
     assert not (lvl.useMemory or lvl.useDisk)
 
 
+def test_pagerank_convergence_rejects_dangling_nodes(spark):
+    # the diagnostic must refuse the same graphs pagerank refuses —
+    # deltas from the mass-leaking variant would measure leakage,
+    # not convergence
+    from spendinganalysisetl_spark.operators.graph import pagerank_convergence
+
+    df = spark.createDataFrame([("a", "b"), ("c", "a")], ["src", "dst"])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_convergence(df, iterations=2)
+
+
 def test_pagerank_convergence_delta_decays(spark):
     from spendinganalysisetl_spark.operators.graph import pagerank_convergence
 
