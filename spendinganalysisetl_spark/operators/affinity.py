@@ -121,7 +121,7 @@ def basket_pairs(
     basket_col: str = "basket_id",
     item_col: str = "item",
     k: int = 20,
-    max_basket_size: int | None = 1024,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Top-``k`` co-occurring item pairs by support, with lift.
 
@@ -138,10 +138,14 @@ def basket_pairs(
     the long form would fail loudly right when the table grows.
     Ordered support desc, then items asc.
 
-    ``max_basket_size`` (default 1024) drops mega-baskets from the
-    WHOLE computation — pairs, item counts, and this denominator — so
-    one wholesale account can't turn the per-basket self-join quadratic
-    (see ``_pair_support``); ``None`` disables the guard.
+    ``max_basket_size`` drops mega-baskets from the WHOLE computation —
+    pairs, item counts, and this denominator — so one wholesale account
+    can't turn the per-basket self-join quadratic (see
+    ``_pair_support``). OPT-IN (default ``None`` = exact, uncapped):
+    the cap changes results, so a caller must choose it — and should
+    run :func:`oversized_baskets` alongside so exclusions are counted,
+    not silent. At warehouse scale pass a cap (the registry queries use
+    1024); the quadratic blowup is otherwise one whale account away.
     """
     total = _items(baskets, basket_col, item_col, max_basket_size).select(
         F.count_distinct("bid").alias("n_baskets")
@@ -171,7 +175,7 @@ def item_jaccard_pairs(
     item_col: str = "item",
     k: int = 20,
     min_support: int = 5,
-    max_basket_size: int | None = 1024,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Item–item Jaccard similarity over shared baskets — the
     collaborative-filtering "similar items" primitive (suppliers alike
@@ -182,9 +186,9 @@ def item_jaccard_pairs(
     ``jaccard_bp = 10000·|A∩B| div (n_a + n_b − |A∩B|)`` in exact
     integer basis points. ``min_support`` filters the degenerate
     rare-pair ties (two items sharing their single basket score a
-    perfect 10000). ``max_basket_size`` is the mega-basket guard (see
-    ``basket_pairs``). Ordered jaccard desc, support desc, items asc;
-    top-``k``.
+    perfect 10000). ``max_basket_size`` is the opt-in mega-basket guard
+    (see ``basket_pairs``; default ``None`` = exact, uncapped). Ordered
+    jaccard desc, support desc, items asc; top-``k``.
     """
     return (
         _pair_support(baskets, basket_col, item_col, min_support, max_basket_size)

@@ -45,8 +45,14 @@ MASS = 10**12  # total integer rank mass
 # (sameSemantics on every key frame) → Spark's CacheManager dedups the
 # new persist onto the existing entry, so nothing is released and
 # repeat invocations stay warm; different inputs → every previous
-# entry is released first. Net: at most ONE input set pinned per
-# operator instead of accumulating per bench/catalog invocation.
+# entry is released first — EXCEPT any previous frame whose plan
+# survives into the new call (sameSemantics with a new cache): the new
+# persist deduped onto the same CacheManager entry, so unpersisting
+# the old handle would evict the new pin too and force the shared
+# table (e.g. one edge cache under a seeds loop, or under
+# bfs_reach_report ↔ bfs_reach_deep alternation) to re-materialize
+# every call. Net: at most ONE input set pinned per operator instead
+# of accumulating per bench/catalog invocation.
 # Known sharing caveat (accepted, perf-only and self-healing): the
 # canonical `edges.select("src","dst")` plan is ONE CacheManager entry
 # shared across operators, so pagerank switching graphs also evicts a
@@ -69,6 +75,15 @@ def _swap_caches(op: str, keys: list, new: list) -> None:
             same = False
         if not same:
             for c in prev_caches:
+                try:
+                    # Shared-plan guard: a prev cache that is
+                    # sameSemantics with a NEW cache occupies the same
+                    # CacheManager entry the new call just re-pinned —
+                    # skip it (see block comment above).
+                    if any(c.sameSemantics(n) for n in new):
+                        continue
+                except Exception:
+                    pass
                 try:
                     c.unpersist()
                 except Exception:
@@ -241,20 +256,41 @@ def cotransaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     facts: an edge per DISTINCT (customer, supplier) pair that shares
     an order, node ids typed as ``c<custkey>`` / ``s<suppkey>``.
     Emitted in both directions (PageRank's undirected convention); the
-    distinct is one shuffle on the pair."""
+    distinct is one shuffle on the pair. When several queries walk the
+    same graph (and the Jaccard family collapses the same pairs), build
+    the distinct pair table once and feed
+    :func:`cotransaction_edges_from_pairs` — the registry routes all
+    four consumers through one cached collapse."""
     pairs = (
         orders.join(
             lineitem,
             orders["o_orderkey"] == lineitem["l_orderkey"],
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
         )
         .distinct()
     )
-    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    return cotransaction_edges_from_pairs(pairs)
+
+
+def cotransaction_edges_from_pairs(
+    pairs: DataFrame, cust_col: str = "custkey", supp_col: str = "suppkey"
+) -> DataFrame:
+    """Edge table from a PRECOMPUTED distinct (customer, supplier) pair
+    frame — the shareable half of :func:`cotransaction_edges`. The pair
+    collapse is the expensive part (a fact–fact join + distinct
+    shuffle); pagerank, both BFS reach queries, and the item-Jaccard
+    similarity all consume the identical collapse, so the registry
+    caches it once per (session, sf) and each consumer pays only this
+    projection."""
+    p = pairs.select(
+        F.concat(F.lit("c"), F.col(cust_col).cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col(supp_col).cast("string")).alias("b"),
+    )
+    return p.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
 
 
@@ -279,18 +315,24 @@ def bfs_levels(
     anti-joined against everything already levelled; first discovery ≡
     minimum hop, so results equal min-propagation — which is exactly
     what the `bfs_reach_report` oracle unrolls as CTEs. Levels are
-    small integers (no sums), trivially deterministic; the hop bound
-    keeps the whole search ONE lazy DAG (checkpoint per round only for
-    unbounded searches)."""
+    small integers (no sums), trivially deterministic. Materialization
+    runs in TWO-HOP rounds (one job each — see the in-function note);
+    checkpoint per round only for unbounded searches."""
     und = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    # Each hop's frontier is MATERIALIZED: the level table is a UNION of
-    # per-hop frames each referenced twice downstream (next hop's join
-    # and every later anti-join), so a fully lazy chain re-evaluates
-    # earlier hops 2^h times. persist + count instead of the r4
-    # localCheckpoint + isEmpty: the count IS the materializing action
-    # AND the saturation check — one job per hop instead of two (the
-    # per-hop job floor, not the plan, dominated bfs_reach_report at
-    # sf0.1).
+    # Each materialization round covers TWO hops: the level table is a
+    # UNION of per-round frames each referenced twice downstream (next
+    # round's join and every later anti-join), so a fully lazy chain
+    # re-evaluates earlier hops 2^h times and SOME per-round action is
+    # mandatory — but at sf0.1 the per-round JOB floor (~0.3–0.5 s of
+    # scheduling), not the data, dominated the search, so each round
+    # chains hop h lazily into hop h+1 and materializes both in ONE
+    # persist + aggregate-count job (4 hops: 5 jobs → 3; 8 hops: 9 → 5).
+    # The price is that hop h's frontier plan evaluates ~3× inside the
+    # round (its own union leg, as hop h+1's expansion input, and as
+    # its anti-join) — each evaluation is a frontier-sized join over
+    # the CACHED edge table, far cheaper than a scheduled job. The
+    # per-level counts from the one aggregate double as the saturation
+    # check.
     caches: list[DataFrame] = []
     frontier = (
         sources.select(F.col("node"))
@@ -301,20 +343,45 @@ def bfs_levels(
     frontier.count()
     hops = [frontier.withColumn("level", F.lit(0).cast("int"))]
     seen = frontier
-    for hop in range(1, max_hops + 1):
-        cand = (
-            und.join(frontier.withColumnRenamed("node", "src"), "src")
+
+    def _expand(fr: DataFrame, exclude: DataFrame) -> DataFrame:
+        return (
+            und.join(fr.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
+            .join(exclude, "node", "left_anti")
         )
-        frontier = cand.join(seen, "node", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        caches.append(frontier)
-        if frontier.count() == 0:  # ego network saturated — no more hops
+
+    hop = 1
+    while hop <= max_hops:
+        f1 = _expand(frontier, seen)
+        if hop == max_hops:  # odd tail: one single-hop round
+            f1 = f1.persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(f1)
+            if f1.count() > 0:
+                hops.append(f1.withColumn("level", F.lit(hop).cast("int")))
             break
-        seen = seen.union(frontier)
-        hops.append(frontier.withColumn("level", F.lit(hop).cast("int")))
+        f2 = _expand(f1, seen).join(f1, "node", "left_anti")
+        combined = (
+            f1.withColumn("level", F.lit(hop).cast("int"))
+            .union(f2.withColumn("level", F.lit(hop + 1).cast("int")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        caches.append(combined)
+        n_by_level = {
+            r["level"]: r["n"]
+            for r in combined.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not n_by_level.get(hop):  # saturated — hop h+1 is empty too
+            break
+        hops.append(combined)
+        seen = seen.union(combined.select("node"))
+        if not n_by_level.get(hop + 1):  # saturated at the odd hop
+            break
+        frontier = combined.filter(F.col("level") == hop + 1).select("node")
+        hop += 2
     out = hops[0]
     for h in hops[1:]:
         out = out.union(h)
