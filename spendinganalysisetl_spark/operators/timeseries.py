@@ -143,13 +143,23 @@ def recurring_customers(orders: DataFrame, k: int = 50) -> DataFrame:
         F.sum("g").alias("s"),
         F.sum(F.col("g") * F.col("g")).alias("q"),
     )
+    # CV² numerator promoted to DECIMAL(38,0) (≡ DuckDB HUGEINT — the
+    # same widening as the Welch/Gini r5 fixes): 10000·n·(n·q − s²) has
+    # five BIGINT factors and overflows int64 for a perfectly LEGAL
+    # customer (daily orders for ~30 years: n ~ 10⁴, s² ~ 10⁸ → the
+    # n·q term alone passes 10¹⁶ and the full product 10²⁴). ANSI mode
+    # would fail loudly, but only on the data that reaches it — the
+    # property test in tests/test_properties_ext.py plants that
+    # customer. Values are unchanged at any magnitude that fit before.
+    ss = "CAST(s AS DECIMAL(38,0)) * s"
+    num = f"10000 * n * (CAST(n AS DECIMAL(38,0)) * q - {ss})"
     return (
         agg.filter((F.col("n") >= 3) & (F.col("s") > 0))
         .select(
             "custkey",
             (F.col("n") + 1).alias("n_dates"),
             F.expr("s div n").alias("mean_gap_days"),
-            F.expr("(10000 * n * (n * q - s * s)) div ((n - 1) * (s * s))").alias(
+            F.expr(f"CAST(({num}) div ((n - 1) * {ss}) AS BIGINT)").alias(
                 "cv2_bp"
             ),
         )
@@ -196,14 +206,21 @@ def ewma_forecast(
         .agg(
             F.count(F.lit(1)).alias("n_periods"),
             F.max(F.when(F.col("rn") == 1, F.col(value_col))).alias("last_value"),
-            F.sum(F.col("wgt") * F.col(value_col)).alias("wsum"),
+            # weight·value promoted to DECIMAL(38,0) (≡ HUGEINT): with
+            # the 2^11 top weight a monthly value past ~4.5·10¹⁵ (a
+            # $450 B month in decimicents — large, but legal for a
+            # whole-priority rollup at warehouse scale) overflows the
+            # BIGINT product; see tests/test_properties_ext.py.
+            F.sum(F.col("wgt").cast("decimal(38,0)") * F.col(value_col)).alias(
+                "wsum"
+            ),
             F.sum("wgt").alias("wtot"),
         )
         .select(
             F.col("key").alias(key_col),
             "n_periods",
             "last_value",
-            F.expr("wsum div wtot").alias("forecast"),
+            F.expr("CAST(wsum div wtot AS BIGINT)").alias("forecast"),
         )
         .repartition(1)
         .sortWithinPartitions(key_col)

@@ -5046,7 +5046,8 @@ agg AS (SELECT custkey,
 SELECT custkey,
        n + 1 AS n_dates,
        s // n AS mean_gap_days,
-       (10000 * n * (n * q - s * s)) // ((n - 1) * (s * s)) AS cv2_bp
+       CAST((10000 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s))
+            // ((n - 1) * CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_bp
 FROM agg
 WHERE n >= 3 AND s > 0
 ORDER BY cv2_bp ASC, custkey ASC
@@ -5300,7 +5301,7 @@ agg AS (
   SELECT key,
          count(*) AS n_periods,
          max(CASE WHEN rn = 1 THEN v END) AS last_value,
-         sum(v * (CAST(1 AS BIGINT) << (12 - rn))) AS wsum,
+         sum(CAST(v AS HUGEINT) * (CAST(1 AS BIGINT) << (12 - rn))) AS wsum,
          sum(CAST(1 AS BIGINT) << (12 - rn)) AS wtot
   FROM recent WHERE rn <= 12 GROUP BY key
 )

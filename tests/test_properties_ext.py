@@ -366,3 +366,140 @@ def test_merge_schema_evolution_laws(spark, t_rows, b_rows):
         elif r["action"] == "kept":
             assert r["old_note"] == f"note-{k}"
             assert r["currency"] is None, "batch-only col NULL when batch lost"
+
+
+# --- int64-overflow sweep at documented bounds (VERDICT r5 ask #5) ----------
+# Every exact-integer operator multiplies BIGINTs somewhere; under ANSI
+# mode an overflow aborts the whole report, but only on data that
+# reaches it — so each value-bearing operator gets a planted
+# extreme-but-legal fixture at its documented bound, asserted against
+# exact Python integers. Count-only expressions (CMS bsum, the Jaccard
+# numerator 10000·support, mixture weights 10000·Σn_d) are sums or
+# single 10⁴ multiplies over row COUNTS — they cannot overflow below
+# ~9·10¹⁴ input rows and carry docstring bounds instead of fixtures.
+
+
+def test_recurring_cv2_survives_extreme_but_legal_gaps(spark):
+    """~10⁴ distinct order dates with bimodal gaps (1 day / 579 days,
+    total span inside the date type's range): the CV² numerator
+    10000·n·(n·Σg²−(Σg)²) reaches ~8·10²⁰ — far past int64 — and must
+    come back as the exact Python-int value via the DECIMAL(38,0)
+    promotion, not ANSI-abort."""
+    import datetime
+
+    from spendinganalysisetl_spark.operators.timeseries import (
+        recurring_customers,
+    )
+
+    gaps = [1 if i % 2 == 0 else 579 for i in range(10_000)]
+    d = datetime.date(1, 1, 1)
+    rows = [(7, d)]
+    for g in gaps:
+        d += datetime.timedelta(days=g)
+        rows.append((7, d))
+    # small sanity customer: weekly for 5 weeks, cv2 = 0
+    rows += [
+        (8, datetime.date(2020, 1, 1) + datetime.timedelta(days=7 * i))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate date")
+    got = {
+        r["custkey"]: (r["n_dates"], r["mean_gap_days"], r["cv2_bp"])
+        for r in recurring_customers(df, 10).collect()
+    }
+    n, s, q = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    assert 10000 * n * (n * q - s * s) > 2**63, "fixture must exceed int64"
+    want = (10000 * n * (n * q - s * s)) // ((n - 1) * s * s)
+    assert got[7] == (n + 1, s // n, want)
+    assert got[8] == (5, 7, 0)
+
+
+def test_ewma_forecast_survives_warehouse_scale_values(spark):
+    """Monthly values ~5·10¹⁵ decimicents (a $500 B month — legal for a
+    whole-priority rollup at warehouse scale): weight·value passes
+    int64 at the 2¹¹ top weight; the DECIMAL(38,0) promotion must
+    return the exact integer forecast."""
+    from spendinganalysisetl_spark.operators.timeseries import ewma_forecast
+
+    vals = [5_000_000_000_000_000 + 31 * i for i in range(12)]
+    rows = [(f"2024-{m + 1:02d}", "K", v) for m, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "period string, name string, amount long")
+    out = ewma_forecast(df, "name", "period", "amount", window=12).collect()
+    assert len(out) == 1
+    # rn=1 is the NEWEST period (2024-12) with weight 2^11
+    weights = [2 ** (12 - rn) for rn in range(1, 13)]
+    ordered = list(reversed(vals))  # newest first
+    assert max(w * v for w, v in zip(weights, ordered)) > 2**63
+    wsum = sum(w * v for w, v in zip(weights, ordered))
+    wtot = sum(weights)
+    r = out[0]
+    assert (r["n_periods"], r["last_value"], r["forecast"]) == (
+        12,
+        vals[-1],
+        wsum // wtot,
+    )
+
+
+def test_welch_report_survives_extreme_metric_values(spark):
+    """Metric values ~10⁷ (the planted 'price ~1e7' bound): decimicents
+    ~10¹¹, so each squared term is ~10²² — the r5 DECIMAL(38,0) fix
+    must keep sizes and exact integer means right (t checked to 4dp)."""
+    import hashlib
+
+    from spendinganalysisetl_spark.operators.experiments import ab_welch_report
+
+    def variant(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:7], 16) % 2
+
+    uids = list(range(1, 41))
+    rows = [
+        (u, "buy", 10_000_000.0 + 17 * u + (1000.0 if variant(u) else 0.0))
+        for u in uids
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = ab_welch_report(df, "user_id", "value", "event_type").collect()
+    assert len(out) == 1
+    r = out[0]
+    a = [int(v * 10000 + 0.5) for u, _, v in rows if variant(u) == 0]
+    b = [int(v * 10000 + 0.5) for u, _, v in rows if variant(u) == 1]
+    assert max(x * x for x in a + b) > 2**63, "fixture must exceed int64"
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["mean_a_decimicents"] == sum(a) // len(a)
+    assert r["mean_b_decimicents"] == sum(b) // len(b)
+    na, nb, sa, sb = len(a), len(b), sum(a), sum(b)
+    qa, qb = sum(x * x for x in a), sum(x * x for x in b)
+    t = (sa / na - sb / nb) / (
+        ((na * qa - sa * sa) / (na * (na - 1) * na))
+        + ((nb * qb - sb * sb) / (nb * (nb - 1) * nb))
+    ) ** 0.5
+    assert abs(r["t_stat"] - round(t, 4)) < 1e-9
+
+
+def test_gini_survives_whale_segment(spark):
+    """10⁴ customers at ~10⁷ per order: Σi·x ≈ 5·10¹⁸ and 2·Σi·x passes
+    int64 — the DECIMAL(38,0) rank·revenue promotion must return the
+    exact integer Gini."""
+    from spendinganalysisetl_spark.operators.report import revenue_concentration
+
+    n = 10_000
+    orders = spark.createDataFrame(
+        [(i, 10_000_000.0 + i) for i in range(1, n + 1)],
+        "o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, "WHALES") for i in range(1, n + 1)],
+        "c_custkey long, c_mktsegment string",
+    )
+    out = revenue_concentration(orders, customer).collect()
+    assert len(out) == 1
+    xs = sorted(int((10_000_000.0 + i) * 10000 + 0.5) for i in range(1, n + 1))
+    six = sum(i * x for i, x in enumerate(xs, start=1))
+    sx = sum(xs)
+    assert 2 * six > 2**63, "fixture must exceed int64"
+    want = (10000 * (2 * six - (n + 1) * sx)) // (n * sx)
+    r = out[0]
+    assert (r["n_customers"], r["revenue_decimicents"], r["gini_bp"]) == (
+        n,
+        sx,
+        want,
+    )
