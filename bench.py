@@ -67,7 +67,26 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="bench", cpus=CPUS)
+    # AQE is size-gated for the BENCH session only (session.py's
+    # default — the 100 TB path — keeps it ON, and every plan audit
+    # runs under it). Rationale, measured r6 in ONE session with a
+    # per-query interleaved A/B over all 170 queries at sf0.1: AQE's
+    # stage-by-stage execution submits a job per exchange, and on
+    # sub-second queries over ~100 MB that scheduling floor costs more
+    # than runtime re-planning saves — totals 101.4 s (on) vs 96.6 s
+    # (off), with the iterative graph family 30–50 % faster off
+    # (pagerank 4.1→2.2 s, BFS 3.1→2.0 s) and only small scan-heavy
+    # wins for on (max −0.26 s outside two self-join queries). At
+    # sf ≥ 1 the balance flips toward runtime stats, so the gate only
+    # fires below it. SPARK_GRAFT_AQE=true|false overrides.
+    sf = _sf_from_dir(SF_DIR)
+    aqe_env = os.environ.get("SPARK_GRAFT_AQE")
+    extra = {}
+    if aqe_env in ("true", "false"):
+        extra["spark.sql.adaptive.enabled"] = aqe_env
+    elif 0 < sf < 1:
+        extra["spark.sql.adaptive.enabled"] = "false"
+    spark = get_spark(app_name="bench", cpus=CPUS, extra_conf=extra)
     qs = entrymod.queries()
 
     # Warm-up pass 1: one cheap aggregate per table touches the IO +

@@ -278,9 +278,36 @@ def main() -> None:
     try:
         _replicate(spark, SF_DIR, big, k)
 
+        # The graph/Jaccard family reads the SHARED cust-supp pair
+        # collapse (registry._cs_pairs, cached per session+sf since r6).
+        # For THESE queries the collapse is exactly the stage that must
+        # absorb the replicas, so each timed rep clears the shared
+        # cache and pays it again — otherwise the probe would time warm
+        # cache walks and report a trivially-flat ratio. Other queries
+        # keep the session-cache semantics the bench has always had.
+        PAY_COLLAPSE = {
+            "pagerank_customer_supplier",
+            "bfs_reach_report",
+            "bfs_reach_deep",
+            "similar_suppliers_jaccard",
+            "oversized_supplier_baskets",
+        }
+
+        def _drop_shared() -> None:
+            from spendinganalysisetl_spark import registry as _reg
+
+            for df in _reg._SHARED.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            _reg._SHARED.clear()
+
         def run(name: str, sf_dir: str) -> float:
             best = float("inf")
             for _ in range(2):
+                if name in PAY_COLLAPSE:
+                    _drop_shared()
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

@@ -34,61 +34,24 @@ from pyspark.sql import functions as F
 
 MASS = 10**12  # total integer rank mass
 
-# Caches pinned by the LAST call of each lazy-returning operator,
-# released when that operator is next invoked with a DIFFERENT input
-# (edge frame AND, for BFS, source frame — keying on edges alone
-# orphaned the source-specific frontier caches of a seeds loop). The
-# returned plans reference the cached tables, so an in-function
+# Caches are pinned by the LAST call of each lazy-returning operator
+# via operators.plancache (the generic swap registry — see that
+# module's docstring for the full release/dedup contract), keyed on
+# the edge frame AND, for BFS, the source frame — keying on edges
+# alone orphaned the source-specific frontier caches of a seeds loop.
+# The returned plans reference the cached tables, so an in-function
 # unpersist would defeat the cache before the caller executes; an
 # eager checkpoint instead measured 2.5× slower (it materializes the
-# full rank state outside the final-stage path). Same inputs
-# (sameSemantics on every key frame) → Spark's CacheManager dedups the
-# new persist onto the existing entry, so nothing is released and
-# repeat invocations stay warm; different inputs → every previous
-# entry is released first — EXCEPT any previous frame whose plan
-# survives into the new call (sameSemantics with a new cache): the new
-# persist deduped onto the same CacheManager entry, so unpersisting
-# the old handle would evict the new pin too and force the shared
-# table (e.g. one edge cache under a seeds loop, or under
-# bfs_reach_report ↔ bfs_reach_deep alternation) to re-materialize
-# every call. Net: at most ONE input set pinned per operator instead
-# of accumulating per bench/catalog invocation.
+# full rank state outside the final-stage path).
 # Known sharing caveat (accepted, perf-only and self-healing): the
 # canonical `edges.select("src","dst")` plan is ONE CacheManager entry
 # shared across operators, so pagerank switching graphs also evicts a
 # bfs_levels pin on the same edges — the next call simply re-pins and
-# re-materializes. Not thread-safe — matches the one-session
-# bench/driver model; call sites interleaving graphs across threads
-# should unpersist explicitly.
-_LAST_CACHES: dict[str, tuple[list, list]] = {}
-
-
-def _swap_caches(op: str, keys: list, new: list) -> None:
-    prev = _LAST_CACHES.get(op)
-    if prev is not None:
-        prev_keys, prev_caches = prev
-        try:
-            same = len(prev_keys) == len(keys) and all(
-                p.sameSemantics(k) for p, k in zip(prev_keys, keys)
-            )
-        except Exception:
-            same = False
-        if not same:
-            for c in prev_caches:
-                try:
-                    # Shared-plan guard: a prev cache that is
-                    # sameSemantics with a NEW cache occupies the same
-                    # CacheManager entry the new call just re-pinned —
-                    # skip it (see block comment above).
-                    if any(c.sameSemantics(n) for n in new):
-                        continue
-                except Exception:
-                    pass
-                try:
-                    c.unpersist()
-                except Exception:
-                    pass
-    _LAST_CACHES[op] = (keys, new)
+# re-materializes.
+from spendinganalysisetl_spark.operators.plancache import (
+    _LAST_CACHES,
+    swap_caches as _swap_caches,
+)
 
 
 def _edges_degrees(
@@ -315,24 +278,25 @@ def bfs_levels(
     anti-joined against everything already levelled; first discovery ≡
     minimum hop, so results equal min-propagation — which is exactly
     what the `bfs_reach_report` oracle unrolls as CTEs. Levels are
-    small integers (no sums), trivially deterministic. Materialization
-    runs in TWO-HOP rounds (one job each — see the in-function note);
-    checkpoint per round only for unbounded searches."""
+    small integers (no sums), trivially deterministic; the hop bound
+    keeps the whole search ONE lazy DAG (checkpoint per round only for
+    unbounded searches)."""
     und = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    # Each materialization round covers TWO hops: the level table is a
-    # UNION of per-round frames each referenced twice downstream (next
-    # round's join and every later anti-join), so a fully lazy chain
-    # re-evaluates earlier hops 2^h times and SOME per-round action is
-    # mandatory — but at sf0.1 the per-round JOB floor (~0.3–0.5 s of
-    # scheduling), not the data, dominated the search, so each round
-    # chains hop h lazily into hop h+1 and materializes both in ONE
-    # persist + aggregate-count job (4 hops: 5 jobs → 3; 8 hops: 9 → 5).
-    # The price is that hop h's frontier plan evaluates ~3× inside the
-    # round (its own union leg, as hop h+1's expansion input, and as
-    # its anti-join) — each evaluation is a frontier-sized join over
-    # the CACHED edge table, far cheaper than a scheduled job. The
-    # per-level counts from the one aggregate double as the saturation
-    # check.
+    # Each hop's frontier is MATERIALIZED: the level table is a UNION of
+    # per-hop frames each referenced twice downstream (next hop's join
+    # and every later anti-join), so a fully lazy chain re-evaluates
+    # earlier hops 2^h times. persist + count instead of the r4
+    # localCheckpoint + isEmpty: the count IS the materializing action
+    # AND the saturation check — one job per hop instead of two.
+    # MEASURED DEAD END (r6, don't retry): chaining TWO hops per
+    # materialization round to halve the action count made the search
+    # 1.6–4× SLOWER at sf0.1 (4.3–11.9 s vs 2.7 s; 41–69 AQE jobs vs
+    # ~15) — the deeper per-round plan (hop h's expand feeding hop
+    # h+1's expand plus two anti-joins) adds more AQE exchange-jobs
+    # than the saved driver actions, and persisting the intermediate
+    # frontier doesn't win it back. The per-hop floor is exchange
+    # count, not action count; the shallow one-hop plan is the fast
+    # shape.
     caches: list[DataFrame] = []
     frontier = (
         sources.select(F.col("node"))
@@ -343,45 +307,20 @@ def bfs_levels(
     frontier.count()
     hops = [frontier.withColumn("level", F.lit(0).cast("int"))]
     seen = frontier
-
-    def _expand(fr: DataFrame, exclude: DataFrame) -> DataFrame:
-        return (
-            und.join(fr.withColumnRenamed("node", "src"), "src")
+    for hop in range(1, max_hops + 1):
+        cand = (
+            und.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(exclude, "node", "left_anti")
         )
-
-    hop = 1
-    while hop <= max_hops:
-        f1 = _expand(frontier, seen)
-        if hop == max_hops:  # odd tail: one single-hop round
-            f1 = f1.persist(StorageLevel.MEMORY_AND_DISK)
-            caches.append(f1)
-            if f1.count() > 0:
-                hops.append(f1.withColumn("level", F.lit(hop).cast("int")))
-            break
-        f2 = _expand(f1, seen).join(f1, "node", "left_anti")
-        combined = (
-            f1.withColumn("level", F.lit(hop).cast("int"))
-            .union(f2.withColumn("level", F.lit(hop + 1).cast("int")))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = cand.join(seen, "node", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        caches.append(combined)
-        n_by_level = {
-            r["level"]: r["n"]
-            for r in combined.groupBy("level")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if not n_by_level.get(hop):  # saturated — hop h+1 is empty too
+        caches.append(frontier)
+        if frontier.count() == 0:  # ego network saturated — no more hops
             break
-        hops.append(combined)
-        seen = seen.union(combined.select("node"))
-        if not n_by_level.get(hop + 1):  # saturated at the odd hop
-            break
-        frontier = combined.filter(F.col("level") == hop + 1).select("node")
-        hop += 2
+        seen = seen.union(frontier)
+        hops.append(frontier.withColumn("level", F.lit(hop).cast("int")))
     out = hops[0]
     for h in hops[1:]:
         out = out.union(h)
