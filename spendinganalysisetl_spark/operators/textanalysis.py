@@ -308,7 +308,9 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    documents: DataFrame, k: int = 3, n_docs: int | None = None
+) -> DataFrame:
     """Per-document top-``k`` keywords by TF-IDF: ``tf = c_d(w)/|d|``,
     ``idf = ln(N/df(w))``, ranked per doc on the ROUNDED score (6dp)
     with a lexicographic tiebreak so ranking is deterministic and
@@ -324,11 +326,15 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     across forked aggregate branches (the executed plan of the
     join-shaped formulation re-tokenized the corpus 4×), so the chained
     shape is what keeps the corpus pass single. ``N`` is the corpus
-    document count — a column-pruned count-star scan, broadcast — the
-    standard IDF numerator (docs with zero tokens count toward N; no
-    term can have df > N either way). The per-doc top-k is a row_number
-    window partitioned by doc_id (WindowGroupLimit prunes per partition
-    before the final sort) — never a global sort.
+    document count — the standard IDF numerator (docs with zero tokens
+    count toward N; no term can have df > N either way). Pass it via
+    ``n_docs`` when the caller already knows it (the registry reads it
+    from the parquet FOOTER metadata — catalog statistics, zero data
+    read, exactly how DuckDB answers its count-star), which makes the
+    whole query ONE FileScan of the corpus; ``None`` falls back to a
+    column-pruned count-star branch, broadcast. The per-doc top-k is a
+    row_number window partitioned by doc_id (WindowGroupLimit prunes
+    per partition before the final sort) — never a global sort.
     """
     from pyspark.sql import Window
 
@@ -340,15 +346,19 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .withColumn("len_d", F.sum("c").over(Window.partitionBy("doc_id")))
     )
-    n_docs = F.broadcast(documents.select(F.count(F.lit(1)).alias("n_docs")))
     score = F.round(
         (F.col("c").cast("double") / F.col("len_d"))
         * F.log(F.col("n_docs").cast("double") / F.col("df")),
         6,
     )
+    if n_docs is not None:
+        base = dc.withColumn("n_docs", F.lit(int(n_docs)).cast("long"))
+    else:
+        base = dc.crossJoin(
+            F.broadcast(documents.select(F.count(F.lit(1)).alias("n_docs")))
+        )
     ranked = (
-        dc.crossJoin(n_docs)
-        .withColumn("tfidf", score)
+        base.withColumn("tfidf", score)
         .withColumn(
             "rank",
             F.row_number().over(

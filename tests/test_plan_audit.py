@@ -342,3 +342,30 @@ def test_q6_pure_scan_aggregate(spark, sf_dir):
     assert any("l_shipdate" in ln and "l_discount" in ln and "l_quantity" in ln for ln in pushed), plan[:3000]
     schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_returnflag" not in schema and "l_tax" not in schema
+
+
+def test_tfidf_one_documents_scan(spark, sf_dir):
+    """tfidf_top_terms with the catalog-statistics doc count (parquet
+    footer num_rows, how the registry calls it) must scan documents
+    exactly ONCE — the count-star IDF-numerator branch is gone, and
+    df/len_d/top-k all chain as windows on the single tokenized flow
+    (VERDICT r5 ask #6)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tfidf_top_terms"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "documents" in ln]
+    assert len(scans) == 1, f"documents scanned {len(scans)}x"
+
+
+def test_q21_one_lineitem_scan(spark, sf_dir):
+    """Q21's verbatim EXISTS/NOT-EXISTS form re-scans lineitem three
+    times (main + semi + anti). The r6 windowed rewrite must hold
+    exactly ONE lineitem FileScan, with both per-order supplier counts
+    as windows sharing the join's orderkey exchange."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q21_waiting_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
