@@ -6012,12 +6012,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from the parquet footer's row count (catalog statistics —
     zero data read, same as DuckDB's count-star), so the whole query is
     ONE FileScan of the corpus (VERDICT r5 ask #6)."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from spendinganalysisetl_spark.catalog import table_path
     from spendinganalysisetl_spark.operators.textanalysis import tfidf_top_terms
 
-    n_docs = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
+    # dataset-level count: footer metadata only (no data pages), and it
+    # handles both a single parquet file and a Spark-written DIRECTORY
+    # of part files (the sf1 sidecar tables — caught there in r6).
+    n_docs = pads.dataset(
+        table_path(sf_dir, "documents"), format="parquet"
+    ).count_rows()
     return tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), k=3, n_docs=n_docs
     )
