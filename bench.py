@@ -82,7 +82,13 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     aqe_env = os.environ.get("SPARK_GRAFT_AQE")
     extra = {}
-    if aqe_env in ("true", "false"):
+    if aqe_env:
+        if aqe_env not in ("true", "false"):
+            # Fail loudly: a silently-ignored knob (AQE=1, on, TRUE)
+            # would attribute A/B numbers to the wrong planner mode.
+            raise SystemExit(
+                f"SPARK_GRAFT_AQE must be 'true' or 'false', got {aqe_env!r}"
+            )
         extra["spark.sql.adaptive.enabled"] = aqe_env
     elif 0 < sf < 1:
         extra["spark.sql.adaptive.enabled"] = "false"

@@ -291,10 +291,22 @@ def main() -> None:
             "bfs_reach_deep",
             "similar_suppliers_jaccard",
             "oversized_supplier_baskets",
+            # r6 review: the affinity _items persist would otherwise
+            # warm this query's reps too
+            "basket_brand_affinity",
         }
 
         def _drop_shared() -> None:
+            # BOTH cache layers must go: the registry's shared
+            # intermediates AND the operator-level plancache pins
+            # (pagerank's edge/degree tables, bfs_levels' edge cache,
+            # affinity's items table). unpersist is non-cascading, so
+            # clearing only _SHARED left those dependent caches
+            # materialized and rep 2 (best-of-2) read them warm — the
+            # exact flat-ratio artifact this hook exists to prevent
+            # (r6 review finding).
             from spendinganalysisetl_spark import registry as _reg
+            from spendinganalysisetl_spark.operators import plancache as _pc
 
             for df in _reg._SHARED.values():
                 try:
@@ -302,6 +314,13 @@ def main() -> None:
                 except Exception:
                     pass
             _reg._SHARED.clear()
+            for _keys, caches in _pc._LAST_CACHES.values():
+                for c in caches:
+                    try:
+                        c.unpersist()
+                    except Exception:
+                        pass
+            _pc._LAST_CACHES.clear()
 
         def run(name: str, sf_dir: str) -> float:
             best = float("inf")

@@ -46,8 +46,16 @@ def table_path(sf_dir: str, name: str) -> str:
 # plans, so sharing the object across queries is safe; the testdata
 # under one (session, dir) never changes within a process (the driver
 # regenerates it between rounds = between processes). Keyed on the
-# SparkContext id so a restarted session re-resolves.
+# SparkContext's applicationId + startTime — unique per live context,
+# unlike id(), whose CPython address can be recycled after a stopped
+# context is garbage-collected and would then serve relations bound to
+# the dead session (r6 review finding).
 _RELATIONS: dict[tuple, DataFrame] = {}
+
+
+def _context_key(spark: SparkSession) -> tuple:
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,14 +69,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (id(spark.sparkContext), os.path.abspath(sf_dir), name)
+    if name == "events":
+        # Runtime-settable SQL conf — set here (not only in the session
+        # factory) because the grading driver builds its own session;
+        # OUTSIDE the cache check because a second SparkSession sharing
+        # the context (spark.newSession) has its own conf (r6 review).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (_context_key(spark), os.path.abspath(sf_dir), name)
     cached = _RELATIONS.get(key)
     if cached is not None:
         return cached
-    if name == "events":
-        # Runtime-settable SQL conf — set here (not only in the session
-        # factory) because the grading driver builds its own session.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

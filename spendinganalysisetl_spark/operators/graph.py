@@ -224,7 +224,15 @@ def cotransaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     the distinct pair table once and feed
     :func:`cotransaction_edges_from_pairs` — the registry routes all
     four consumers through one cached collapse."""
-    pairs = (
+    return cotransaction_edges_from_pairs(cotransaction_pairs(orders, lineitem))
+
+
+def cotransaction_pairs(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """THE distinct (custkey, suppkey) collapse — single definition so
+    the direct :func:`cotransaction_edges` path and the registry's
+    shared-cache consumers can never silently diverge (r6 review: the
+    collapse briefly existed twice)."""
+    return (
         orders.join(
             lineitem,
             orders["o_orderkey"] == lineitem["l_orderkey"],
@@ -235,7 +243,6 @@ def cotransaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return cotransaction_edges_from_pairs(pairs)
 
 
 def cotransaction_edges_from_pairs(

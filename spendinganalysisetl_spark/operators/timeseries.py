@@ -124,8 +124,10 @@ def recurring_customers(orders: DataFrame, k: int = 50) -> DataFrame:
 
     Scale shape: distinct (customer, date) collapse, ONE window
     partitioned by customer (never a global sort), then a per-customer
-    aggregate — magnitudes stay tiny (gaps < 10⁴ days, Σg² < 10⁹·n),
-    far inside BIGINT.
+    aggregate. The per-row magnitudes (gaps < ~3·10⁶ days) fit BIGINT,
+    but the CV² numerator's five-factor product does NOT for a legal
+    long-lived daily customer — hence the DECIMAL(38,0) promotion
+    below (see the in-function comment and the planted-extreme test).
     """
     from pyspark.sql import Window
 

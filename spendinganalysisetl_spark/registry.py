@@ -63,7 +63,11 @@ _SHARED: dict[tuple, DataFrame] = {}
 
 
 def shared(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir, name)
+    from spendinganalysisetl_spark.catalog import _context_key
+
+    # applicationId+startTime, not id(): a recycled CPython address
+    # after a stopped context is GC'd would serve dead-session frames.
+    key = (_context_key(spark), sf_dir, name)
     if key not in _SHARED:
         _SHARED[key] = build().persist()
     return _SHARED[key]
@@ -105,23 +109,16 @@ def _cs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions and every consumer would scan the cache serially."""
 
     def build() -> DataFrame:
-        from pyspark.sql import functions as F
+        from spendinganalysisetl_spark.operators.graph import (
+            cotransaction_pairs,
+        )
 
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey"
-        )
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey"
-        )
-        return (
-            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-            .select(
-                F.col("o_custkey").alias("custkey"),
-                F.col("l_suppkey").alias("suppkey"),
-            )
-            .distinct()
-            .repartition(spark.sparkContext.defaultParallelism, "custkey")
-        )
+        return cotransaction_pairs(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey"
+            ),
+        ).repartition(spark.sparkContext.defaultParallelism, "custkey")
 
     return shared(spark, sf_dir, "cust_supp_pairs", build)
 
