@@ -110,3 +110,19 @@ def test_table_schema_contract(spark, sf_dir, table):
         f"{table}: column TYPES drifted (testdata regeneration) — check "
         f"parquet physical types via pyarrow and re-audit oracles: {bad}"
     )
+
+
+def test_load_table_relation_is_resolved_once(spark, sf_dir):
+    """r6 relation cache: repeat load_table calls within one session
+    return the SAME DataFrame object (file listing + footer schema
+    resolved once, the warehouse-catalog behavior), keyed on the
+    context's applicationId — not a recyclable id()."""
+    from spendinganalysisetl_spark import catalog
+
+    a = catalog.load_table(spark, sf_dir, "orders")
+    b = catalog.load_table(spark, sf_dir, "orders")
+    assert a is b
+    other = catalog.load_table(spark, sf_dir, "nation")
+    assert other is not a
+    key_part = catalog._context_key(spark)
+    assert key_part[0] == spark.sparkContext.applicationId

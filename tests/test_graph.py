@@ -185,3 +185,33 @@ def test_bfs_levels_multi_source_takes_min(spark):
     src = spark.createDataFrame([("a",), ("e",)], "node string")
     got = {r["node"]: r["level"] for r in bfs_levels(edges, src, 4).collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 0}
+
+
+def test_swap_caches_skips_plan_shared_with_new_pin(spark):
+    """plancache shared-plan guard (r6, ADVICE r5): when a previous
+    call's cached frame is plan-identical to one of the NEW call's
+    caches, the swap must NOT unpersist it — the new persist deduped
+    onto the same CacheManager entry, and releasing the old handle
+    would evict the new pin (the bfs_reach_report ↔ bfs_reach_deep
+    alternation kept re-materializing the shared edge table)."""
+    from spendinganalysisetl_spark.operators import plancache as pc
+
+    shared_frame = spark.range(10).selectExpr("id AS src", "id + 1 AS dst")
+    c1 = shared_frame.select("src", "dst").persist()
+    c1.count()
+    k1 = spark.createDataFrame([("a",)], "node string")
+    pc.swap_caches("t_op", [c1, k1], [c1])
+    # different key (fresh LocalRelation is never sameSemantics), but
+    # the new cache list holds a plan-identical frame: c1 must survive
+    c2 = shared_frame.select("src", "dst").persist()
+    k2 = spark.createDataFrame([("b",)], "node string")
+    pc.swap_caches("t_op", [c2, k2], [c2])
+    lvl = c1.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "shared-plan cache was evicted"
+    # an unrelated new input DOES release the previous pins
+    c3 = spark.range(5).selectExpr("id AS src", "id AS dst").persist()
+    pc.swap_caches("t_op", [c3], [c3])
+    lvl = c2.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    c3.unpersist()
+    pc._LAST_CACHES.pop("t_op", None)
