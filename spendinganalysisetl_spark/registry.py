@@ -6716,6 +6716,30 @@ def q_bpe_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_ann_topk")  # rows-only: codebooks come out of a seeded
+# Lloyd fit (engine-internal model artifact, like k-means/PCA); the
+# fit+encode is differentially pinned bit-for-bit against an
+# independent numpy PQ, and the ADC≡reconstruction-distance identity
+# plus a recall floor vs exact search are pinned in
+# tests/test_dedup_similarity.py.
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk —
+    Jégou et al. 2011, the FAISS IVFPQ building block): vectors encode
+    to 16 one-byte subspace codes (16× smaller than float32), and each
+    query's top-5 comes from summing m table lookups per candidate —
+    the asymmetric-distance (ADC) scan that makes billion-vector search
+    fit in memory. Completes the ANN family: brute/BLAS = exact, LSH =
+    data-independent buckets, IVF = adaptive cells (probe pruning), PQ
+    = compressed scoring (memory/bandwidth); IVF∘PQ composes into full
+    IVFPQ. m=16 suits this near-isotropic synthetic corpus; clustered
+    real corpora tolerate the classic coarser m."""
+    from spendinganalysisetl_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"), None, k=5, m=16, ksub=16
+    )
+
+
 @register("pca_projection_scores")  # rows-only: the eigenbasis comes out
 # of LAPACK eigh — no SQL twin can eigendecompose; the covariance it
 # diagonalizes IS oracle-checked bit-for-bit (embedding_covariance_matrix),
