@@ -278,25 +278,29 @@ def main() -> None:
     try:
         _replicate(spark, SF_DIR, big, k)
 
-        # The graph/Jaccard family reads the SHARED cust-supp pair
-        # collapse (registry._cs_pairs, cached per session+sf since r6).
-        # For THESE queries the collapse is exactly the stage that must
-        # absorb the replicas, so each timed rep clears the shared
-        # cache and pays it again — otherwise the probe would time warm
-        # cache walks and report a trivially-flat ratio. Other queries
-        # keep the session-cache semantics the bench has always had.
+        # Queries that read a SHARED session-cached intermediate
+        # (registry._cs_pairs / _doc_terms) and/or an operator-level
+        # plancache pin. For these the cached stage is exactly the one
+        # that must absorb the replicas, so each timed rep clears THAT
+        # query's cache deps and pays the build again — otherwise the
+        # probe times warm cache walks and reports a trivially-flat
+        # ratio. Deps are per-query (r6 advisor: a blanket clear forced
+        # bystander queries to cold-rebuild unrelated intermediates).
         PAY_COLLAPSE = {
-            "pagerank_customer_supplier",
-            "bfs_reach_report",
-            "bfs_reach_deep",
-            "similar_suppliers_jaccard",
-            "oversized_supplier_baskets",
+            "pagerank_customer_supplier": (("cust_supp_pairs",), ("pagerank",)),
+            "bfs_reach_report": (("cust_supp_pairs",), ("bfs_levels",)),
+            "bfs_reach_deep": (("cust_supp_pairs",), ("bfs_levels",)),
+            "similar_suppliers_jaccard": (("cust_supp_pairs",), ()),
+            "oversized_supplier_baskets": (("cust_supp_pairs",), ()),
             # r6 review: the affinity _items persist would otherwise
             # warm this query's reps too
-            "basket_brand_affinity",
+            "basket_brand_affinity": (("cust_supp_pairs",), ("affinity_items",)),
+            # r7: the text family's shared doc-term index — the
+            # tokenize it hides is precisely tfidf's scaling stage
+            "tfidf_top_terms": (("doc_terms",), ()),
         }
 
-        def _drop_shared() -> None:
+        def _drop_shared(shared_names, plancache_ops) -> None:
             # BOTH cache layers must go: the registry's shared
             # intermediates AND the operator-level plancache pins
             # (pagerank's edge/degree tables, bfs_levels' edge cache,
@@ -305,28 +309,35 @@ def main() -> None:
             # materialized and rep 2 (best-of-2) read them warm — the
             # exact flat-ratio artifact this hook exists to prevent
             # (r6 review finding).
+            # Scoped to THIS family's caches only (r6 advisor): dropping
+            # all of _SHARED would force a bystander query timed after a
+            # PAY_COLLAPSE one to cold-rebuild unrelated intermediates
+            # (e.g. base_sales) in its rep 1 — best-of-2 masks that, but
+            # the probe shouldn't rely on the mask.
             from spendinganalysisetl_spark import registry as _reg
             from spendinganalysisetl_spark.operators import plancache as _pc
 
-            for df in _reg._SHARED.values():
+            for key in [k for k in _reg._SHARED if k[2] in shared_names]:
                 try:
-                    df.unpersist()
+                    _reg._SHARED[key].unpersist()
                 except Exception:
                     pass
-            _reg._SHARED.clear()
-            for _keys, caches in _pc._LAST_CACHES.values():
-                for c in caches:
+                del _reg._SHARED[key]
+            for op in plancache_ops:
+                entry = _pc._LAST_CACHES.pop(op, None)
+                if entry is None:
+                    continue
+                for c in entry[1]:
                     try:
                         c.unpersist()
                     except Exception:
                         pass
-            _pc._LAST_CACHES.clear()
 
         def run(name: str, sf_dir: str) -> float:
             best = float("inf")
             for _ in range(2):
                 if name in PAY_COLLAPSE:
-                    _drop_shared()
+                    _drop_shared(*PAY_COLLAPSE[name])
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

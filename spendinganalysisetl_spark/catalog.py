@@ -77,8 +77,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (_context_key(spark), os.path.abspath(sf_dir), name)
     cached = _RELATIONS.get(key)
-    if cached is not None:
+    # A DataFrame is bound to the SparkSession that created it, not just
+    # the context: under spark.newSession() on a shared context the
+    # cached frame would execute under the ORIGINAL session's conf and
+    # register temp views in its catalog (r6 advisor). Hit only when the
+    # owning session is the caller's.
+    if cached is not None and cached.sparkSession is spark:
         return cached
+    if cached is None:
+        # Opportunistic eviction: entries keyed to stopped contexts
+        # (pytest fixtures rebuilding sessions) otherwise accumulate for
+        # the life of the process, pinning dead plan objects.
+        live = _context_key(spark)
+        for k in [k for k in _RELATIONS if k[0] != live]:
+            del _RELATIONS[k]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -535,10 +535,21 @@ def lsh_cluster_stars(
     """
     sig = _minhash_signatures(documents, n_hashes, shingle_n)
     banded = banded_signatures(sig, n_hashes, bands)
+    return _star_clusters(banded, "band_sig", documents)
+
+
+def _star_clusters(
+    banded: DataFrame, key_col: str, documents: DataFrame
+) -> DataFrame:
+    """Shared back half of the star-clustering family: bucket → hub
+    (min doc_id per (band, bucket-key)) → star edges → warm-started
+    connected components → presented cluster report. ``banded`` must
+    carry (doc_id, band, ``key_col``); ``documents`` supplies the
+    vertex set (docs in no bucket collision stay singleton clusters)."""
     from pyspark.sql import Window
 
     with_hub = banded.withColumn(
-        "hub", F.min("doc_id").over(Window.partitionBy("band", "band_sig"))
+        "hub", F.min("doc_id").over(Window.partitionBy("band", key_col))
     ).cache()  # feeds both the edge set and the warm-start labels
     edges = (
         with_hub.filter(F.col("doc_id") != F.col("hub"))
@@ -566,6 +577,32 @@ def lsh_cluster_stars(
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+def lsh_cluster_stars_portable(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    id_cap: int | None = None,
+) -> DataFrame:
+    """Star clustering over the PORTABLE md5-fold MinHash family
+    (``_portable_sig_bands`` — the same Kirsch-Mitzenmacher signatures
+    behind ``minhash_lsh_pairs_portable``): identical star-edge → CC
+    pipeline to :func:`lsh_cluster_stars`, but every hash is
+    reproducible outside the JVM, so a golden oracle can compute the
+    expected clustering independently (registry ``lsh_cluster_fixture``
+    does exactly that over a planted corpus with a pure-Python
+    replication). The xxhash64 variant stays the scale path."""
+    shingled, banded = _portable_sig_bands(
+        documents, n_hashes, bands, shingle_n, id_cap
+    )
+    base = (
+        documents
+        if id_cap is None
+        else documents.filter(F.col("doc_id") < id_cap)
+    )
+    return _star_clusters(banded, "band_key", base)
 
 
 def _portable_sig_bands(

@@ -767,6 +767,15 @@ def pq_train(
                 if len(members):
                     cent[c] = members.mean(axis=0)
         books[j, : len(cent)] = cent
+        if len(cent) < ksub:
+            # Tiny corpus (n < ksub): pad the unfilled rows with
+            # DUPLICATED real centroids, not zeros — a phantom all-zero
+            # centroid scores 0 in argmax(x·c − ||c||²/2) and would beat
+            # every real centroid with a negative score, polluting codes
+            # and ADC tables (r6 advisor). A duplicate can never win over
+            # its original (ties resolve to the first index).
+            for c in range(len(cent), ksub):
+                books[j, c] = cent[c % len(cent)]
     return books
 
 

@@ -396,7 +396,9 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def vocab_top_terms(documents: DataFrame, k: int = 100) -> DataFrame:
+def vocab_top_terms(
+    documents: DataFrame, k: int = 100, doc_terms: DataFrame | None = None
+) -> DataFrame:
     """Corpus vocabulary head: the ``k`` most frequent whitespace tokens
     with total count, document frequency, and corpus rank — the first
     pass of building a tokenizer vocabulary (and the sanity report every
@@ -411,13 +413,24 @@ def vocab_top_terms(documents: DataFrame, k: int = 100) -> DataFrame:
     never globally sorted or moved to one task; ranks are then numbered
     on the k surviving rows. Ties break lexicographically.
     """
-    toks = _spread(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token")
-    )
-    vocab = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    )
+    if doc_terms is not None:
+        # Registry-shared persisted doc-term index (textanalysis.
+        # doc_term_counts): the table is already distinct per
+        # (doc_id, term), so n_occurrences = Σc and the document
+        # frequency is a plain count — no second tokenize, no
+        # countDistinct shuffle over raw occurrences.
+        vocab = doc_terms.groupBy(F.col("term").alias("token")).agg(
+            F.sum("c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    else:
+        toks = _spread(documents.select("doc_id", "text")).select(
+            "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+        vocab = toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
     head = vocab.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
     return (

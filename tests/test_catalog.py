@@ -126,3 +126,28 @@ def test_load_table_relation_is_resolved_once(spark, sf_dir):
     assert other is not a
     key_part = catalog._context_key(spark)
     assert key_part[0] == spark.sparkContext.applicationId
+
+
+def test_load_table_rebinds_for_new_session(spark, sf_dir):
+    """r7 (r6 advisor): a cached relation is bound to the SparkSession
+    that created it — spark.newSession() shares the context but has its
+    own conf and temp-view catalog, so the cache must rebuild (and the
+    rebuilt frame must be usable in the new session's catalog)."""
+    from spendinganalysisetl_spark import catalog
+
+    a = catalog.load_table(spark, sf_dir, "orders")
+    s2 = spark.newSession()
+    try:
+        b = catalog.load_table(s2, sf_dir, "orders")
+        assert b is not a
+        assert b.sparkSession is s2
+        b.createOrReplaceTempView("orders_s2")
+        assert s2.sql("SELECT count(*) AS n FROM orders_s2").collect()[0].n > 0
+        # the original session's cache entry is restored on next call
+        c = catalog.load_table(spark, sf_dir, "orders")
+        assert c.sparkSession is spark
+    finally:
+        # leave the module cache keyed to the fixture session only
+        live = catalog._context_key(spark)
+        for k in [k for k in catalog._RELATIONS if k[0] != live]:
+            del catalog._RELATIONS[k]
