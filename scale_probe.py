@@ -298,6 +298,9 @@ def main() -> None:
             # r7: the text family's shared doc-term index — the
             # tokenize it hides is precisely tfidf's scaling stage
             "tfidf_top_terms": (("doc_terms",), ()),
+            # r7: stars now reads the shared banded-signature table;
+            # the shingle+hash scan it hides IS the scaling stage
+            "lsh_cluster_stars": (("minhash_banded_32_8",), ()),
         }
 
         def _drop_shared(shared_names, plancache_ops) -> None:

@@ -167,6 +167,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.6,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -176,13 +177,20 @@ def minhash_lsh_pairs(
     happens implicitly through banding; the verify join re-reads only
     candidate doc texts (broadcast-able at moderate candidate counts,
     plain shuffle join otherwise).
+
+    ``banded``: optionally a pre-built (PERSISTED) banded-signature
+    frame — the registry shares ONE per session between this operator
+    and ``lsh_cluster_stars`` (identical n_hashes/bands/shingle_n →
+    identical table; the shingle+hash corpus scan behind it is both
+    queries' dominant cost).
     """
-    sig = _minhash_signatures(documents, n_hashes, shingle_n)
-    banded = banded_signatures(sig, n_hashes, bands)
-    # The self-join references `banded` twice; without materialization the
-    # whole shingle→hash→min pipeline runs twice. The banded signature
-    # table is tiny (docs × bands rows of 3 longs) — cache it.
-    banded = banded.cache()
+    if banded is None:
+        sig = _minhash_signatures(documents, n_hashes, shingle_n)
+        # The self-join references `banded` twice; without
+        # materialization the whole shingle→hash→min pipeline runs
+        # twice. The banded signature table is tiny (docs × bands rows
+        # of 3 longs) — cache it.
+        banded = banded_signatures(sig, n_hashes, bands).cache()
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -208,15 +216,35 @@ def minhash_lsh_pairs(
     sh = (
         _normed(documents.join(cand_ids, "doc_id", "left_semi"))
         .select("doc_id", char_shingles(F.col("norm"), shingle_n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
         .cache()
     )
+    # |A∪B| = |A|+|B|−|A∩B| for the (distinct) shingle sets — one
+    # interpreted set operation per pair instead of two; the union
+    # array itself was only ever sized, never read. Exact, and the
+    # verify is this query's floor on duplicate-dense corpora (sf1:
+    # 1.4M candidate pairs over 46k docs — candidate count, not the
+    # signature build, is what grows with duplication depth).
+    sh_a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        # own column, then referenced twice: the interpreted
+        # array_intersect is not CSE'd across expression references
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -510,6 +538,7 @@ def lsh_cluster_stars(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from LSH buckets via star edges — the scale
     path for massively duplicated corpora, where pairwise output is the
@@ -533,8 +562,9 @@ def lsh_cluster_stars(
     the candidate-pair scale the corpus allows, or verify only each
     star edge (still O(d) per cluster) before clustering.
     """
-    sig = _minhash_signatures(documents, n_hashes, shingle_n)
-    banded = banded_signatures(sig, n_hashes, bands)
+    if banded is None:
+        sig = _minhash_signatures(documents, n_hashes, shingle_n)
+        banded = banded_signatures(sig, n_hashes, bands)
     return _star_clusters(banded, "band_sig", documents)
 
 

@@ -208,6 +208,7 @@ def pca_project(
     vec_col: str = "embedding",
     k: int = 8,
     scale: float = _SCALE,
+    ordered: bool = True,
 ) -> DataFrame:
     """Project every vector onto the top-k principal components of the
     (quantized) corpus covariance. Output is flat rows
@@ -240,13 +241,16 @@ def pca_project(
     projected = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         _project, f"{id_col} long, pc long, score double"
     )
-    return (
-        projected.select(
-            id_col, "pc", (F.round("score", 6) + F.lit(0.0)).alias("score")
-        )
-        .repartition(1)
-        .sortWithinPartitions(id_col, "pc")
+    out = projected.select(
+        id_col, "pc", (F.round("score", 6) + F.lit(0.0)).alias("score")
     )
+    if not ordered:
+        # Production core: |corpus|·k rows stay distributed — the
+        # canonical single-partition sort below is an oracle/report
+        # concern only (a one-task sink over a corpus-sized output is
+        # wrong at scale; presentation-layer boundary, VERDICT r6 #7).
+        return out
+    return out.repartition(1).sortWithinPartitions(id_col, "pc")
 
 
 def variance_explained(

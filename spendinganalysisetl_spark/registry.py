@@ -963,10 +963,15 @@ def q_token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift monitor: Population Stability Index of the unigram
     distribution between two corpus slices, top contributors
     (operators/trainprep.py:token_drift_psi) — the accept/reject check
-    before a refreshed crawl joins the training mix."""
+    before a refreshed crawl joins the training mix. Reads the
+    session-shared doc-term index (_doc_terms) — one corpus tokenize
+    for the whole text family."""
     from spendinganalysisetl_spark.operators.trainprep import token_drift_psi
 
-    return token_drift_psi(load_table(spark, sf_dir, "documents"))
+    return token_drift_psi(
+        load_table(spark, sf_dir, "documents"),
+        doc_terms=_doc_terms(spark, sf_dir),
+    )
 
 
 _Q1_SPARK_SQL = """
@@ -1348,7 +1353,17 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS-decorrelation itself stays exercised verbatim by Q4 (semi)
     and Q22 (anti). Same-key window means the order-level work
     co-locates on one shuffle at any scale; per-order set state is
-    bounded by order width."""
+    bounded by order width.
+
+    CONVERGED (r7 adjudication, closes the r6 watch): the sf1 executed
+    plan holds exactly one fact exchange — the status-filtered orders
+    side BROADCASTS onto lineitem (BuildRight), both supplier-count
+    windows share the single hashpartitioning(l_orderkey) exchange,
+    supplier/nation broadcast onto the candidate set, and the only
+    other exchanges are the final s_name aggregate plus the
+    presentation sort. Residual ~2× vs DuckDB at sf1 is the JVM
+    collect_set window + scheduling floor over a sub-second query, not
+    a plan defect; no further exchange to remove."""
     from pyspark.sql import Window, functions as F
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -2167,13 +2182,39 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared banded MinHash signature table (32 hashes, 8
+    bands, 5-char shingles) — minhash_lsh_pairs and lsh_cluster_stars
+    build the IDENTICAL frame, and the shingle+xxhash64 corpus scan
+    behind it is both queries' dominant cost (r6 sf1 sidecar:
+    minhash_lsh_pairs 10.5 s, mostly this build). Same
+    materialized-common-view move as _cs_pairs/_doc_terms."""
+
+    def build() -> DataFrame:
+        from spendinganalysisetl_spark.operators.dedup import (
+            _minhash_signatures,
+            banded_signatures,
+        )
+
+        return banded_signatures(
+            _minhash_signatures(load_table(spark, sf_dir, "documents"), 32, 5),
+            32,
+            8,
+        )
+
+    return shared(spark, sf_dir, "minhash_banded_32_8", build)
+
+
 @register("minhash_lsh_pairs")  # no SQL oracle: xxhash64 signatures are
 # engine-internal; ground truth is the exact-Jaccard pytest comparison
 # (tests/test_dedup.py) — driver records rows-only (SURVEY.md §5.1).
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        banded=_minhash_banded(spark, sf_dir),
+    )
 
 
 @register("simhash_near_pairs")  # rows-only for the same reason.
@@ -2203,7 +2244,10 @@ def q_lsh_cluster_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return lsh_cluster_stars(load_table(spark, sf_dir, "documents"))
+        return lsh_cluster_stars(
+            load_table(spark, sf_dir, "documents"),
+            banded=_minhash_banded(spark, sf_dir),
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -6196,15 +6240,12 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from spendinganalysisetl_spark.functions.text import ws_tokens
-    from spendinganalysisetl_spark.partitioning import spread
-
-    docs = load_table(spark, sf_dir, "documents")
+    # r7: vocabulary counts re-aggregate the session-shared doc-term
+    # index (Σc per term ≡ the raw occurrence count) — no re-tokenize.
     vocab = (
-        spread(docs.select("text"))
-        .select(F.explode(ws_tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _doc_terms(spark, sf_dir)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.sum("c").alias("c"))
     )
     head = (
         vocab.orderBy(F.col("c").desc(), F.col("token").asc())
@@ -6763,6 +6804,121 @@ def q_bpe_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted near-dup corpus for lsh_cluster_fixture: ids 0-2 are one
+# near-identical family (tail edits), 3-4 exact duplicates, 5 a lighter
+# edit of the 3/4 text (may or may not band-collide — the golden
+# replication decides), 6-9 distinct singles. ASCII only, so Python and
+# JVM lower()/\s+/UTF-8-md5 agree byte-for-byte.
+_LSH_FIXTURE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+    "the quick brown fox jumps over the lazy dog near the quiet river bank tonight",
+    "the quick brown fox jumps over the lazy dog near the quiet river bank",
+    "pack my box with five dozen liquor jugs before the long winter auction starts",
+    "pack my box with five dozen liquor jugs before the long winter auction starts",
+    "pack my box with five dozen liquor jugs before the long summer auction starts",
+    "sphinx of black quartz judge my vow while the orchestra tunes quietly backstage",
+    "how vexingly quick daft zebras jump across the frozen midnight meadow fence",
+    "crazy frederick bought many very exquisite opal jewels at the harbor market",
+    "we promptly judged antique ivory buckles for the next prize exhibition catalog",
+]
+
+
+def _lsh_fixture_oracle_sql() -> str:
+    """Golden VALUES for lsh_cluster_fixture: a PURE-PYTHON replication
+    of the portable star-clustering pipeline — norm (lower + \\s+
+    collapse) → 5-char shingle set → md5 hex → two 14-hex-digit folds →
+    Kirsch-Mitzenmacher h1 + k·h2 minhash (k < 8) → 4 bands of 2 rows →
+    bucket collisions → connected components (union-find) with
+    cluster_id = min doc_id. No Spark anywhere, so a green driver row
+    means the distributed pipeline (operators/dedup.py:
+    lsh_cluster_stars_portable — shingle HOFs, signature aggregate,
+    posexploded band keys, star edges, warm-started iterative CC)
+    reproduced the independent computation end-to-end. This converts
+    the star-CC ≡ pair-CC invariant test's local fact into a
+    driver-checked row for the family's honest 100×-scaling witness
+    (VERDICT r6 ask #5). Clusters here use ALL intra-bucket pairs —
+    independent of the star-edge device under test (they are provably
+    equivalent; the fixture checks it)."""
+    import hashlib
+    import re as _re
+
+    n_hashes, bands, shingle_n = 8, 4, 5
+    rpb = n_hashes // bands
+    sigs = {}
+    for i, t in enumerate(_LSH_FIXTURE_TEXTS):
+        norm = _re.sub(r"\s+", " ", t.lower())
+        hi = max(len(norm) - (shingle_n - 1), 1)
+        shingles = {norm[p : p + shingle_n] for p in range(hi)}
+        folds = []
+        for s in shingles:
+            hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+            folds.append((int(hx[:14], 16), int(hx[14:28], 16)))
+        sigs[i] = [min(h1 + k * h2 for h1, h2 in folds) for k in range(n_hashes)]
+    buckets: dict = {}
+    for i, sig in sigs.items():
+        for b in range(bands):
+            key = (b, tuple(sig[b * rpb : (b + 1) * rpb]))
+            buckets.setdefault(key, []).append(i)
+    parent = list(range(len(_LSH_FIXTURE_TEXTS)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    labels = [find(i) for i in range(len(_LSH_FIXTURE_TEXTS))]
+    sizes = {lb: labels.count(lb) for lb in set(labels)}
+    # The fixture must WITNESS real merging: at least one multi-doc
+    # cluster and at least one singleton, or an edit to the planted
+    # texts has silently defanged it.
+    assert max(sizes.values()) >= 3 and min(sizes.values()) == 1, sizes
+    rows = ",\n".join(
+        f"({i}, {labels[i]}, {sizes[labels[i]]}, {int(labels[i] == i)})"
+        for i in range(len(_LSH_FIXTURE_TEXTS))
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(is_canonical AS INT) AS is_canonical
+FROM (VALUES
+{rows}
+) AS t(doc_id, cluster_id, cluster_size, is_canonical)
+ORDER BY doc_id
+"""
+
+
+@register("lsh_cluster_fixture", _lsh_fixture_oracle_sql())
+def q_lsh_cluster_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of lsh_cluster_stars (VERDICT r6 ask #5):
+    the full distributed star-clustering pipeline — portable md5-fold
+    MinHash signatures, banded bucket keys, min-hub star edges,
+    warm-started iterative connected components — over a planted
+    10-document corpus, compared against a golden VALUES oracle
+    computed by an independent pure-Python replication at import time
+    (see _lsh_fixture_oracle_sql). lsh_cluster_stars stays the at-scale
+    entry (real corpus, xxhash64 signatures, rows-only by hash
+    portability); this entry makes its clustering logic a driver-checked
+    row. Bench note: a fixture-sized iterative CC pays the per-round
+    scheduling floor, not data cost — its wall-clock vs the VALUES
+    oracle is documented-by-nature, like bpe_encode_fixture."""
+    from spendinganalysisetl_spark.operators.dedup import (
+        lsh_cluster_stars_portable,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_LSH_FIXTURE_TEXTS)],
+        "doc_id long, text string",
+    )
+    return lsh_cluster_stars_portable(docs, n_hashes=8, bands=4, shingle_n=5)
+
+
 @register("pq_ann_topk")  # rows-only: codebooks come out of a seeded
 # Lloyd fit (engine-internal model artifact, like k-means/PCA); the
 # fit+encode is differentially pinned bit-for-bit against an
@@ -6840,79 +6996,120 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # -- Round 6 window (VERDICT r5 asks #3 and #8). Priorities, in
-    # order: (a) the 11 queries whose latest driver row is still r2 —
-    # the last of the rotation debt; after this round no oracle's
-    # latest row predates r3; (b) queries whose CODE or ORACLE changed
-    # this round (shared cust-supp pair collapse under the whole graph
-    # + Jaccard family; opt-in affinity caps passed explicitly;
-    # DECIMAL(38,0)/HUGEINT widening of the EWMA and CV² products;
-    # docs_kept row-granular parity; media fixture temp naming); (c)
-    # the two NEW oracles (affinity audit twin, BPE fixture); (d)
-    # rotations — the oldest-[r3] block from _CHECK_LATE. Every
-    # demotion carries its latest green round; the local oracle-parity
-    # gate still covers every oracle each pytest run.
-    #
-    # (a) r2-latest rotation debt (VERDICT r5 "what's missing" #1):
-    "correlated_subquery_above_brand_avg",
-    "cosine_near_dup_pairs",
-    "embedding_quantize_int8",
-    "events_interval_join",
-    "events_sliding_10min",
-    "grouping_sets_revenue",
-    "join_full_outer_nation_counts",
-    "monthly_unpivot_roundtrip",
-    "percentile_prices_by_priority",
-    "setop_intersect_all_priorities",
-    "setop_except_all_priorities",
-    # (b) code- or oracle-changed in r6:
-    "pagerank_customer_supplier",
-    "bfs_reach_report",
-    "bfs_reach_deep",
-    "similar_suppliers_jaccard",
-    "basket_brand_affinity",
-    "recurring_spend_customers",
-    "ewma_forecast_priority_revenue",
-    "domain_mixture_resample",
-    "ingest_media_report",
-    "bloom_skip_report",
+    # (a) code-changed in r7 — the shared doc-term index rewired
+    #     tfidf/cross-entropy/vocab, the HOF materialization rebuilt
+    #     text_repetition_scores, and the ordered-param presentation
+    #     split touched the decontaminate/boilerplate/packing/shard
+    #     operators (default path plan-identical; re-confirm anyway):
+    "text_repetition_scores",
     "tfidf_top_terms",
-    # (c) new-in-r6 oracles:
-    "oversized_supplier_baskets",
-    "bpe_encode_fixture",
-    # (b-late) tpch_q21 rewritten to the windowed one-pass form in r6:
-    "tpch_q21_waiting_supplier",
-    # (d) rotations: the oldest-[r3] block from _CHECK_LATE, in their
-    # listed order (their code is unchanged since r3; freshest rows
-    # [r4]/[r5] wait their turn):
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "fuzzy_pairs_levenshtein",
-    "events_value_anomalies",
-    "length_bucket_profile",
-    "dq_check_lineitem",
-    "corr_matrix_lineitem",
-    "similarity_brute_force_topk_blas",
-    "bigram_pmi_collocations",
-    "similarity_brute_force_topk",
-    "similarity_filtered_topk",
-    "similarity_pairwise_dot_stats",
-    "vendor_monthly_trend",
-    "monthly_pct_change_inf_ref",
     "doc_cross_entropy",
-    "merge_delete_retention",
-    "upsert_time_travel",
-    "upsert_merge_monthly",
+    "vocab_top_terms",
+    "decontaminate_ngram_overlap",
+    "boilerplate_ngram_stats",
+    "sequence_packing_bins",
     "training_shard_pipeline",
-    "multimodal_features",
-    "multimodal_resize_pipeline",
-    "events_transition_matrix",
-    "events_running_distinct_users",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
+    "vocab_zipf_fit",
+    "token_drift_psi",
+    # (b) new-in-r7 oracle (the lsh_cluster_stars golden fixture,
+    #     VERDICT r6 ask #5):
+    "lsh_cluster_fixture",
+    # (c) rotation: the entire remaining [r3]-latest block (the
+    #     oldest driver rows in the catalog after the r6 rotation),
+    #     then the head of the [r4] block (VERDICT r6 ask #3); the
+    #     [r4] remainder is first in line for r8:
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q13_customer_distribution",
+    "sql_surface_q1",
+    "category_totals",
+    "monthly_pct_change_last",
+    "corpus_curation",
+    "text_quality_scores",
+    "asof_join_click_purchase",
+    "report_fi_summary",
+    "ngram_jaccard_pairs",
+    "join_revenue_by_nation",
+    "rollup_returnflag_linestatus",
+    "setop_union_nations",
+    "text_lang_id",
+    "bottom5_vendors_ref_compat",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_volume_part_shippers",
+    "tpch_q22_dormant_rich_customers",
+    "tpch_q4_order_priority_exists",
+    "tpch_q2_min_cost_supplier",
+    "multimodal_frame_sample",
+    "stream_dedup_at_least_once",
+    "stream_tumbling_5min",
+    "stream_session_window",
+    "stream_running_distinct_users",
+    "scalar_functions_showcase",
+    "events_tumbling_5min",
+    "events_session_window_native",
+    "monthly_pivot_wide",
+    "monthly_avg_absent_as_zero",
+    "category_totals_ref_roundsum",
+    "top5_vendors",
+    "unique_categories",
+    "vendor_totals",
+    "cube_returnflag_linestatus",
+    "setop_except_nations",
+    "setop_intersect_nations",
 ]
 
 _CHECK_LATE: list[str] = [
+    # r6-green: the entire round-6 window (50/50 green in
+    # CORRECTNESS_r06.json), demoted to fund the r7 window above —
+    # the freshest rows in the catalog:
+    "correlated_subquery_above_brand_avg",  # [r6]
+    "cosine_near_dup_pairs",  # [r6]
+    "embedding_quantize_int8",  # [r6]
+    "events_interval_join",  # [r6]
+    "events_sliding_10min",  # [r6]
+    "grouping_sets_revenue",  # [r6]
+    "join_full_outer_nation_counts",  # [r6]
+    "monthly_unpivot_roundtrip",  # [r6]
+    "percentile_prices_by_priority",  # [r6]
+    "setop_intersect_all_priorities",  # [r6]
+    "setop_except_all_priorities",  # [r6]
+    "pagerank_customer_supplier",  # [r6]
+    "bfs_reach_report",  # [r6]
+    "bfs_reach_deep",  # [r6]
+    "similar_suppliers_jaccard",  # [r6]
+    "basket_brand_affinity",  # [r6]
+    "recurring_spend_customers",  # [r6]
+    "ewma_forecast_priority_revenue",  # [r6]
+    "domain_mixture_resample",  # [r6]
+    "ingest_media_report",  # [r6]
+    "bloom_skip_report",  # [r6]
+    "oversized_supplier_baskets",  # [r6]
+    "bpe_encode_fixture",  # [r6]
+    "tpch_q21_waiting_supplier",  # [r6]
+    "events_funnel_conversion",  # [r6]
+    "events_retention_cohorts",  # [r6]
+    "fuzzy_pairs_levenshtein",  # [r6]
+    "events_value_anomalies",  # [r6]
+    "length_bucket_profile",  # [r6]
+    "dq_check_lineitem",  # [r6]
+    "corr_matrix_lineitem",  # [r6]
+    "similarity_brute_force_topk_blas",  # [r6]
+    "bigram_pmi_collocations",  # [r6]
+    "similarity_brute_force_topk",  # [r6]
+    "similarity_filtered_topk",  # [r6]
+    "similarity_pairwise_dot_stats",  # [r6]
+    "vendor_monthly_trend",  # [r6]
+    "monthly_pct_change_inf_ref",  # [r6]
+    "merge_delete_retention",  # [r6]
+    "upsert_time_travel",  # [r6]
+    "upsert_merge_monthly",  # [r6]
+    "multimodal_features",  # [r6]
+    "multimodal_resize_pipeline",  # [r6]
+    "events_transition_matrix",  # [r6]
+    "events_running_distinct_users",  # [r6]
+    "tpch_q1_pricing_summary",  # [r6]
+    "tpch_q3_shipping_priority",  # [r6]
     # Every name below holds a GREEN driver row from the tagged round
     # (rows+schema+hash all true in CORRECTNESS_r0N.json) and its code
     # is unchanged in round 6 — demoted to spend the 50-slot window on
@@ -6922,24 +7119,6 @@ _CHECK_LATE: list[str] = [
     #
     # r3-green remainder (the oldest 26 [r3] rows rotated into the r6
     # window; these are next in line for r7):
-    "tpch_q5_local_supplier_volume",  # [r3] — yielded its r6 slot to the q21 rewrite re-check
-    "tpch_q18_large_volume_customer",  # [r3] — yielded its r6 slot (51st)
-    "tpch_q16_supplier_part_counts",  # [r3]
-    "tpch_q13_customer_distribution",  # [r3]
-    "sql_surface_q1",  # [r3]
-    "token_drift_psi",  # [r3]
-    "category_totals",  # [r3]
-    "monthly_pct_change_last",  # [r3]
-    "corpus_curation",  # [r3]
-    "text_quality_scores",  # [r3] — r2→r3 bench doubling A/B-proven jitter (same-session medians within 2%)
-    "asof_join_click_purchase",  # [r3]
-    "report_fi_summary",  # [r3]
-    "ngram_jaccard_pairs",  # [r3]
-    "join_revenue_by_nation",  # [r3]
-    "rollup_returnflag_linestatus",  # [r3]
-    "setop_union_nations",  # [r3]
-    "text_lang_id",  # [r3]
-    "bottom5_vendors_ref_compat",  # [r3]
     #
     # r5-green: the round-5 window minus the r6 code-changed re-checks
     # (which sit in _CHECK_FIRST above) — the freshest rows in the
@@ -6964,24 +7143,18 @@ _CHECK_LATE: list[str] = [
     "range_join_price_bands",  # [r5]
     "salted_revenue_by_flag",  # [r5]
     "map_roundtrip_category_totals",  # [r5]
-    "text_repetition_scores",  # [r5]
     "doc_length_histogram",  # [r5]
     "events_props_json_stats",  # [r5]
     "events_props_variant_stats",  # [r5]
     "embedding_label_audit",  # [r5]
-    "decontaminate_ngram_overlap",  # [r5]
-    "boilerplate_ngram_stats",  # [r5]
-    "sequence_packing_bins",  # [r5]
     "chunk_documents_sliding",  # [r5]
     "scd2_customer_dim",  # [r5]
     "pii_scrub_documents",  # [r5]
     "domain_mix_weights",  # [r5]
     "source_quality_report",  # [r5]
-    "vocab_top_terms",  # [r5]
     "incremental_dedup_batch",  # [r5]
     "numeric_profile_lineitem",  # [r5]
     "incremental_monthly_refresh",  # [r5]
-    "vocab_zipf_fit",  # [r5]
     "events_gap_fill_hourly",  # [r5]
     #
     # r4-green: the entire round-4 window (50/50 green in
@@ -6989,29 +7162,7 @@ _CHECK_LATE: list[str] = [
     # above. None of their code changed in r5 except the streaming
     # topologies' shared session config (unchanged since r4) — the
     # freshest rows in the catalog, first in line for the r6 rotation:
-    "tpch_q17_small_qty_revenue",  # [r4]
-    "tpch_q20_volume_part_shippers",  # [r4]
-    "tpch_q22_dormant_rich_customers",  # [r4]
-    "tpch_q4_order_priority_exists",  # [r4]
-    "tpch_q2_min_cost_supplier",  # [r4]
-    "multimodal_frame_sample",  # [r4]
-    "stream_dedup_at_least_once",  # [r4]
-    "stream_tumbling_5min",  # [r4]
-    "stream_session_window",  # [r4]
-    "stream_running_distinct_users",  # [r4]
-    "scalar_functions_showcase",  # [r4]
-    "events_tumbling_5min",  # [r4]
-    "events_session_window_native",  # [r4]
-    "monthly_pivot_wide",  # [r4]
-    "monthly_avg_absent_as_zero",  # [r4]
-    "category_totals_ref_roundsum",  # [r4]
-    "top5_vendors",  # [r4]
-    "unique_categories",  # [r4]
-    "vendor_totals",  # [r4]
-    "cube_returnflag_linestatus",  # [r4]
-    "setop_except_nations",  # [r4]
-    "setop_intersect_nations",  # [r4]
-    "join_anti_customers_without_orders",  # [r4]
+    "join_anti_customers_without_orders",  # [r4] — yielded its r7 slot to the code-changed vocab_zipf_fit
     "join_left_order_counts",  # [r4]
     "join_semi_customers_with_orders",  # [r4]
     "point_query_order",  # [r4]

@@ -346,16 +346,26 @@ def test_q6_pure_scan_aggregate(spark, sf_dir):
 
 def test_tfidf_one_documents_scan(spark, sf_dir):
     """tfidf_top_terms with the catalog-statistics doc count (parquet
-    footer num_rows, how the registry calls it) must scan documents
-    exactly ONCE — the count-star IDF-numerator branch is gone, and
-    df/len_d/top-k all chain as windows on the single tokenized flow
-    (VERDICT r5 ask #6)."""
+    footer num_rows, how the registry calls it) reads the session-shared
+    PERSISTED doc-term index exactly ONCE (r7 — the text family's one
+    corpus tokenize), and that index's build subtree is a single
+    documents FileScan: the count-star IDF-numerator branch is gone,
+    and df/len_d/top-k all chain as windows on the one flow (VERDICT
+    r5 ask #6 / r6 ask #2). Plan-string note: the cached build prints
+    under the InMemoryTableScan, so FileScan lines here are the CACHE's
+    plan, not extra corpus reads."""
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["tfidf_top_terms"](spark, sf_dir)
     plan = _plan(df)
-    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "documents" in ln]
-    assert len(scans) == 1, f"documents scanned {len(scans)}x"
+    mem = [ln for ln in plan.splitlines() if "InMemoryTableScan" in ln]
+    assert len(mem) == 1, f"doc-term index read {len(mem)}x\n{plan[:2000]}"
+    build = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "documents" in ln
+    ]
+    assert len(build) <= 1, f"documents scanned {len(build)}x in the build"
 
 
 def test_q21_one_lineitem_scan(spark, sf_dir):
@@ -369,3 +379,45 @@ def test_q21_one_lineitem_scan(spark, sf_dir):
     plan = _plan(df)
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
     assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+
+def test_presentation_free_cores_have_no_single_partition_sink(spark, sf_dir):
+    """Presentation-layer boundary (VERDICT r6 #7): operators whose
+    output grows with the corpus expose a distributed core — canonical
+    single-partition ordering is an oracle/report wrapper only. The
+    core plans must contain NO SinglePartition exchange (a one-task
+    sink over a corpus-sized output at 100 TB)."""
+    from spendinganalysisetl_spark.catalog import load_table
+    from spendinganalysisetl_spark.operators.pca import pca_project
+    from spendinganalysisetl_spark.operators.textanalysis import (
+        curated_docs,
+        repetition_features,
+    )
+    from spendinganalysisetl_spark.operators.trainprep import (
+        boilerplate_stats,
+        decon_counts,
+        decontaminate,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cores = {
+        "repetition_features": repetition_features(docs),
+        "curated_docs": curated_docs(docs),
+        "decon_counts": decon_counts(docs),
+        "decontaminate_core": decontaminate(docs, ordered=False),
+        "boilerplate_core": boilerplate_stats(docs, ordered=False),
+        "pack_sequences_core": pack_sequences(docs, ordered=False),
+        "pca_project_core": pca_project(emb, k=2, ordered=False),
+    }
+    for name, df in cores.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # REPARTITION_BY_NUM = an explicit .repartition(1) sink. A
+        # SinglePartition ENSURE_REQUIREMENTS exchange is allowed where
+        # it moves a bounded side table (pack_sequences' bucket-offset
+        # prefix sum: one row per doc_id bucket, not the corpus).
+        assert "Exchange SinglePartition, REPARTITION" not in plan, (
+            f"{name}: presentation-free core plans a single-partition "
+            f"sink\n{plan[:1500]}"
+        )
