@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spendinganalysisetl_spark.functions.text import word_shingles, ws_tokens
+from spendinganalysisetl_spark.functions.text import (
+    shingles_of_tokens,
+    word_shingles,
+    ws_tokens,
+)
 from spendinganalysisetl_spark.partitioning import spread as _spread
 
 # PII regexes shared by the Spark operator and the DuckDB oracle
@@ -47,8 +51,17 @@ def decon_counts(
     gram; the benchmark slice is excluded), distinct-gram count and
     benchmark-overlap count."""
     is_bench = (F.col("doc_id") % bench_mod) == 0
-    grams = _spread(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
+    # Tokens materialized in their OWN projection, grams via unrolled
+    # element_at (shingles_of_tokens): the inline concat_ws(slice(…))
+    # form re-evaluated work per gram inside the interpreted HOF —
+    # A/B at sf1: 2.16 s → 1.15 s for the whole decon plan.
+    grams = (
+        _spread(documents.select("doc_id", "text"))
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), n)).alias("gram"),
+        )
     )
     bench_grams = (
         grams.filter(is_bench).select("gram").distinct().withColumn("hit", F.lit(1))
@@ -122,8 +135,13 @@ def boilerplate_stats(
     a 64-bit key (xxhash64) first; the portable string form here is
     what the DuckDB oracle can replicate.
     """
-    grams = _spread(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
+    grams = (
+        _spread(documents.select("doc_id", "text"))
+        .select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), n)).alias("gram"),
+        )
     )
     with_df = grams.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
@@ -311,13 +329,22 @@ def build_training_shards(
     )
 
     _, _, _, score = _quality_parts()
-    enriched = _spread(documents.select("doc_id", "n_chars", "text")).select(
-        "doc_id",
-        ((F.col("doc_id") % bench_mod) == 0).alias("is_bench"),
-        fingerprint(F.col("text")).alias("fp"),
-        F.round(score, 2).alias("quality_score"),
-        F.size(ws_tokens(F.col("text"))).alias("n_tok"),
-        word_shingles(F.col("text"), n).alias("grams"),
+    # Tokens materialized once, then n_tok and the shingle array read
+    # the attribute (same HOF-materialization idiom as decon_counts —
+    # the inline word_shingles(text) form paid the slice-per-gram tax).
+    enriched = (
+        _spread(documents.select("doc_id", "n_chars", "text"))
+        .select(
+            "doc_id", "n_chars", "text", ws_tokens(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            ((F.col("doc_id") % bench_mod) == 0).alias("is_bench"),
+            fingerprint(F.col("text")).alias("fp"),
+            F.round(score, 2).alias("quality_score"),
+            F.size("toks").alias("n_tok"),
+            shingles_of_tokens(F.col("toks"), n).alias("grams"),
+        )
     )
     bench_grams = (
         enriched.filter("is_bench")
