@@ -19,8 +19,39 @@ def physical_plan(df: DataFrame) -> str:
     """The executed (physical) plan as text — the source of truth for
     every property below. Note: BEFORE an action runs, AQE plans show
     the initial plan; shuffle coalescing and join-strategy switches
-    appear only in the post-execution plan."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    appear only in the post-execution plan.
+
+    An EXECUTED AdaptiveSparkPlan (isFinalPlan=true — e.g. the build
+    plan of a persisted shared intermediate that another query already
+    ran) prints BOTH a ``== Final Plan ==`` and a duplicate
+    ``== Initial Plan ==`` section, so naive substring counts (scans,
+    exchanges) double depending on whether a sibling query executed the
+    cache first — a test-order flake, not a real extra scan. Node
+    counts here mean "what executes", so the Initial Plan sections are
+    stripped; unexecuted plans print no section markers and pass
+    through untouched."""
+    return _strip_initial_plan_sections(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _strip_initial_plan_sections(plan: str) -> str:
+    """Drop every ``== Initial Plan ==`` marker line plus its subtree
+    (all following lines indented deeper than the marker) — the
+    duplicate pre-execution print of an executed AQE plan."""
+    out: list[str] = []
+    skip_indent: int | None = None
+    for ln in plan.splitlines(keepends=True):
+        indent = len(ln) - len(ln.lstrip())
+        if skip_indent is not None:
+            if ln.strip() and indent > skip_indent:
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in ln:
+            skip_indent = indent
+            continue
+        out.append(ln)
+    return "".join(out)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

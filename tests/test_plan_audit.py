@@ -344,6 +344,36 @@ def test_q6_pure_scan_aggregate(spark, sf_dir):
     assert "l_returnflag" not in schema and "l_tax" not in schema
 
 
+def test_initial_plan_sections_stripped():
+    """physical_plan drops the duplicate ``== Initial Plan ==`` section
+    an EXECUTED AdaptiveSparkPlan prints (e.g. the build plan of a
+    persisted shared intermediate another query already ran) — without
+    this, FileScan/Exchange substring counts in the audits below double
+    depending on test order (caught live: tfidf's doc-term cache build
+    printed its one documents scan in both sections after the parity
+    suite executed the cache first)."""
+    from spendinganalysisetl_spark.plans import _strip_initial_plan_sections
+
+    plan = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- == Final Plan ==\n"
+        "   ResultQueryStage 2\n"
+        "   +- HashAggregate\n"
+        "      +- FileScan parquet documents\n"
+        "+- == Initial Plan ==\n"
+        "   HashAggregate\n"
+        "   +- FileScan parquet documents\n"
+        "NextSiblingAtMarkerIndent\n"
+    )
+    out = _strip_initial_plan_sections(plan)
+    assert out.count("FileScan") == 1
+    assert "Initial Plan" not in out
+    # sibling content at/above the marker's indent survives
+    assert "NextSiblingAtMarkerIndent" in out
+    # unexecuted plans (no section markers) pass through untouched
+    assert _strip_initial_plan_sections("A\n+- B\n") == "A\n+- B\n"
+
+
 def test_tfidf_one_documents_scan(spark, sf_dir):
     """tfidf_top_terms with the catalog-statistics doc count (parquet
     footer num_rows, how the registry calls it) reads the session-shared
@@ -353,7 +383,9 @@ def test_tfidf_one_documents_scan(spark, sf_dir):
     and df/len_d/top-k all chain as windows on the one flow (VERDICT
     r5 ask #6 / r6 ask #2). Plan-string note: the cached build prints
     under the InMemoryTableScan, so FileScan lines here are the CACHE's
-    plan, not extra corpus reads."""
+    plan, not extra corpus reads (and if the cache was already executed
+    by an earlier query, physical_plan strips the duplicate
+    ``== Initial Plan ==`` print — see test above)."""
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["tfidf_top_terms"](spark, sf_dir)
