@@ -301,6 +301,10 @@ def main() -> None:
             # r7: stars now reads the shared banded-signature table;
             # the shingle+hash scan it hides IS the scaling stage
             "lsh_cluster_stars": (("minhash_banded_32_8",), ()),
+            # r7: the PCA trio shares the Gramian-partials frame; the
+            # corpus Arrow pass it hides is the scaling stage
+            "embedding_covariance_matrix": (("pca_parts",), ()),
+            "pca_projection_scores": (("pca_parts",), ()),
         }
 
         def _drop_shared(shared_names, plancache_ops) -> None:

@@ -11,17 +11,25 @@ corpus-wide; encoding replays the learned merges in rank order.
 
 Scale shape — the distributed formulation every real trainer uses:
 the 100 TB corpus is scanned EXACTLY ONCE (word-count collapse, one
-shuffle on the word key, map-side combined); every merge round then
-runs on the distinct-WORD table weighted by counts — vocab-sized
-(millions of rows at corpus scale, not billions), cached, and
-re-checkpointed per round so the iterative lineage never deepens.
-Pair counting and merge application are pure Catalyst expressions
-(sequence/transform/aggregate HOFs over the symbol arrays — tiny
-table, interpreted HOFs are irrelevant here); only per-round top-1
-collect(1 row) touches the driver, exactly like the k-means partials
-(operators/clustering.py). Encoding is Arrow-batched ``mapInPandas``
-with a per-batch word cache — the sanctioned Python path — because
-replaying N data-dependent merges is imperative by nature.
+shuffle on the word key, map-side combined); the merge loop then runs
+on the distinct-WORD table weighted by counts — vocab-sized (millions
+of rows at corpus scale, not billions). The merge loop itself is
+SEQUENTIAL by nature (each round's best pair depends on the last
+round's rewrite), so the right execution split is the one every
+production trainer (HuggingFace tokenizers, SentencePiece) uses:
+distribute the corpus→word-count collapse, then run the rounds
+in memory on the bounded word table when it fits
+(``driver_vocab_rows``, default 2^18 rows ≈ a few MB — the same
+bounded-collect budget as the k-means/IVF codebook samples in
+operators/similarity.py). Above the bound the rounds stay fully
+distributed: pair counting and merge application as Catalyst
+sequence/transform/aggregate HOFs over the cached, per-round
+re-checkpointed symbol table, one top-1 collect per round. Both
+paths implement the identical frequency/tie-break rule and are
+pinned equal bit-for-bit in tests/test_bpe.py. Encoding is
+Arrow-batched ``mapInPandas`` with a per-batch word cache — the
+sanctioned Python path — because replaying N data-dependent merges
+is imperative by nature.
 """
 
 from __future__ import annotations
@@ -101,16 +109,89 @@ def _merge_expr(left: str, right: str) -> F.Column:
     )
 
 
+def _merge_rounds_local(
+    counts: dict[str, int], n_merges: int, min_freq: int
+) -> list[tuple[int, str, str, str, int]]:
+    """In-memory merge rounds over a COMPLETE (word, cnt) table — the
+    driver-side fast path of ``bpe_train``. Same frequency count and
+    (pair_count desc, 'left right' asc) tie-break as the distributed
+    rounds; the equivalence is pinned bit-for-bit in tests/test_bpe.py
+    against both the HOF path and the independent Sennrich reference."""
+    vocab = {w: list(w) + [END] for w in counts}
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        if cnt < min_freq:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, int(cnt)))
+        for w, syms in vocab.items():
+            if left not in syms:
+                continue
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (
+                    j < len(syms) - 1
+                    and syms[j] == left
+                    and syms[j + 1] == right
+                ):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            vocab[w] = out
+    return merges
+
+
+_MERGE_SCHEMA = (
+    "merge_rank int, left string, right string, merged string, pair_count bigint"
+)
+
+
 def bpe_train(
-    documents: DataFrame, n_merges: int = 32, min_freq: int = 2
+    documents: DataFrame,
+    n_merges: int = 32,
+    min_freq: int = 2,
+    driver_vocab_rows: int = 1 << 18,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns (merge_rank, left, right,
     merged, pair_count) in learned order. Deterministic: ties on pair
     frequency break lexicographically on the pair string — the Python
     differential reference (tests/test_bpe.py) replays the identical
-    rule."""
+    rule.
+
+    Execution split: the corpus scan (word counting) is always
+    distributed; the sequential merge rounds run in memory when the
+    distinct-word table has at most ``driver_vocab_rows`` rows (a
+    bounded collect — the table the rounds iterate on is vocab-sized
+    either way), and as distributed Catalyst-HOF rounds above that.
+    Pass ``driver_vocab_rows=0`` to force the distributed rounds."""
     spark = documents.sparkSession
-    vocab = _symbolized(_word_counts(documents, min_freq)).localCheckpoint()
+    words = _word_counts(documents, min_freq)
+    if driver_vocab_rows:
+        head = words.limit(driver_vocab_rows + 1).collect()
+        if len(head) <= driver_vocab_rows:
+            return spark.createDataFrame(
+                _merge_rounds_local(
+                    {r["word"]: int(r["cnt"]) for r in head},
+                    n_merges,
+                    min_freq,
+                ),
+                _MERGE_SCHEMA,
+            )
+    vocab = _symbolized(words).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -133,10 +214,7 @@ def bpe_train(
         vocab = vocab.withColumn(
             "symbols", _merge_expr(left, right)
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left string, right string, merged string, pair_count bigint",
-    )
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -442,8 +442,10 @@ def connected_components(
     reliable storage instead so recomputation-on-executor-loss is
     bounded. Convergence is detected by the sum of labels: propagation
     only ever lowers labels, so an unchanged (monotone) sum is a
-    fixpoint — one cheap scalar aggregate per round instead of a
-    changed-rows join.
+    fixpoint — and the sum rides the checkpoint materialization itself
+    as an ``Observation`` (CollectMetrics on the eager localCheckpoint
+    action), so a round costs exactly ONE job: no separate scalar
+    aggregate, no changed-rows join.
 
     The reference has no graph ops at all (SURVEY.md §2.3: no joins
     beyond key probes); this is north_star dedup-pipeline machinery.
@@ -459,35 +461,39 @@ def connected_components(
     # over-approximation, so correctness is unchanged; a good seed cuts
     # rounds (star-shaped components converge in one confirmation pass
     # instead of propagating hub labels outward round by round).
+    from pyspark.sql import Observation
+
+    def _ck_with_sum(df: DataFrame) -> tuple[DataFrame, int]:
+        # Eager localCheckpoint runs one job; the label-sum convergence
+        # metric rides it as an Observation, and the returned frame's
+        # lineage is truncated to the checkpointed RDD, so the
+        # CollectMetrics node never re-fires downstream.
+        obs = Observation()
+        ck = df.observe(obs, F.sum("label").alias("lsum")).localCheckpoint()
+        return ck, obs.get["lsum"]
+
     self_labels = nodes.select(
         F.col("doc_id").alias("id"), F.col("doc_id").alias("label")
     )
     if init_labels is not None:
         # Nodes absent from the seed table (e.g. docs with no buckets)
         # keep their self-label — a seed join must never DROP nodes.
-        labels = (
+        labels, prev = _ck_with_sum(
             self_labels.join(
                 init_labels.select("id", F.col("label").alias("_seed")),
                 "id",
                 "left",
-            )
-            .select("id", F.coalesce("_seed", "label").alias("label"))
-            .localCheckpoint()
+            ).select("id", F.coalesce("_seed", "label").alias("label"))
         )
     else:
-        labels = self_labels.localCheckpoint()
-    prev = labels.agg(F.sum("label")).first()[0]
+        labels, prev = _ck_with_sum(self_labels)
     for _ in range(max_iter):
         msgs = und.join(
             labels.select(F.col("id").alias("src"), "label"), "src"
         ).select(F.col("dst").alias("id"), "label")
-        labels = (
-            labels.union(msgs)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+        labels, cur = _ck_with_sum(
+            labels.union(msgs).groupBy("id").agg(F.min("label").alias("label"))
         )
-        cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
             break
         prev = cur

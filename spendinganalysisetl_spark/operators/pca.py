@@ -92,7 +92,10 @@ def gramian_partials(
 
 
 def _aggregate_moments(
-    embeddings: DataFrame, vec_col: str, scale: float
+    embeddings: DataFrame,
+    vec_col: str,
+    scale: float,
+    parts: DataFrame | None = None,
 ):
     """Shared fork point: the per-batch partials, PERSISTED (they are
     |batches| rows of ~d²/2 doubles — kilobytes per 128 MB of corpus),
@@ -100,12 +103,20 @@ def _aggregate_moments(
     re-running the corpus scan per branch (forked branches re-execute
     from source otherwise). Aggregation is posexplode → groupBy(pos) —
     the exploded frame is |batches|·d²/2 rows, never corpus-sized, and
-    Spark's partial aggregation combines map-side."""
+    Spark's partial aggregation combines map-side.
+
+    ``parts`` lets a multi-query session hand in an ALREADY-persisted
+    partials frame (registry ``shared()`` keys one per (session, sf))
+    so the covariance / projection / scree trio pays the corpus Arrow
+    pass once instead of once per query; ``owns`` in the return tells
+    the caller whether unpersisting is its business."""
     from pyspark import StorageLevel
 
-    parts = gramian_partials(embeddings, vec_col, scale).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    owns = parts is None
+    if parts is None:
+        parts = gramian_partials(embeddings, vec_col, scale).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     g_tot = (
         parts.select(F.posexplode("g").alias("pos", "v"))
         .groupBy("pos")
@@ -117,11 +128,14 @@ def _aggregate_moments(
         .agg(F.sum("v").alias("ssum"))
     )
     n_tot = parts.agg(F.sum("n").alias("n"))
-    return parts, g_tot, s_tot, n_tot
+    return parts, g_tot, s_tot, n_tot, owns
 
 
 def covariance_matrix(
-    embeddings: DataFrame, vec_col: str = "embedding", scale: float = _SCALE
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = _SCALE,
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """Population covariance of the quantized embeddings as flat rows
     ``(i, j, cov)`` for i ≤ j, rounded to 6dp. Fully distributed: the
@@ -131,7 +145,9 @@ def covariance_matrix(
     cov(i,j) = (n·Σxixj − Σxi·Σxj) / n² / scale², with the numerator
     exact in DECIMAL(38,0) and one deterministic cast-then-divide tail
     (matching the DuckDB oracle's HUGEINT math step for step)."""
-    parts, g_tot, s_tot, n_tot = _aggregate_moments(embeddings, vec_col, scale)
+    parts, g_tot, s_tot, n_tot, _owns = _aggregate_moments(
+        embeddings, vec_col, scale, parts
+    )
     d = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
     pairs = _tri_index(d)
     idx = parts.sparkSession.createDataFrame(
@@ -166,7 +182,11 @@ def covariance_matrix(
 
 
 def _fit_components(
-    embeddings: DataFrame, vec_col: str, k: int, scale: float
+    embeddings: DataFrame,
+    vec_col: str,
+    k: int,
+    scale: float,
+    parts: DataFrame | None = None,
 ):
     """Driver-side tail of the fit: collect the EXACT aggregated moments
     (d + d(d+1)/2 + 1 values — bounded, corpus-independent), build the
@@ -175,7 +195,9 @@ def _fit_components(
     entry positive (first such index on ties)."""
     import numpy as np
 
-    parts, g_tot, s_tot, n_tot = _aggregate_moments(embeddings, vec_col, scale)
+    parts, g_tot, s_tot, n_tot, owns = _aggregate_moments(
+        embeddings, vec_col, scale, parts
+    )
     d = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
     # Bounded collects: d + d(d+1)/2 + 1 exact values, corpus-independent.
     n = n_tot.first()["n"]
@@ -187,7 +209,8 @@ def _fit_components(
     flat = np.zeros(d * (d + 1) // 2)
     for r in g_tot.collect():
         flat[r["pos"]] = r["gsum"]
-    parts.unpersist()
+    if owns:
+        parts.unpersist()
     g[iu] = flat
     g = g + g.T - np.diag(np.diag(g))
     cov = (n * g - np.outer(s, s)) / n / n / (scale * scale)
@@ -209,6 +232,7 @@ def pca_project(
     k: int = 8,
     scale: float = _SCALE,
     ordered: bool = True,
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """Project every vector onto the top-k principal components of the
     (quantized) corpus covariance. Output is flat rows
@@ -219,7 +243,7 @@ def pca_project(
     in original units)."""
     import numpy as np
 
-    mean, _evals, comps = _fit_components(embeddings, vec_col, k, scale)
+    mean, _evals, comps = _fit_components(embeddings, vec_col, k, scale, parts)
     kk = comps.shape[1]
 
     def _project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,14 +278,17 @@ def pca_project(
 
 
 def variance_explained(
-    embeddings: DataFrame, vec_col: str = "embedding", k: int = 8
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k eigenvalues and their share of total variance — the scree
     the analyst reads before choosing k. Total variance = trace of the
     covariance (sum of ALL d eigenvalues); both come out of the same
     exact aggregated moments, so this is one corpus pass plus
     driver-side d×d math."""
-    _mean, evals, _comps = _fit_components(embeddings, vec_col, k, _SCALE)
+    _mean, evals, _comps = _fit_components(embeddings, vec_col, k, _SCALE, parts)
     total = float(evals.sum())
     top = evals[:k]
     rows = [

@@ -158,6 +158,24 @@ def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "doc_terms", build)
 
 
+def _pca_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact-integer Gramian partials over the embeddings table
+    (pca.gramian_partials) — |batches| rows of ~d²/2 doubles. The PCA
+    trio (embedding_covariance_matrix, pca_projection_scores,
+    pca_variance_explained) all reduce to tiny aggregations/driver-side
+    eigh over exactly these moments; without sharing, each query pays
+    its own corpus Arrow pass (the dominant cost — the moments
+    themselves are kilobytes). Same materialized-common-view move as
+    _cs_pairs/_doc_terms, keyed per (session, sf)."""
+
+    def build() -> DataFrame:
+        from spendinganalysisetl_spark.operators.pca import gramian_partials
+
+        return gramian_partials(load_table(spark, sf_dir, "embeddings"))
+
+    return shared(spark, sf_dir, "pca_parts", build)
+
+
 # SQL twin of report.base_sales (full date range) — inlined as a CTE in
 # every report-family oracle.
 SALES_CTE = """
@@ -2522,7 +2540,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     side."""
     from spendinganalysisetl_spark.operators.pca import covariance_matrix
 
-    return covariance_matrix(load_table(spark, sf_dir, "embeddings"))
+    return covariance_matrix(
+        load_table(spark, sf_dir, "embeddings"),
+        parts=_pca_parts(spark, sf_dir),
+    )
 
 
 # --- scans / point queries (SURVEY.md §2.1 S3-S4, §2.2 P1-P2) -----------------
@@ -6955,7 +6976,11 @@ def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     into an executor-local GEMM. |corpus|×8 flat rows."""
     from spendinganalysisetl_spark.operators.pca import pca_project
 
-    return pca_project(load_table(spark, sf_dir, "embeddings"), k=8)
+    return pca_project(
+        load_table(spark, sf_dir, "embeddings"),
+        k=8,
+        parts=_pca_parts(spark, sf_dir),
+    )
 
 
 @register("pca_variance_explained")  # rows-only: same eigh rationale as
@@ -6965,7 +6990,11 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance (trace), from the same one-pass exact moments."""
     from spendinganalysisetl_spark.operators.pca import variance_explained
 
-    return variance_explained(load_table(spark, sf_dir, "embeddings"), k=8)
+    return variance_explained(
+        load_table(spark, sf_dir, "embeddings"),
+        k=8,
+        parts=_pca_parts(spark, sf_dir),
+    )
 
 
 # --- driver check-window ordering ---------------------------------------------

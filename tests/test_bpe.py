@@ -51,6 +51,22 @@ def test_train_matches_reference_real_corpus(spark, sf_dir):
     assert got == train_reference(texts, n_merges=16)
 
 
+def test_train_local_and_distributed_rounds_agree(spark, sf_dir):
+    """The in-memory merge rounds (default: vocab fits
+    driver_vocab_rows) and the distributed Catalyst-HOF rounds
+    (driver_vocab_rows=0) implement the identical frequency/tie-break
+    rule — merge sequence, tie-breaks, counts, early stop — on both
+    the hand corpus and the real corpus."""
+    tiny = _docs(spark, TEXTS)
+    assert _rows(bpe_train(tiny, n_merges=12, driver_vocab_rows=0)) == _rows(
+        bpe_train(tiny, n_merges=12)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    assert _rows(bpe_train(docs, n_merges=6, driver_vocab_rows=0)) == _rows(
+        bpe_train(docs, n_merges=6)
+    )
+
+
 def test_encode_stats_match_reference(spark):
     docs = _docs(spark, TEXTS)
     merges = bpe_train(docs, n_merges=12)
