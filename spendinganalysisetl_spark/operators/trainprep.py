@@ -170,6 +170,93 @@ def boilerplate_stats(
     return out.repartition(1).sortWithinPartitions("doc_id")
 
 
+def duplicate_token_spans(
+    documents: DataFrame, n: int = 5, min_docs: int = 2, ordered: bool = True
+) -> DataFrame:
+    """Cross-document duplicate-substring SPAN detection — the applied
+    "WHERE is the shared text" half of substring-level dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — public knowledge; their exact suffix-array pass, here
+    approximated at n-gram resolution the way production pipelines
+    run it distributed). ``boilerplate_stats`` scores HOW MUCH of a
+    document is cross-doc boilerplate; this returns the maximal token
+    ranges to cut: every run of word ``n``-gram window positions whose
+    grams occur in ≥ ``min_docs`` documents corpus-wide, with
+    overlapping/adjacent duplicated windows merged into one span
+    (gaps-and-islands). Output: ``(doc_id, span_start, span_end,
+    span_tokens, n_dup_grams)`` with token-index spans, end exclusive.
+
+    Scale shape: ONE corpus tokenize+window pass; document frequency
+    without a groupBy+join-back fork via two chained windows (a
+    row_number-first flag per (gram, doc) summed over the gram
+    partition — the boilerplate_stats idiom extended to positional,
+    non-distinct grams); span merging is a lag + running-sum window
+    per doc. Three shuffles, all on near-uniform keys ((gram, doc),
+    gram, doc). At 100 TB hash each gram to a 64-bit xxhash64 key
+    before the exchange; the portable string form here is what the
+    DuckDB oracle replicates. Docs with fewer than ``n`` tokens host
+    no full window and emit nothing, by definition of the span."""
+    toks = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    cnt = F.size("toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("toks", i + F.lit(1 + j)) for j in range(n)]
+    )
+    grams = toks.filter(cnt >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), cnt - n), gram)
+        ).alias("gpos", "gram"),
+    )
+    w_first = Window.partitionBy("gram", "doc_id").orderBy("gpos")
+    w_gram = Window.partitionBy("gram")
+    dup = (
+        grams.withColumn(
+            "first", (F.row_number().over(w_first) == 1).cast("int")
+        )
+        .withColumn("df", F.sum("first").over(w_gram))
+        .filter(F.col("df") >= min_docs)
+        .select("doc_id", "gpos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("gpos")
+    islands = dup.withColumn(
+        "brk",
+        F.when(
+            F.lag("gpos").over(w_doc).isNull()
+            | (F.col("gpos") > F.lag("gpos").over(w_doc) + n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("gpos").alias("span_start"),
+            (F.max("gpos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )
+    if not ordered:
+        # Production core: per-doc output stays distributed; canonical
+        # ordering is oracle/report-only (presentation-layer boundary).
+        return out
+    return out.repartition(1).sortWithinPartitions("doc_id", "span_start")
+
+
 # Last persisted packing frame (see _pack_from_counts cache note).
 _LAST_PACK_BASE = None
 

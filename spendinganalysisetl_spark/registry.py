@@ -4634,6 +4634,51 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicate_token_spans",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+', 0) AS t FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS gpos, array_to_string(t[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5 + 2)) AS i FROM toks) u
+), f AS (
+  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1
+), dup AS (
+  SELECT g.doc_id, g.gpos FROM g JOIN f USING (gram) WHERE f.df >= 2
+), isl AS (
+  SELECT doc_id, gpos,
+         CASE WHEN lag(gpos) OVER w IS NULL
+                   OR gpos > lag(gpos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)
+), grp AS (
+  SELECT doc_id, gpos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos) AS island
+  FROM isl
+)
+SELECT doc_id, min(gpos) AS span_start, max(gpos) + 5 AS span_end,
+       max(gpos) + 5 - min(gpos) AS span_tokens, count(*) AS n_dup_grams
+FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start
+""",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring SPAN report: maximal token ranges whose word
+    5-grams occur in ≥2 docs corpus-wide, overlapping/adjacent windows
+    merged (gaps-and-islands) — the applied "what to cut" complement of
+    boilerplate_ngram_stats, at the n-gram resolution of Lee et al.'s
+    substring dedup (operators/trainprep.py:duplicate_token_spans).
+    The oracle independently recomputes document frequency with a
+    groupBy + join-back; the Spark side chains windows instead (no
+    plan fork re-running the corpus explode)."""
+    from spendinganalysisetl_spark.operators.trainprep import (
+        duplicate_token_spans,
+    )
+
+    return duplicate_token_spans(
+        load_table(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
+@register(
     "sequence_packing_bins",
     """
 WITH toks AS (SELECT doc_id,
@@ -7040,9 +7085,10 @@ _CHECK_FIRST: list[str] = [
     "training_shard_pipeline",
     "vocab_zipf_fit",
     "token_drift_psi",
-    # (b) new-in-r7 oracle (the lsh_cluster_stars golden fixture,
-    #     VERDICT r6 ask #5):
+    # (b) new-in-r7 oracles (the lsh_cluster_stars golden fixture,
+    #     VERDICT r6 ask #5; the duplicate-substring span report):
     "lsh_cluster_fixture",
+    "duplicate_token_spans",
     # (c) rotation: the entire remaining [r3]-latest block (the
     #     oldest driver rows in the catalog after the r6 rotation),
     #     then the head of the [r4] block (VERDICT r6 ask #3); the
@@ -7085,7 +7131,9 @@ _CHECK_FIRST: list[str] = [
     "vendor_totals",
     "cube_returnflag_linestatus",
     "setop_except_nations",
-    "setop_intersect_nations",
+    # setop_intersect_nations: demoted to fund the duplicate_token_spans
+    # slot — its EXCEPT twin above pins the set-op family this round;
+    # first in line for r8 with the [r4] remainder.
 ]
 
 _CHECK_LATE: list[str] = [

@@ -11,6 +11,7 @@ from spendinganalysisetl_spark.operators.trainprep import (
     boilerplate_stats,
     decontaminate,
     domain_mix_weights,
+    duplicate_token_spans,
     pack_sequences,
     pii_scrub,
 )
@@ -62,6 +63,34 @@ def test_boilerplate_marks_shared_grams_only(spark):
     assert out[2]["n_boiler"] == 2
     assert out[3]["n_boiler"] == 0
     assert out[3]["boiler_ratio"] == 0.0
+
+
+def test_duplicate_token_spans_merges_and_counts(spark):
+    """Planted spans: a 6-token phrase shared by docs 1 and 2 must
+    surface as exact token ranges — overlapping windows merged into one
+    span, two occurrences in one doc far apart as two islands; a phrase
+    repeated only WITHIN one doc (df counts distinct docs) and sub-n
+    docs emit nothing."""
+    p = "p1 p2 p3 p4 p5 p6"
+    docs = _docs(
+        spark,
+        [
+            (1, f"u1 u2 {p} u3 u4", "en"),
+            (2, f"{p} v1 v2 v3 v4 v5 v6 v7 v8 {p}", "en"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 entirely unshared", "en"),
+            (4, "x1 x2 x3", "en"),
+            (7, "q1 q2 q3 q4 q5 z1 z2 z3 z4 q1 q2 q3 q4 q5", "en"),
+        ],
+    )
+    rows = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_dup_grams"])
+        for r in duplicate_token_spans(docs, n=5, min_docs=2).collect()
+    ]
+    assert rows == [
+        (1, 2, 8, 6, 2),
+        (2, 0, 6, 6, 2),
+        (2, 14, 20, 6, 2),
+    ]
 
 
 def test_pack_sequences_bins_and_conservation(spark):
