@@ -38,15 +38,11 @@ def _fit_centroids(
     cluster layouts."""
     import numpy as np
 
+    from spendinganalysisetl_spark.operators.similarity import corpus_sample
+
     id_col = embeddings.columns[0]
     sample = np.asarray(
-        [
-            r[0]
-            for r in embeddings.select(vec_col)
-            .orderBy(id_col)
-            .limit(4096)
-            .collect()
-        ],
+        [r[1] for r in corpus_sample(embeddings, id_col, vec_col)],
         dtype=np.float64,
     )
     rng = np.random.RandomState(seed)

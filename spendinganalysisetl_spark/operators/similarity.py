@@ -27,6 +27,51 @@ from spendinganalysisetl_spark.functions.vectors import cosine, dot
 from spendinganalysisetl_spark.partitioning import spread as _spread
 
 
+# Deterministic training samples, keyed per (session, input frame) —
+# see corpus_sample. Strong refs to the keyed frames stop id() reuse;
+# a small FIFO cap bounds driver memory when tests churn ad-hoc frames.
+_SAMPLE_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
+_SAMPLE_CACHE_MAX = 8
+
+
+def corpus_sample(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 4096,
+) -> list:
+    """Deterministic (id, vector) quantizer-training sample —
+    ``orderBy(id) limit n``, collected ONCE per (session, input frame).
+    Every sample-trained index in this module (IVF cells, PQ codebooks,
+    SemDeDup cells) and clustering's Lloyd init draw the identical
+    sample, so the TakeOrdered corpus scan behind it is paid once per
+    session — the way one FAISS training sample serves every index
+    built over the same corpus. Keyed on the input DataFrame object
+    (catalog.load_table returns one relation per (session, table));
+    the cached entry holds a strong reference to that frame so the
+    id()-based key can never be recycled while the entry lives."""
+    from spendinganalysisetl_spark.catalog import _context_key
+
+    key = (
+        _context_key(embeddings.sparkSession),
+        id(embeddings),
+        id_col,
+        vec_col,
+        n,
+    )
+    hit = _SAMPLE_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    live = key[0]
+    for k in [k for k in _SAMPLE_CACHE if k[0] != live]:
+        del _SAMPLE_CACHE[k]
+    while len(_SAMPLE_CACHE) >= _SAMPLE_CACHE_MAX:
+        del _SAMPLE_CACHE[next(iter(_SAMPLE_CACHE))]
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+    _SAMPLE_CACHE[key] = (embeddings, rows)
+    return rows
+
+
 def _probe(df: DataFrame, query_ids: list[int] | None, id_col: str = "vec_id"):
     """The shared query-probe selection: explicit ids, or the default
     vec_id < 10 probe set."""
@@ -352,11 +397,9 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     # --- train: deterministic sample → in-memory Lloyd iterations ----
-    # One collect serves both training and (for the default probe set)
-    # query routing below.
-    sample_rows = (
-        embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(4096).collect()
-    )
+    # One session-cached collect (corpus_sample) serves training, the
+    # default probe routing below, and every other sample-trained index.
+    sample_rows = corpus_sample(embeddings)
     sample = np.asarray([r[1] for r in sample_rows], dtype=np.float64)
     sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -462,10 +505,8 @@ def clustered_cosine_pairs(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    sample_rows = (
-        embeddings.select("embedding").orderBy("vec_id").limit(4096).collect()
-    )
-    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    sample_rows = corpus_sample(embeddings)
+    sample = np.asarray([r[1] for r in sample_rows], dtype=np.float64)
     sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = sn[rng.choice(len(sn), size=min(nlist, len(sn)), replace=False)]
@@ -742,10 +783,7 @@ def pq_train(
 
     id_col = embeddings.columns[0]
     sample = np.asarray(
-        [
-            r[0]
-            for r in embeddings.select(vec_col).orderBy(id_col).limit(4096).collect()
-        ],
+        [r[1] for r in corpus_sample(embeddings, id_col, vec_col)],
         dtype=np.float64,
     )
     n, d = sample.shape
