@@ -53,6 +53,11 @@ QUERIES = [
     # 10× data), which measures the workload's output, not the plan.
     # The stars variant is the output-linear scale path.
     "lsh_cluster_stars",
+    # r7 addition: the duplicate-span report — gram table and df
+    # windows scale with the corpus, islands are per-doc; the bijective
+    # replica perturbation keeps the cross-doc dup RATE fixed, so the
+    # span output scales linearly with docs, never quadratically.
+    "duplicate_token_spans",
     "dedup_exact_survivors",
     "corpus_curation",
     # r3 additions: the distributed-prefix-sum packer (its offset table

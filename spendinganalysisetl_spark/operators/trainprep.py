@@ -203,10 +203,21 @@ def duplicate_token_spans(
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at("toks", i + F.lit(1 + j)) for j in range(n)]
     )
-    grams = toks.filter(cnt >= n).select(
+    # Sub-n docs are excluded by emitting an EMPTY gram array inside the
+    # projection, not a separate filter(size >= n): Catalyst pushes that
+    # filter below the tokenize projection AND the spread exchange, so
+    # the regexp tokenize would run twice — once on the coarse file
+    # partitions for the filter, again after the exchange (caught in the
+    # executed plan). (An array-domain first-occurrence flag
+    # (array_position == own index) would delete the (gram, doc_id)
+    # exchange below, but referencing the gram array across the Generate
+    # re-inlines the whole expression tree — measured 16 tokenizes in
+    # the executed plan; the window form keeps the plan single-tokenize.)
+    grams = toks.select(
         "doc_id",
         F.posexplode(
-            F.transform(F.sequence(F.lit(0), cnt - n), gram)
+            F.when(cnt >= n, F.transform(F.sequence(F.lit(0), cnt - n), gram))
+            .otherwise(F.array().cast("array<string>"))
         ).alias("gpos", "gram"),
     )
     w_first = Window.partitionBy("gram", "doc_id").orderBy("gpos")
