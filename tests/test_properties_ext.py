@@ -503,3 +503,61 @@ def test_gini_survives_whale_segment(spark):
         sx,
         want,
     )
+
+
+# --- duplicate_token_spans ≡ pure-Python reference ---------------------------
+
+_SPAN_TOKENS = st.sampled_from(list("abcd"))
+_SPAN_DOC = st.lists(_SPAN_TOKENS, min_size=0, max_size=14)
+
+
+def _ref_spans(texts: list[str], n: int, min_docs: int):
+    """Independent single-node reimplementation: df over distinct docs
+    per gram, dup window positions, gaps-and-islands merge."""
+    toked = {i: t.split() for i, t in enumerate(texts)}
+    df: dict[tuple, set] = {}
+    for i, toks in toked.items():
+        for p in range(len(toks) - n + 1):
+            df.setdefault(tuple(toks[p : p + n]), set()).add(i)
+    out = []
+    for i, toks in sorted(toked.items()):
+        dup = [
+            p
+            for p in range(len(toks) - n + 1)
+            if len(df[tuple(toks[p : p + n])]) >= min_docs
+        ]
+        start = prev = None
+        cnt = 0
+        for p in dup:
+            if start is None or p > prev + n:
+                if start is not None:
+                    out.append((i, start, prev + n, prev + n - start, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        if start is not None:
+            out.append((i, start, prev + n, prev + n - start, cnt))
+    return out
+
+
+@given(docs=st.lists(_SPAN_DOC, min_size=0, max_size=6), n=st.integers(2, 4))
+@settings(**_SETTINGS)
+def test_duplicate_token_spans_matches_reference(spark, docs, n):
+    """The distributed span report over a tiny alphabet (collision-rich
+    by construction) must equal the pure-Python reference for ANY corpus
+    and gram size: dup membership (df counts DISTINCT docs), island
+    merging (gap > n splits), counts, and span arithmetic."""
+    from spendinganalysisetl_spark.operators.trainprep import (
+        duplicate_token_spans,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_dup_grams"])
+        for r in duplicate_token_spans(df, n=n, min_docs=2).collect()
+    ]
+    assert got == _ref_spans(texts, n, 2)
