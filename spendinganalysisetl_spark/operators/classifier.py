@@ -1,0 +1,233 @@
+"""Trained quality classifier: hashed bag-of-words logistic regression
+(SURVEY.md §2.11 / north_star — the learned complement of the heuristic
+``textanalysis.quality_scores``).
+
+This is the fastText-shaped fast student every modern pretraining
+pipeline runs for quality filtering (public knowledge: Joulin et al.
+2016 "Bag of Tricks for Efficient Text Classification"; feature
+hashing per Weinberger et al. 2009; the FineWeb-Edu / DCLM pattern —
+train a small classifier on a BOUNDED labeled set, then score the
+full corpus with one cheap pass). The reference repo has no learned
+component at all (its text ops stop at category strings,
+transformer.py).
+
+Scale design
+------------
+- TRAINING runs over the labeled set, which is bounded by construction
+  (hundreds of thousands of annotated docs, never the corpus — e.g.
+  FineWeb-Edu trains on ~450k annotations and scores trillions of
+  tokens). Features build in pure Catalyst (tokenize → portable
+  md5-fold hash → per-doc sparse count structs, sorted), persist once;
+  each epoch is then ONE ``mapInPandas`` job emitting per-partition
+  EXACT-INTEGER gradient partials (per-doc residual quantized to
+  ``gscale`` units, partials summed as int64 — order-free, so the
+  learned weights are bit-deterministic under any partitioning; same
+  exactness device as operators/pca.py). The driver applies the update
+  to a dim-sized weight vector — k-means/BPE-style bounded state.
+- SCORING is the corpus-scale half and is pure Catalyst: one tokenize
+  pass, the quantized dim-row weight table broadcast-joined on the
+  hashed index, one per-doc int64 sum. Margins are EXACT integers in
+  ``wscale`` units (no transcendentals in the scoring path), so a
+  DuckDB oracle holding the reference-trained weights as VALUES
+  reproduces every margin bit-for-bit.
+- Per-doc sigmoid in training uses ``math.exp`` on CPython floats in
+  BOTH the executor partials and the pure-Python reference trainer —
+  identical libm, so the differential tests pin weights EXACTLY equal,
+  not approximately.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spendinganalysisetl_spark.functions.text import hex_fold, ws_tokens
+from spendinganalysisetl_spark.partitioning import spread as _spread
+
+
+def _hash_idx_py(token: str, dim: int) -> int:
+    """Pure-Python twin of the Catalyst fold below: md5 hex chars 1-14
+    as a base-16 BIGINT, mod dim. Matches functions.text.hex_fold /
+    registry.hex_fold_sql bit-for-bit."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:14], 16) % dim
+
+
+def hashed_doc_features(
+    labeled: DataFrame, dim: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, label, feats) with feats = array<struct<idx,cnt>> sorted
+    by idx — the sparse hashed bag-of-words, built in pure Catalyst.
+    The sort pins the per-doc float dot-product ORDER in the training
+    partials, which is what makes the learned weights independent of
+    collect_list's arrival order."""
+    tok = _spread(labeled.select("doc_id", "label", text_col)).select(
+        "doc_id", "label", F.explode(ws_tokens(F.col(text_col))).alias("t")
+    )
+    idx = (hex_fold(F.md5("t"), 1) % dim).cast("int")
+    return (
+        tok.select("doc_id", "label", idx.alias("idx"))
+        .groupBy("doc_id", "label", "idx")
+        .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
+        .groupBy("doc_id", "label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("idx"), F.col("cnt")))
+            ).alias("feats")
+        )
+    )
+
+
+def train_logreg(
+    labeled: DataFrame,
+    dim: int = 64,
+    iters: int = 8,
+    lr: float = 0.5,
+    gscale: float = 1e6,
+) -> tuple[list[float], float]:
+    """Distributed logistic-regression fit over (doc_id, label, text)
+    rows; returns (weights[dim], bias) — bit-deterministic under any
+    partitioning (see module docstring). One persisted feature build +
+    one job per epoch; every collect is a dim-sized partial per
+    partition."""
+    feats = hashed_doc_features(labeled, dim).persist()
+    try:
+        n = feats.count()
+        if n == 0:
+            return [0.0] * dim, 0.0
+        w = [0.0] * dim
+        b = 0.0
+        schema = "g array<long>, gb long"
+        for _ in range(iters):
+            w_cur, b_cur = list(w), b
+
+            def partials(batches, w_cur=w_cur, b_cur=b_cur):
+                import pandas as pd
+
+                g = [0] * dim
+                gb = 0
+                for pdf in batches:
+                    for label, fs in zip(pdf["label"], pdf["feats"]):
+                        z = b_cur
+                        for f in fs:  # sorted by idx — fixed float order
+                            z += w_cur[f["idx"]] * f["cnt"]
+                        p = 1.0 / (1.0 + math.exp(-z))
+                        # per-doc residual quantized ONCE; feature
+                        # contributions are exact integer products
+                        q = math.floor((p - float(label)) * gscale + 0.5)
+                        for f in fs:
+                            g[f["idx"]] += q * f["cnt"]
+                        gb += q
+                yield pd.DataFrame({"g": [g], "gb": [gb]})
+
+            rows = feats.mapInPandas(partials, schema).collect()
+            G = [0] * dim
+            GB = 0
+            for r in rows:
+                for j, v in enumerate(r["g"]):
+                    G[j] += v
+                GB += r["gb"]
+            w = [w[j] - lr * (G[j] / gscale) / n for j in range(dim)]
+            b = b - lr * (GB / gscale) / n
+        return w, b
+    finally:
+        feats.unpersist()
+
+
+def train_reference_logreg(
+    rows: list[tuple[int, str]],
+    dim: int = 64,
+    iters: int = 8,
+    lr: float = 0.5,
+    gscale: float = 1e6,
+) -> tuple[list[float], float]:
+    """Pure-Python reference trainer over (label, text) pairs — no
+    Spark anywhere; independent reimplementation of the same quantized
+    update rule for the differential tests and the fixture oracle."""
+    import re
+
+    docs = []
+    for label, text in rows:
+        cnt: dict[int, int] = {}
+        for t in re.findall(r"\S+", text.lower()):
+            i = _hash_idx_py(t, dim)
+            cnt[i] = cnt.get(i, 0) + 1
+        docs.append((label, sorted(cnt.items())))
+    n = len(docs)
+    w = [0.0] * dim
+    b = 0.0
+    if n == 0:
+        return w, b
+    for _ in range(iters):
+        G = [0] * dim
+        GB = 0
+        for label, fs in docs:
+            z = b
+            for i, c in fs:
+                z += w[i] * c
+            p = 1.0 / (1.0 + math.exp(-z))
+            q = math.floor((p - float(label)) * gscale + 0.5)
+            for i, c in fs:
+                G[i] += q * c
+            GB += q
+        w = [w[j] - lr * (G[j] / gscale) / n for j in range(dim)]
+        b = b - lr * (GB / gscale) / n
+    return w, b
+
+
+def quantize_weights(
+    w: list[float], b: float, wscale: float = 1e6
+) -> tuple[list[int], int]:
+    """Weights to exact ``wscale``-unit integers (floor(x·s + 0.5)) —
+    the broadcast form the scoring pass and its oracle share."""
+    return (
+        [math.floor(x * wscale + 0.5) for x in w],
+        math.floor(b * wscale + 0.5),
+    )
+
+
+def margin_scores(
+    documents: DataFrame,
+    w_q: list[int],
+    bias_q: int,
+    dim: int,
+    ordered: bool = True,
+) -> DataFrame:
+    """Score every document under quantized weights: (doc_id,
+    margin_micro, pred) with margin_micro = bias_q + Σ w_q[hash(token)]
+    over ALL token occurrences — an exact int64, reproducible on any
+    engine. One corpus tokenize, a broadcast join against the dim-row
+    weight table, one per-doc sum; token-less docs keep the bare bias
+    via the left join."""
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, int(w_q[i])) for i in range(dim)], "idx int, wq long"
+    )
+    tok = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("t")
+    )
+    idx = (hex_fold(F.md5("t"), 1) % dim).cast("int")
+    sums = (
+        tok.select("doc_id", idx.alias("idx"))
+        .join(F.broadcast(wdf), "idx")
+        .groupBy("doc_id")
+        .agg(F.sum("wq").alias("s"))
+    )
+    margin = F.coalesce(F.col("s"), F.lit(0)) + F.lit(int(bias_q))
+    out = (
+        documents.select("doc_id")
+        .join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            margin.cast("long").alias("margin_micro"),
+            (margin >= 0).cast("int").alias("pred"),
+        )
+    )
+    if not ordered:
+        # Production core: per-doc output stays distributed; canonical
+        # ordering is oracle/report-only (presentation-layer boundary).
+        return out
+    return out.repartition(1).sortWithinPartitions("doc_id")

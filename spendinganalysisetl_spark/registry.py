@@ -4633,6 +4633,120 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted labeled set for the trained quality classifier: "good" docs
+# use an informative-prose vocabulary, "bad" docs a spam vocabulary,
+# both mixed with shared filler — the bounded annotation set a
+# FineWeb-Edu-style pipeline trains its fast student on.
+_CLS_FIXTURE: list[tuple[int, str]] = [
+    (1, "clear concise sourced analysis of the measured results"),
+    (1, "structured factual summary with precise sourced citations"),
+    (1, "the analysis presents measured evidence and precise methods"),
+    (1, "concise structured notes on factual measured findings"),
+    (1, "sourced citations support the clear factual conclusions"),
+    (1, "precise methods and measured evidence in a concise summary"),
+    (0, "click here to win free money buy now limited offer"),
+    (0, "free winner click the link buy cheap pills now"),
+    (0, "limited offer win big money free spins click now"),
+    (0, "buy now cheap deal free shipping winner click here"),
+    (0, "win free money now the cheap offer will not last"),
+    (0, "click to claim the free winner bonus buy instantly"),
+]
+
+_CLS_DIM = 64
+_CLS_ITERS = 8
+_CLS_LR = 0.5
+
+# Trained-once weights per session (the bpe_merges memo rationale: a
+# production pipeline trains the classifier once and scores every
+# shard under it; the query measures the corpus scoring pass).
+_CLS_WEIGHTS: dict[tuple, tuple[list[int], int]] = {}
+
+
+def _cls_weights(spark: SparkSession) -> tuple[list[int], int]:
+    from spendinganalysisetl_spark.catalog import _context_key
+    from spendinganalysisetl_spark.operators.classifier import (
+        quantize_weights,
+        train_logreg,
+    )
+
+    key = (_context_key(spark),)
+    hit = _CLS_WEIGHTS.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _CLS_WEIGHTS if k != key]:
+        del _CLS_WEIGHTS[k]
+    labeled = spark.createDataFrame(
+        [(i, lab, t) for i, (lab, t) in enumerate(_CLS_FIXTURE)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_logreg(
+        labeled, dim=_CLS_DIM, iters=_CLS_ITERS, lr=_CLS_LR
+    )
+    _CLS_WEIGHTS[key] = quantize_weights(w, b)
+    return _CLS_WEIGHTS[key]
+
+
+def _cls_oracle_sql() -> str:
+    """Golden weights for quality_classifier_margins, computed at
+    import time by the PURE-PYTHON reference trainer
+    (operators/classifier.py:train_reference_logreg — the independent
+    implementation the differential tests pin the distributed trainer
+    against; no Spark anywhere in this computation). The oracle then
+    rebuilds every margin from the same tokenize → md5-fold → weight
+    lookup → exact integer sum, so a driver row means the distributed
+    train AND the corpus scoring pass reproduced the reference
+    end-to-end."""
+    from spendinganalysisetl_spark.operators.classifier import (
+        quantize_weights,
+        train_reference_logreg,
+    )
+
+    w, b = train_reference_logreg(
+        _CLS_FIXTURE, dim=_CLS_DIM, iters=_CLS_ITERS, lr=_CLS_LR
+    )
+    wq, bq = quantize_weights(w, b)
+    values = ",\n".join(f"({i}, {wq[i]})" for i in range(_CLS_DIM))
+    fold = hex_fold_sql("md5(t)", 1)
+    return f"""
+WITH w(idx, wq) AS (VALUES
+{values}
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS t
+  FROM documents
+),
+ti AS (SELECT doc_id, CAST(({fold}) % {_CLS_DIM} AS INT) AS idx FROM tok),
+s AS (SELECT ti.doc_id, sum(w.wq) AS s FROM ti JOIN w USING (idx)
+      GROUP BY ti.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.s, 0) + {bq} AS BIGINT) AS margin_micro,
+       CAST(CASE WHEN COALESCE(s.s, 0) + {bq} >= 0 THEN 1 ELSE 0 END AS INT)
+         AS pred
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("quality_classifier_margins", _cls_oracle_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier over the corpus (operators/
+    classifier.py): a hashed bag-of-words logistic regression fit
+    DISTRIBUTED on the planted labeled fixture (exact-integer gradient
+    partials — bit-deterministic under any partitioning), then every
+    document scored in ONE pure-Catalyst pass: tokenize → portable
+    md5-fold hash → broadcast dim-row weight join → exact int64 margin.
+    The oracle retrains with the independent pure-Python reference and
+    re-scores in SQL — a green row checks the whole train+score loop.
+    Weights memoized per session (train once, score many — the
+    bpe_merges convention); the corpus-scale cost is the scoring scan."""
+    from spendinganalysisetl_spark.operators.classifier import margin_scores
+
+    wq, bq = _cls_weights(spark)
+    return margin_scores(
+        load_table(spark, sf_dir, "documents"), wq, bq, _CLS_DIM
+    )
+
+
 @register(
     "duplicate_token_spans",
     """
@@ -7086,9 +7200,11 @@ _CHECK_FIRST: list[str] = [
     "vocab_zipf_fit",
     "token_drift_psi",
     # (b) new-in-r7 oracles (the lsh_cluster_stars golden fixture,
-    #     VERDICT r6 ask #5; the duplicate-substring span report):
+    #     VERDICT r6 ask #5; the duplicate-substring span report; the
+    #     trained quality classifier's end-to-end train+score row):
     "lsh_cluster_fixture",
     "duplicate_token_spans",
+    "quality_classifier_margins",
     # (c) rotation: the entire remaining [r3]-latest block (the
     #     oldest driver rows in the catalog after the r6 rotation),
     #     then the head of the [r4] block (VERDICT r6 ask #3); the
@@ -7130,10 +7246,11 @@ _CHECK_FIRST: list[str] = [
     "unique_categories",
     "vendor_totals",
     "cube_returnflag_linestatus",
-    "setop_except_nations",
-    # setop_intersect_nations: demoted to fund the duplicate_token_spans
-    # slot — its EXCEPT twin above pins the set-op family this round;
-    # first in line for r8 with the [r4] remainder.
+    # setop_except_nations / setop_intersect_nations: demoted to fund
+    # the duplicate_token_spans and quality_classifier_margins slots —
+    # setop_union_nations above pins the set-op family this round, and
+    # the ALL-form twins hold fresh r6 rows; first in line for r8 with
+    # the [r4] remainder.
 ]
 
 _CHECK_LATE: list[str] = [

@@ -1,0 +1,74 @@
+"""Trained quality classifier (operators/classifier.py): the
+distributed trainer must reproduce the pure-Python reference
+BIT-FOR-BIT (exact-integer gradient partials make the fit independent
+of partitioning), and the exact-integer scoring pass must separate the
+planted fixture and handle token-less documents."""
+
+from __future__ import annotations
+
+from spendinganalysisetl_spark.operators.classifier import (
+    margin_scores,
+    quantize_weights,
+    train_logreg,
+    train_reference_logreg,
+)
+
+FIXTURE = [
+    (1, "clear concise sourced analysis of the measured results"),
+    (1, "structured factual summary with precise sourced citations"),
+    (1, "the analysis presents measured evidence and precise methods"),
+    (0, "click here to win free money buy now limited offer"),
+    (0, "free winner click the link buy cheap pills now"),
+    (0, "limited offer win big money free spins click now"),
+]
+
+
+def _labeled(spark, rows, n_parts=None):
+    df = spark.createDataFrame(
+        [(i, lab, t) for i, (lab, t) in enumerate(rows)],
+        "doc_id long, label int, text string",
+    )
+    return df.repartition(n_parts) if n_parts else df
+
+
+def test_train_matches_reference_bit_for_bit(spark):
+    w, b = train_logreg(_labeled(spark, FIXTURE), dim=32, iters=6)
+    wr, br = train_reference_logreg(FIXTURE, dim=32, iters=6)
+    assert w == wr and b == br  # exact float equality, not approx
+
+
+def test_train_deterministic_under_partitioning(spark):
+    a = train_logreg(_labeled(spark, FIXTURE, n_parts=1), dim=32, iters=4)
+    c = train_logreg(_labeled(spark, FIXTURE, n_parts=7), dim=32, iters=4)
+    assert a == c
+
+
+def test_fixture_separability_and_margin_signs(spark):
+    w, b = train_logreg(_labeled(spark, FIXTURE), dim=64, iters=8)
+    wq, bq = quantize_weights(w, b)
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(FIXTURE)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in margin_scores(docs, wq, bq, 64).collect()}
+    for i, (lab, _) in enumerate(FIXTURE):
+        assert out[i]["pred"] == lab, (i, out[i])
+        assert (out[i]["margin_micro"] >= 0) == (lab == 1)
+
+
+def test_tokenless_doc_scores_bare_bias(spark):
+    w, b = train_logreg(_labeled(spark, FIXTURE), dim=32, iters=4)
+    wq, bq = quantize_weights(w, b)
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "click free money")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in margin_scores(docs, wq, bq, 32).collect()}
+    assert out[0]["margin_micro"] == bq
+    assert out[1]["margin_micro"] == bq
+    assert out[2]["margin_micro"] != bq
+
+
+def test_empty_labeled_set_trains_zeros(spark):
+    empty = spark.createDataFrame([], "doc_id long, label int, text string")
+    w, b = train_logreg(empty, dim=16, iters=3)
+    assert w == [0.0] * 16 and b == 0.0
