@@ -181,17 +181,28 @@ def bpe_train(
     spark = documents.sparkSession
     words = _word_counts(documents, min_freq)
     if driver_vocab_rows:
-        head = words.limit(driver_vocab_rows + 1).collect()
-        if len(head) <= driver_vocab_rows:
-            return spark.createDataFrame(
-                _merge_rounds_local(
-                    {r["word"]: int(r["cnt"]) for r in head},
-                    n_merges,
-                    min_freq,
-                ),
-                _MERGE_SCHEMA,
-            )
-    vocab = _symbolized(words).localCheckpoint()
+        # Persisted across the probe: the bounded collect must not
+        # force a SECOND corpus scan when the vocab exceeds the bound
+        # and the distributed rounds take over — the checkpoint below
+        # reads the cached word table, keeping the corpus scan at
+        # exactly one either way.
+        words = words.persist()
+        try:
+            head = words.limit(driver_vocab_rows + 1).collect()
+            if len(head) <= driver_vocab_rows:
+                return spark.createDataFrame(
+                    _merge_rounds_local(
+                        {r["word"]: int(r["cnt"]) for r in head},
+                        n_merges,
+                        min_freq,
+                    ),
+                    _MERGE_SCHEMA,
+                )
+            vocab = _symbolized(words).localCheckpoint()
+        finally:
+            words.unpersist()
+    else:
+        vocab = _symbolized(words).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         top = (

@@ -64,20 +64,33 @@ def hashed_doc_features(
     The sort pins the per-doc float dot-product ORDER in the training
     partials, which is what makes the learned weights independent of
     collect_list's arrival order."""
-    tok = _spread(labeled.select("doc_id", "label", text_col)).select(
-        "doc_id", "label", F.explode(ws_tokens(F.col(text_col))).alias("t")
+    base = labeled.select("doc_id", "label", text_col)
+    tok = _spread(base).select(
+        "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("t")
     )
     idx = (hex_fold(F.md5("t"), 1) % dim).cast("int")
-    return (
-        tok.select("doc_id", "label", idx.alias("idx"))
-        .groupBy("doc_id", "label", "idx")
+    grouped = (
+        tok.select("doc_id", idx.alias("idx"))
+        .groupBy("doc_id", "idx")
         .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
-        .groupBy("doc_id", "label")
+        .groupBy("doc_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("idx"), F.col("cnt")))
             ).alias("feats")
         )
+    )
+    # LEFT join back to the labeled set: explode drops token-less docs,
+    # but an empty document is still a labeled example — it contributes
+    # its bias gradient and counts in n, exactly as in the pure-Python
+    # reference (a dropped doc would silently break the bit-for-bit
+    # trainer-equivalence contract).
+    return base.select("doc_id", "label").join(grouped, "doc_id", "left").select(
+        "doc_id",
+        "label",
+        F.coalesce(
+            "feats", F.array().cast("array<struct<idx:int,cnt:int>>")
+        ).alias("feats"),
     )
 
 
@@ -152,7 +165,12 @@ def train_reference_logreg(
     docs = []
     for label, text in rows:
         cnt: dict[int, int] = {}
-        for t in re.findall(r"\S+", text.lower()):
+        # ASCII-whitespace complement, NOT Python's Unicode-aware \S:
+        # Java regex (functions.text.ws_tokens) and RE2 (the DuckDB
+        # oracle) both read \s as ASCII whitespace, so e.g. NBSP is a
+        # token CHARACTER there — the reference must split identically
+        # or Unicode-whitespace text breaks the bit-for-bit contract.
+        for t in re.findall(r"[^ \t\n\x0b\f\r]+", text.lower()):
             i = _hash_idx_py(t, dim)
             cnt[i] = cnt.get(i, 0) + 1
         docs.append((label, sorted(cnt.items())))

@@ -68,6 +68,23 @@ def test_tokenless_doc_scores_bare_bias(spark):
     assert out[2]["margin_micro"] != bq
 
 
+def test_tokenless_labeled_doc_still_trains(spark):
+    """A labeled example with empty text must survive the feature build
+    (explode drops it; the left join restores it): it counts in n and
+    contributes its bias gradient, exactly like the reference — and a
+    labeled set of ONLY token-less docs trains a nonzero bias, not the
+    n==0 zeros."""
+    rows = FIXTURE + [(1, ""), (0, "   ")]
+    w, b = train_logreg(_labeled(spark, rows), dim=32, iters=5)
+    wr, br = train_reference_logreg(rows, dim=32, iters=5)
+    assert w == wr and b == br
+    only_empty = [(1, ""), (1, "")]
+    w2, b2 = train_logreg(_labeled(spark, only_empty), dim=16, iters=3)
+    wr2, br2 = train_reference_logreg(only_empty, dim=16, iters=3)
+    assert (w2, b2) == (wr2, br2)
+    assert b2 != 0.0
+
+
 def test_empty_labeled_set_trains_zeros(spark):
     empty = spark.createDataFrame([], "doc_id long, label int, text string")
     w, b = train_logreg(empty, dim=16, iters=3)
