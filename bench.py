@@ -145,13 +145,15 @@ def main() -> None:
     # never survives.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name, fn in qs.items():
-        best = float("inf")
+        ts: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             _execute(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(min(ts), 3)
+        rep_times[name] = [round(t, 3) for t in ts]
 
     total = round(sum(timings.values()), 3)
     # Output contract, round-2 revision: the driver's stdout capture is a
@@ -174,6 +176,14 @@ def main() -> None:
         # keeps AQE on.
         "aqe_enabled": aqe_effective,
         "aqe_source": aqe_source,
+        # Per-rep wall-clock in execution order (VERDICT r7 ask #1):
+        # rep 1 of a query carries any first-run cost of session-shared
+        # intermediates (registry._SHARED builds, corpus_sample
+        # collects) that later reps — and the reported best — amortize.
+        # A published best far above reps' spread means host noise hit
+        # every rep, not a cold build; a rep-1 spike with cheap reps 2+
+        # is the cold build, itemized here instead of guessed at.
+        "rep_times": rep_times,
     }
     with open(os.path.join(_HERE, "bench_queries.json"), "w") as fh:
         json.dump(full, fh, indent=1)

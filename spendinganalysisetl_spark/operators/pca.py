@@ -144,7 +144,14 @@ def covariance_matrix(
 
     cov(i,j) = (n·Σxixj − Σxi·Σxj) / n² / scale², with the numerator
     exact in DECIMAL(38,0) and one deterministic cast-then-divide tail
-    (matching the DuckDB oracle's HUGEINT math step for step)."""
+    (matching the DuckDB oracle's HUGEINT math step for step).
+
+    Cache lifetime: with ``parts=None`` this persists its own
+    gramian-partials frame, and because the RETURNED frame depends on
+    it lazily, it cannot be unpersisted here — a standalone caller owns
+    the (kilobyte-sized) cache entry for the session, same contract as
+    registry ``shared()`` intermediates; multi-query sessions should
+    pass a shared ``parts`` (registry._pca_parts) instead."""
     parts, g_tot, s_tot, n_tot, _owns = _aggregate_moments(
         embeddings, vec_col, scale, parts
     )

@@ -49,7 +49,14 @@ def corpus_sample(
     built over the same corpus. Keyed on the input DataFrame object
     (catalog.load_table returns one relation per (session, table));
     the cached entry holds a strong reference to that frame so the
-    id()-based key can never be recycled while the entry lives."""
+    id()-based key can never be recycled while the entry lives.
+
+    Staleness contract (same as shared()/_RELATIONS): the sample is
+    pinned for the session lifetime — if the underlying parquet files
+    are REWRITTEN mid-session (e.g. a regenerated sf1 sidecar corpus),
+    every index trained from it silently goes stale; regenerating
+    testdata requires a fresh session (bench scripts already start
+    one per run)."""
     from spendinganalysisetl_spark.catalog import _context_key
 
     key = (

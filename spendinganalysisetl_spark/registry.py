@@ -7123,6 +7123,153 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_fixture_vectors() -> list[list[float]]:
+    """Planted 32-vector, 8-dim corpus for pq_ann_fixture: each vector's
+    four 2-dim subspaces draw from four well-separated integer patterns
+    (a different deterministic pattern mix per vector, so ADC distances
+    are GRADED — candidates differ in 0..4 subspaces), plus a +1
+    perturbation on a few vectors so cluster centroids shift off the
+    integer grid and quantization is visibly lossy. Patterns sit 6
+    apart vs perturbations of 1, so subspace Lloyd converges to the
+    pattern clusters with O(1) argmax margins, and with dsub=2 every
+    dot/sum in train/encode/ADC is a single float64 addition (no
+    reduction-order ambiguity between BLAS and plain numpy — the whole
+    pipeline is bit-deterministic)."""
+    pats = [[0.0, 0.0], [6.0, 0.0], [0.0, 6.0], [6.0, 6.0]]
+    vecs = []
+    for i in range(32):
+        v: list[float] = []
+        for j in range(4):
+            v.extend(pats[((i >> j) + j) % 4])
+        if i % 7 == 3:
+            v[i % 8] += 1.0
+        vecs.append(v)
+    return vecs
+
+
+def _pq_fixture_oracle_sql() -> str:
+    """Golden VALUES for pq_ann_fixture: a pure-numpy replication of the
+    full PQ pipeline — id-ordered training sample → seeded subspace
+    Lloyd (operators/similarity.py:pq_train semantics) → nearest-
+    centroid codes → per-query ADC tables → summed lookups → round(6) →
+    (adc, vec_id) ranking — with no Spark anywhere, so a green driver
+    row means the distributed fit+encode+score (driver-side train,
+    Arrow-batched encode, mapInPandas ADC scan, window top-k)
+    reproduced the independent computation end-to-end. Converts the PQ
+    family's test-only differential (tests/test_dedup_similarity.py)
+    into a driver-checked row, the same device as lsh_cluster_fixture /
+    bpe_encode_fixture (VERDICT r7 ask #4)."""
+    import numpy as np
+
+    # seed=1: the first seed (with this corpus) whose per-subspace init
+    # draws 4 DISTINCT patterns — duplicate init centroids never
+    # separate under Lloyd and leave zero argmax margins (asserted
+    # below, which is how seed 42 was rejected).
+    m, ksub, iters, seed, k = 4, 4, 10, 1, 3
+    query_ids = [0, 5, 21]
+    X = np.asarray(_pq_fixture_vectors(), dtype=np.float64)
+    n, d = X.shape
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = X[:, j * dsub : (j + 1) * dsub]
+        cent = xs[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        for _ in range(iters):
+            assign = np.argmax(
+                xs @ cent.T - 0.5 * (cent * cent).sum(axis=1), axis=1
+            )
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, : len(cent)] = cent
+    codes = np.zeros((n, m), dtype=np.int64)
+    for j in range(m):
+        xs = X[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        score = xs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        codes[:, j] = np.argmax(score, axis=1)
+        # Witness: every assignment margin is far above float noise, so
+        # the Spark-side argmax (same arithmetic, dsub=2 → single-add
+        # dots) can never flip an assignment.
+        top2 = np.sort(score, axis=1)[:, -2:]
+        assert float(np.min(top2[:, 1] - top2[:, 0])) > 1e-6
+    qmat = X[query_ids]
+    tables = np.zeros((len(query_ids), m, ksub), dtype=np.float64)
+    for j in range(m):
+        qs = qmat[:, j * dsub : (j + 1) * dsub]
+        diff = qs[:, None, :] - books[j][None, :, :]
+        tables[:, j, :] = (diff * diff).sum(axis=2)
+    rows = []
+    saw_nonzero = False
+    for qi, q_id in enumerate(query_ids):
+        adc = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            adc += tables[qi, j, codes[:, j]]
+        adc = np.round(adc, 6)
+        order = sorted(
+            (v for v in range(n) if v != q_id),
+            key=lambda v: (adc[v], v),
+        )
+        topk = [float(adc[v]) for v in order[:k]]
+        for rnk, v in enumerate(order[:k], start=1):
+            rows.append((q_id, v, float(adc[v]), rnk))
+            saw_nonzero |= adc[v] > 0.0
+        # The top-k must be GRADED (≥2 distinct distances), or the
+        # fixture degenerates into pure vec_id tie-ordering.
+        assert len(set(topk)) >= 2, topk
+        # Rank stability: every boundary is either an exact tie (vec_id
+        # breaks it identically on both sides) or a gap that dwarfs the
+        # 6dp rounding (planted integer grid → small exact rationals).
+        assert adc[order[k]] - adc[order[k - 1]] > 1e-4 or (
+            adc[order[k]] == adc[order[k - 1]]
+        )
+    # Quantization must be visibly lossy somewhere, or an edit to the
+    # planted corpus has silently defanged the fixture.
+    assert saw_nonzero
+    values = ",\n".join(
+        f"({q}, {v}, {dist!r}, {rnk})" for q, v, dist, rnk in rows
+    )
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc_dist AS DOUBLE) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (VALUES
+{values}
+) AS t(query_id, vec_id, adc_dist, rank)
+ORDER BY query_id, rank
+"""
+
+
+@register("pq_ann_fixture", _pq_fixture_oracle_sql())
+def q_pq_ann_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of pq_ann_topk (VERDICT r7 ask #4): the
+    full distributed PQ pipeline — seeded subspace Lloyd fit over the
+    id-ordered sample, Arrow-batched nearest-centroid encoding,
+    broadcast ADC tables, mapInPandas code-scan scoring, window top-k —
+    over a planted 32×8 integer-grid corpus, compared against a golden
+    VALUES oracle computed by an independent pure-numpy replication at
+    import time (see _pq_fixture_oracle_sql). pq_ann_topk stays the
+    at-scale entry (real corpus, m=16; rows-only by model-artifact
+    nature); this entry makes its fit+encode+score logic a
+    driver-checked row. dsub=2 keeps every reduction a single float64
+    add, so Spark and the replication are bit-identical by
+    construction."""
+    from spendinganalysisetl_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_pq_fixture_vectors())],
+        "vec_id long, embedding array<float>",
+    )
+    return (
+        pq_topk(emb, [0, 5, 21], k=3, m=4, ksub=4, seed=1)
+        .repartition(1)
+        .sortWithinPartitions("query_id", "rank")
+    )
+
+
 @register("pca_projection_scores")  # rows-only: the eigenbasis comes out
 # of LAPACK eigh — no SQL twin can eigendecompose; the covariance it
 # diagonalizes IS oracle-checked bit-for-bit (embedding_covariance_matrix),
@@ -7184,79 +7331,125 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # (a) code-changed in r7 — the shared doc-term index rewired
-    #     tfidf/cross-entropy/vocab, the HOF materialization rebuilt
-    #     text_repetition_scores, and the ordered-param presentation
-    #     split touched the decontaminate/boilerplate/packing/shard
-    #     operators (default path plan-identical; re-confirm anyway):
-    "text_repetition_scores",
-    "tfidf_top_terms",
-    "doc_cross_entropy",
-    "vocab_top_terms",
-    "decontaminate_ngram_overlap",
-    "boilerplate_ngram_stats",
-    "sequence_packing_bins",
-    "training_shard_pipeline",
-    "vocab_zipf_fit",
-    "token_drift_psi",
-    # (b) new-in-r7 oracles (the lsh_cluster_stars golden fixture,
-    #     VERDICT r6 ask #5; the duplicate-substring span report; the
-    #     trained quality classifier's end-to-end train+score row):
-    "lsh_cluster_fixture",
-    "duplicate_token_spans",
-    "quality_classifier_margins",
-    # (c) rotation: the entire remaining [r3]-latest block (the
-    #     oldest driver rows in the catalog after the r6 rotation),
-    #     then the head of the [r4] block (VERDICT r6 ask #3); the
-    #     [r4] remainder is first in line for r8:
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_customer",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q13_customer_distribution",
-    "sql_surface_q1",
-    "category_totals",
-    "monthly_pct_change_last",
-    "corpus_curation",
-    "text_quality_scores",
-    "asof_join_click_purchase",
-    "report_fi_summary",
-    "ngram_jaccard_pairs",
-    "join_revenue_by_nation",
-    "rollup_returnflag_linestatus",
-    "setop_union_nations",
-    "text_lang_id",
-    "bottom5_vendors_ref_compat",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_volume_part_shippers",
-    "tpch_q22_dormant_rich_customers",
-    "tpch_q4_order_priority_exists",
-    "tpch_q2_min_cost_supplier",
-    "multimodal_frame_sample",
-    "stream_dedup_at_least_once",
-    "stream_tumbling_5min",
-    "stream_session_window",
-    "stream_running_distinct_users",
-    "scalar_functions_showcase",
-    "events_tumbling_5min",
-    "events_session_window_native",
-    "monthly_pivot_wide",
-    "monthly_avg_absent_as_zero",
-    "category_totals_ref_roundsum",
-    "top5_vendors",
-    "unique_categories",
-    "vendor_totals",
-    "cube_returnflag_linestatus",
-    # setop_except_nations / setop_intersect_nations: demoted to fund
-    # the duplicate_token_spans and quality_classifier_margins slots —
-    # setop_union_nations above pins the set-op family this round, and
-    # the ALL-form twins hold fresh r6 rows; first in line for r8 with
-    # the [r4] remainder.
+    # (a) code-changed in r8 — value_anomalies moved its per-row
+    #     date_format past the anomaly filter (output identical; the
+    #     executed plan changed, so re-earn the driver row):
+    "events_value_anomalies",
+    # (b) new-in-r8 oracle: the PQ fit+encode+ADC golden fixture
+    #     (VERDICT r7 ask #4 — the largest remaining rows-only family
+    #     member converted via the lsh_cluster_fixture device):
+    "pq_ann_fixture",
+    # (c) rotation: the entire [r4]-latest block — after the r7 window
+    #     these are the oldest driver rows in the catalog (VERDICT r7
+    #     ask #6: after r8, no green may predate r5):
+    "dedup_stats",
+    "embedding_covariance_matrix",
+    "join_anti_customers_without_orders",
+    "join_left_order_counts",
+    "join_semi_customers_with_orders",
+    "monthly_category_amounts",
+    "pit_join_orders_scd2",
+    "point_query_order",
+    "proj_order_dates",
+    "report_global_summary",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "text_fingerprints",
+    "text_token_counts",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "window_monthly_running_total",
+    "window_rank_dense_rank",
+    "window_top_orders_per_customer",
+    # (d) rotation fill: the head of the [r5] block (next-oldest rows;
+    #     the 12-entry [r5] remainder is first in line for r9):
+    "sql_surface_recursive_spine",
+    "ab_welch_event_values",
+    "revenue_gini_by_segment",
+    "cms_heavy_hitters",
+    "minhash_lsh_pairs_portable",
+    "simhash_near_pairs_portable",
+    "weighted_sample_es",
+    "stratified_sample_hash",
+    "split_profile",
+    "corpus_shuffle_shards",
+    "incremental_near_dup_batch",
+    "near_dup_clusters",
+    "dedup_exact_survivors",
+    "text_corpus_stats",
+    "events_sessionize",
+    "window_rolling_3mo_avg",
+    "window_order_navigation",
+    "range_join_price_bands",
+    "salted_revenue_by_flag",
+    "map_roundtrip_category_totals",
+    "doc_length_histogram",
 ]
 
 _CHECK_LATE: list[str] = [
-    # r6-green: the entire round-6 window (50/50 green in
-    # CORRECTNESS_r06.json), demoted to fund the r7 window above —
+    # r7-green: the entire round-7 window (50/50 green in
+    # CORRECTNESS_r07.json), demoted to fund the r8 window above —
     # the freshest rows in the catalog:
+    "text_repetition_scores",  # [r7]
+    "tfidf_top_terms",  # [r7]
+    "doc_cross_entropy",  # [r7]
+    "vocab_top_terms",  # [r7]
+    "decontaminate_ngram_overlap",  # [r7]
+    "boilerplate_ngram_stats",  # [r7]
+    "sequence_packing_bins",  # [r7]
+    "training_shard_pipeline",  # [r7]
+    "vocab_zipf_fit",  # [r7]
+    "token_drift_psi",  # [r7]
+    "lsh_cluster_fixture",  # [r7]
+    "duplicate_token_spans",  # [r7]
+    "quality_classifier_margins",  # [r7]
+    "tpch_q5_local_supplier_volume",  # [r7]
+    "tpch_q18_large_volume_customer",  # [r7]
+    "tpch_q16_supplier_part_counts",  # [r7]
+    "tpch_q13_customer_distribution",  # [r7]
+    "sql_surface_q1",  # [r7]
+    "category_totals",  # [r7]
+    "monthly_pct_change_last",  # [r7]
+    "corpus_curation",  # [r7]
+    "text_quality_scores",  # [r7]
+    "asof_join_click_purchase",  # [r7]
+    "report_fi_summary",  # [r7]
+    "ngram_jaccard_pairs",  # [r7]
+    "join_revenue_by_nation",  # [r7]
+    "rollup_returnflag_linestatus",  # [r7]
+    "setop_union_nations",  # [r7]
+    "text_lang_id",  # [r7]
+    "bottom5_vendors_ref_compat",  # [r7]
+    "tpch_q17_small_qty_revenue",  # [r7]
+    "tpch_q20_volume_part_shippers",  # [r7]
+    "tpch_q22_dormant_rich_customers",  # [r7]
+    "tpch_q4_order_priority_exists",  # [r7]
+    "tpch_q2_min_cost_supplier",  # [r7]
+    "multimodal_frame_sample",  # [r7]
+    "stream_dedup_at_least_once",  # [r7]
+    "stream_tumbling_5min",  # [r7]
+    "stream_session_window",  # [r7]
+    "stream_running_distinct_users",  # [r7]
+    "scalar_functions_showcase",  # [r7]
+    "events_tumbling_5min",  # [r7]
+    "events_session_window_native",  # [r7]
+    "monthly_pivot_wide",  # [r7]
+    "monthly_avg_absent_as_zero",  # [r7]
+    "category_totals_ref_roundsum",  # [r7]
+    "top5_vendors",  # [r7]
+    "unique_categories",  # [r7]
+    "vendor_totals",  # [r7]
+    "cube_returnflag_linestatus",  # [r7]
+    # r6-green: the round-6 window (50/50 green in CORRECTNESS_r06.json)
+    # minus events_value_anomalies (code-changed in r8 → _CHECK_FIRST):
     "correlated_subquery_above_brand_avg",  # [r6]
     "cosine_near_dup_pairs",  # [r6]
     "embedding_quantize_int8",  # [r6]
@@ -7284,7 +7477,6 @@ _CHECK_LATE: list[str] = [
     "events_funnel_conversion",  # [r6]
     "events_retention_cohorts",  # [r6]
     "fuzzy_pairs_levenshtein",  # [r6]
-    "events_value_anomalies",  # [r6]
     "length_bucket_profile",  # [r6]
     "dq_check_lineitem",  # [r6]
     "corr_matrix_lineitem",  # [r6]
@@ -7314,30 +7506,9 @@ _CHECK_LATE: list[str] = [
     # r3-green remainder (the oldest 26 [r3] rows rotated into the r6
     # window; these are next in line for r7):
     #
-    # r5-green: the round-5 window minus the r6 code-changed re-checks
-    # (which sit in _CHECK_FIRST above) — the freshest rows in the
-    # catalog after the r4 block:
-    "sql_surface_recursive_spine",  # [r5]
-    "ab_welch_event_values",  # [r5] — r6 added a planted-extreme test; operator unchanged
-    "revenue_gini_by_segment",  # [r5] — same
-    "cms_heavy_hitters",  # [r5]
-    "minhash_lsh_pairs_portable",  # [r5]
-    "simhash_near_pairs_portable",  # [r5]
-    "weighted_sample_es",  # [r5]
-    "stratified_sample_hash",  # [r5]
-    "split_profile",  # [r5]
-    "corpus_shuffle_shards",  # [r5]
-    "incremental_near_dup_batch",  # [r5]
-    "near_dup_clusters",  # [r5]
-    "dedup_exact_survivors",  # [r5]
-    "text_corpus_stats",  # [r5]
-    "events_sessionize",  # [r5]
-    "window_rolling_3mo_avg",  # [r5]
-    "window_order_navigation",  # [r5]
-    "range_join_price_bands",  # [r5]
-    "salted_revenue_by_flag",  # [r5]
-    "map_roundtrip_category_totals",  # [r5]
-    "doc_length_histogram",  # [r5]
+    # r5-green: the round-5 window remainder after the r8 rotation
+    # promoted its 21 oldest names into _CHECK_FIRST — these 12 are
+    # first in line for the r9 window:
     "events_props_json_stats",  # [r5]
     "events_props_variant_stats",  # [r5]
     "embedding_label_audit",  # [r5]
@@ -7350,37 +7521,9 @@ _CHECK_LATE: list[str] = [
     "numeric_profile_lineitem",  # [r5]
     "incremental_monthly_refresh",  # [r5]
     "events_gap_fill_hourly",  # [r5]
-    #
-    # r4-green: the entire round-4 window (50/50 green in
-    # CORRECTNESS_r04.json), demoted en bloc to fund the round-5 window
-    # above. None of their code changed in r5 except the streaming
-    # topologies' shared session config (unchanged since r4) — the
-    # freshest rows in the catalog, first in line for the r6 rotation:
-    "join_anti_customers_without_orders",  # [r4] — yielded its r7 slot to the code-changed vocab_zipf_fit
-    "join_left_order_counts",  # [r4]
-    "join_semi_customers_with_orders",  # [r4]
-    "point_query_order",  # [r4]
-    "proj_order_dates",  # [r4]
-    "report_global_summary",  # [r4]
-    "monthly_category_amounts",  # [r4]
-    "window_monthly_running_total",  # [r4]
-    "window_rank_dense_rank",  # [r4]
-    "window_top_orders_per_customer",  # [r4]
-    "text_fingerprints",  # [r4]
-    "text_token_counts",  # [r4]
-    "dedup_stats",  # [r4]
-    "tpch_q6_forecast_revenue",  # [r4]
-    "tpch_q7_volume_shipping",  # [r4]
-    "tpch_q8_market_share",  # [r4]
-    "tpch_q9_product_profit",  # [r4]
-    "tpch_q10_returned_items",  # [r4]
-    "tpch_q11_important_stock",  # [r4]
-    "tpch_q12_late_shipment_priority",  # [r4]
-    "tpch_q14_promo_revenue",  # [r4]
-    "tpch_q15_top_supplier",  # [r4]
-    "tpch_q19_disjunctive_revenue",  # [r4]
-    "embedding_covariance_matrix",  # [r4]
-    "pit_join_orders_scd2",  # [r4]
+    # (the former r4-green block — the entire round-4 window — was
+    # promoted en bloc into the r8 _CHECK_FIRST above: after the r7
+    # window those were the oldest driver rows in the catalog.)
 ]
 
 
