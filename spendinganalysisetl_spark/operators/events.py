@@ -400,39 +400,61 @@ def value_anomalies(
     ``value`` deviates ≥ ``z_threshold`` sample standard deviations from
     the PRECEDING hour's per-type baseline (the current event is excluded
     from its own baseline — no self-masking). Events with fewer than
-    ``min_baseline`` prior points don't score (cold-start guard).
+    ``min_baseline`` prior points don't score (cold-start guard), and
+    near-constant baselines (sample variance ≤ 1e-6) don't score either
+    — a z-score against a degenerate spread is noise, and the epsilon
+    makes the constant-window case deterministic across engines.
 
-    Scale shape: one event-time RANGE window per event_type — Spark
-    sorts within type partitions only; baselines are mean/stddev window
-    aggregates over epoch-second ordering, identical closed forms in the
-    DuckDB twin. Emits only anomalies (tiny output).
+    Scale shape: Spark has no retractable window aggregates, so a
+    bounded sliding RANGE frame replays its whole frame per row —
+    O(rows × frame) per partition; measured 2.3 s warm at sf1 (~278
+    events/frame × 1M rows in ≤5 type-partition tasks). The preceding-
+    hour stats are instead DIFFERENCES of two UNBOUNDED-PRECEDING
+    cumulative frames (add-only, O(rows)): stats(-w,-1) = cum(..,-1) −
+    cum(..,-(w+1)), carrying (n, Σv, Σv²) and closing mean/variance
+    from the sufficient statistics. One sort per type partition, two
+    incremental frame passes, identical closed forms in the DuckDB
+    twin. Emits only anomalies (tiny output); ts formats after the
+    filter so date_format prices on |anomalies|, not |events|.
     """
     # NTZ timestamps don't cast to double; epoch seconds via LTZ under
     # the pinned UTC session timezone (deterministic, both engines).
     epoch = F.col("ts").cast("timestamp_ltz").cast("long")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(epoch)
-        .rangeBetween(-window_seconds, -1)
-    )
-    # ts stays a raw timestamp through the window + filter: date_format
-    # is a per-row formatter-object call, and paying it for EVERY event
-    # when only the (tiny) anomaly set survives measured 2.32 s at sf1 —
-    # formatting after the filter prices it on |anomalies|, not |events|.
+
+    def w(upper: int):
+        return (
+            Window.partitionBy("event_type")
+            .orderBy(epoch)
+            .rangeBetween(Window.unboundedPreceding, upper)
+        )
+    wa, wb = w(-1), w(-(window_seconds + 1))
+    v2 = F.col("value") * F.col("value")
+    # sum over an empty frame is NULL (count is 0) — coalesce keeps the
+    # difference arithmetic total; an empty FRAME-A row has n_base 0 and
+    # never survives the cold-start filter.
     scored = events.select(
         "event_id",
         "event_type",
         "ts",
         "value",
-        F.count(F.lit(1)).over(w).alias("n_base"),
-        F.avg("value").over(w).alias("base_mean"),
-        F.stddev_samp("value").over(w).alias("base_std"),
+        (F.count(F.lit(1)).over(wa) - F.count(F.lit(1)).over(wb)).alias("n_base"),
+        (
+            F.coalesce(F.sum("value").over(wa), F.lit(0.0))
+            - F.coalesce(F.sum("value").over(wb), F.lit(0.0))
+        ).alias("s_base"),
+        (
+            F.coalesce(F.sum(v2).over(wa), F.lit(0.0))
+            - F.coalesce(F.sum(v2).over(wb), F.lit(0.0))
+        ).alias("q_base"),
     )
-    z = (F.col("value") - F.col("base_mean")) / F.col("base_std")
+    n = F.col("n_base").cast("double")
+    mean = F.col("s_base") / n
+    var = (F.col("q_base") - F.col("s_base") * F.col("s_base") / n) / (n - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
     return (
         scored.filter(
             (F.col("n_base") >= min_baseline)
-            & (F.col("base_std") > 0)
+            & (var > 1e-6)
             & (F.abs(z) >= z_threshold)
         )
         .select(

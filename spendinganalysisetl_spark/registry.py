@@ -6593,28 +6593,41 @@ def q_fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_value_anomalies",
     """
-WITH scored AS (
-  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss, value,
-         count(*) OVER w AS n_base,
-         avg(value) OVER w AS base_mean,
-         stddev_samp(value) OVER w AS base_std
+WITH pre AS (
+  SELECT event_id, event_type, ts, value,
+         count(*) OVER wa - count(*) OVER wb AS n_base,
+         coalesce(sum(value) OVER wa, 0.0)
+           - coalesce(sum(value) OVER wb, 0.0) AS s_base,
+         coalesce(sum(value*value) OVER wa, 0.0)
+           - coalesce(sum(value*value) OVER wb, 0.0) AS q_base
   FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-               RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+  WINDOW wa AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wb AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 3601 PRECEDING)
+), scored AS (
+  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss, value,
+         s_base / n_base AS base_mean,
+         (q_base - s_base*s_base/n_base) / (n_base - 1) AS base_var
+  FROM pre WHERE n_base >= 30
 )
 SELECT event_id, event_type, tss AS ts, round(value, 2) AS value,
-       round((value - base_mean) / base_std, 4) AS z_score
+       round((value - base_mean) / sqrt(base_var), 4) AS z_score
 FROM scored
-WHERE n_base >= 30 AND base_std > 0
-  AND abs((value - base_mean) / base_std) >= 3.0
+WHERE base_var > 1e-6
+  AND abs((value - base_mean) / sqrt(base_var)) >= 3.0
 ORDER BY event_id
 """,
 )
 def q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags: each event scored against its
-    type's PRECEDING-hour baseline (event-time RANGE window on epoch
-    seconds, current event excluded, ≥30-point cold-start guard)
-    (operators/events.py:value_anomalies)."""
+    type's PRECEDING-hour baseline (event-time ordering on epoch
+    seconds, current event excluded, ≥30-point cold-start guard,
+    variance-epsilon degenerate-baseline guard). Both engines compute
+    the hour stats as DIFFERENCES of two unbounded-preceding cumulative
+    (n, Σv, Σv²) frames — the retraction-free O(rows) shape (see
+    operators/events.py:value_anomalies for why Spark's bounded sliding
+    frame is O(rows × frame) instead)."""
     from spendinganalysisetl_spark.operators.events import value_anomalies
 
     return value_anomalies(load_table(spark, sf_dir, "events"))
@@ -7101,7 +7114,10 @@ def q_lsh_cluster_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     portability); this entry makes its clustering logic a driver-checked
     row. Bench note: a fixture-sized iterative CC pays the per-round
     scheduling floor, not data cost — its wall-clock vs the VALUES
-    oracle is documented-by-nature, like bpe_encode_fixture."""
+    oracle is documented-by-nature, like bpe_encode_fixture; shuffle
+    partitions pin to 1 for the call (10 docs through ~4 CC rounds at
+    the session's 32 would schedule ~hundreds of empty tasks — same
+    sizing note as lsh_cluster_stars' 8)."""
     from spendinganalysisetl_spark.operators.dedup import (
         lsh_cluster_stars_portable,
     )
@@ -7110,7 +7126,14 @@ def q_lsh_cluster_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, t) for i, t in enumerate(_LSH_FIXTURE_TEXTS)],
         "doc_id long, text string",
     )
-    return lsh_cluster_stars_portable(docs, n_hashes=8, bands=4, shingle_n=5)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        return lsh_cluster_stars_portable(
+            docs, n_hashes=8, bands=4, shingle_n=5
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register("pq_ann_topk")  # rows-only: codebooks come out of a seeded
