@@ -889,13 +889,22 @@ def pq_topk(
 
     if query_ids is None:
         query_ids = list(range(10))
-    qrows = (
-        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # Query vectors come from the session-cached training sample when
+    # they're all in it (they are for the low-id defaults and the
+    # fixture — the sample is orderBy(id) limit 4096): one fewer
+    # collect job per call. Ids outside the sample fall back to a scan.
+    by_id = {r[0]: r[1] for r in corpus_sample(embeddings)}
+    if all(q in by_id for q in query_ids):
+        pairs = [(q, by_id[q]) for q in sorted(query_ids)]
+    else:
+        qrows = (
+            embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        pairs = sorted((r[0], r[1]) for r in qrows)
+    qids = np.asarray([p[0] for p in pairs], dtype=np.int64)
+    qmat = np.asarray([p[1] for p in pairs], dtype=np.float64)
     # per-query distance tables: tables[q, j, c] = ||q_j − books[j, c]||²
     tables = np.zeros((len(qids), m, ksub), dtype=np.float64)
     for j in range(m):
