@@ -119,6 +119,61 @@ def test_value_anomalies_flags_spike_after_coldstart(spark):
     assert value_anomalies(ev_short).count() == 0
 
 
+def test_value_anomalies_matches_direct_sliding_reference(spark):
+    """Differential pin for the r8 rewrite: the distributed
+    difference-of-two-cumulative-frames formulation (retraction-free —
+    see operators/events.py:value_anomalies) must reproduce a direct
+    per-row sliding-window reference computed independently in plain
+    Python over the same rows (same mean/var closed forms, same
+    guards), on a seeded random stream dense enough to pass the
+    cold-start floor and containing planted spikes."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    m = 0.0
+    for i in range(900):
+        m += rng.uniform(0.25, 0.75)  # ~2/min → ~60/hour per type
+        v = rng.gauss(50.0, 5.0)
+        if i in (400, 700):
+            v += 60.0  # planted spikes
+        rows.append((m, 1, "tick" if i % 2 else "tock", v))
+    ev = _ev(spark, rows)
+    from spendinganalysisetl_spark.operators.events import value_anomalies
+
+    got = {
+        r["event_id"]: r["z_score"] for r in value_anomalies(ev).collect()
+    }
+
+    # Independent direct reference: for each event, aggregate the
+    # preceding-hour same-type events by brute force.
+    evs = [
+        (i, rows[i][2], int((T0 + datetime.timedelta(minutes=rows[i][0])
+             ).replace(tzinfo=datetime.timezone.utc).timestamp()), rows[i][3])
+        for i in range(len(rows))
+    ]
+    want = {}
+    for i, typ, ep, v in evs:
+        base = [v2 for (j, t2, e2, v2) in evs
+                if t2 == typ and ep - 3600 <= e2 <= ep - 1]
+        n = len(base)
+        if n < 30:
+            continue
+        s = sum(base)
+        q = sum(x * x for x in base)
+        var = (q - s * s / n) / (n - 1)
+        if var <= 1e-6:
+            continue
+        z = (v - s / n) / var ** 0.5
+        if abs(z) >= 3.0:
+            want[i] = round(z, 4)
+    assert set(got) == set(want)
+    # planted spikes must actually be among the flags
+    assert {400, 700} <= set(got)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-3, (k, got[k], want[k])
+
+
 def test_fuzzy_levenshtein_blocking_and_distance(spark):
     from spendinganalysisetl_spark.operators.dedup import fuzzy_pairs_levenshtein
 
