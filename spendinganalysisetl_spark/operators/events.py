@@ -411,15 +411,35 @@ def value_anomalies(
     events/frame × 1M rows in ≤5 type-partition tasks). The preceding-
     hour stats are instead DIFFERENCES of two UNBOUNDED-PRECEDING
     cumulative frames (add-only, O(rows)): stats(-w,-1) = cum(..,-1) −
-    cum(..,-(w+1)), carrying (n, Σv, Σv²) and closing mean/variance
-    from the sufficient statistics. One sort per type partition, two
-    incremental frame passes, identical closed forms in the DuckDB
+    cum(..,-(w+1)), carrying (n, Σu, Σu²) and closing mean/variance
+    from the sufficient statistics. Values are CENTERED by the
+    per-type min before accumulating (min is an exact, order- and
+    null-independent selection, so both engines subtract the identical
+    float): cumulative Σv² over a long partition grows like
+    rows·offset², and differencing it for a window variance ≪ offset²
+    is catastrophic cancellation — centering bounds the error by the
+    data RANGE instead of the absolute offset, the standard shifted-
+    data variance trick. Counts use count(value) (null-skipping, like
+    the sums), so null-valued events are absent from n, Σu and Σu²
+    consistently. One sort per type partition, three incremental frame
+    passes over one exchange, identical closed forms in the DuckDB
     twin. Emits only anomalies (tiny output); ts formats after the
     filter so date_format prices on |anomalies|, not |events|.
     """
     # NTZ timestamps don't cast to double; epoch seconds via LTZ under
     # the pinned UTC session timezone (deterministic, both engines).
     epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+
+    centered = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        (
+            F.col("value")
+            - F.min("value").over(Window.partitionBy("event_type"))
+        ).alias("u"),
+    )
 
     def w(upper: int):
         return (
@@ -428,29 +448,30 @@ def value_anomalies(
             .rangeBetween(Window.unboundedPreceding, upper)
         )
     wa, wb = w(-1), w(-(window_seconds + 1))
-    v2 = F.col("value") * F.col("value")
+    u2 = F.col("u") * F.col("u")
     # sum over an empty frame is NULL (count is 0) — coalesce keeps the
     # difference arithmetic total; an empty FRAME-A row has n_base 0 and
     # never survives the cold-start filter.
-    scored = events.select(
+    scored = centered.select(
         "event_id",
         "event_type",
         "ts",
         "value",
-        (F.count(F.lit(1)).over(wa) - F.count(F.lit(1)).over(wb)).alias("n_base"),
+        "u",
+        (F.count("u").over(wa) - F.count("u").over(wb)).alias("n_base"),
         (
-            F.coalesce(F.sum("value").over(wa), F.lit(0.0))
-            - F.coalesce(F.sum("value").over(wb), F.lit(0.0))
+            F.coalesce(F.sum("u").over(wa), F.lit(0.0))
+            - F.coalesce(F.sum("u").over(wb), F.lit(0.0))
         ).alias("s_base"),
         (
-            F.coalesce(F.sum(v2).over(wa), F.lit(0.0))
-            - F.coalesce(F.sum(v2).over(wb), F.lit(0.0))
+            F.coalesce(F.sum(u2).over(wa), F.lit(0.0))
+            - F.coalesce(F.sum(u2).over(wb), F.lit(0.0))
         ).alias("q_base"),
     )
     n = F.col("n_base").cast("double")
     mean = F.col("s_base") / n
     var = (F.col("q_base") - F.col("s_base") * F.col("s_base") / n) / (n - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
+    z = (F.col("u") - mean) / F.sqrt(var)
     return (
         scored.filter(
             (F.col("n_base") >= min_baseline)

@@ -889,13 +889,17 @@ def pq_topk(
 
     if query_ids is None:
         query_ids = list(range(10))
+    # Deduplicate up front: the scan path below dedups by row (isin),
+    # and a duplicated qid in the table-lookup path would double-emit
+    # every scored row and corrupt row_number ranks.
+    query_ids = sorted(set(query_ids))
     # Query vectors come from the session-cached training sample when
     # they're all in it (they are for the low-id defaults and the
     # fixture — the sample is orderBy(id) limit 4096): one fewer
     # collect job per call. Ids outside the sample fall back to a scan.
     by_id = {r[0]: r[1] for r in corpus_sample(embeddings)}
     if all(q in by_id for q in query_ids):
-        pairs = [(q, by_id[q]) for q in sorted(query_ids)]
+        pairs = [(q, by_id[q]) for q in query_ids]
     else:
         qrows = (
             embeddings.filter(F.col("vec_id").isin(list(query_ids)))

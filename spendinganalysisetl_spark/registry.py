@@ -6593,41 +6593,45 @@ def q_fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_value_anomalies",
     """
-WITH pre AS (
+WITH centered AS (
   SELECT event_id, event_type, ts, value,
-         count(*) OVER wa - count(*) OVER wb AS n_base,
-         coalesce(sum(value) OVER wa, 0.0)
-           - coalesce(sum(value) OVER wb, 0.0) AS s_base,
-         coalesce(sum(value*value) OVER wa, 0.0)
-           - coalesce(sum(value*value) OVER wb, 0.0) AS q_base
+         value - min(value) OVER (PARTITION BY event_type) AS u
   FROM events
+), pre AS (
+  SELECT event_id, event_type, ts, value, u,
+         count(u) OVER wa - count(u) OVER wb AS n_base,
+         coalesce(sum(u) OVER wa, 0.0)
+           - coalesce(sum(u) OVER wb, 0.0) AS s_base,
+         coalesce(sum(u*u) OVER wa, 0.0)
+           - coalesce(sum(u*u) OVER wb, 0.0) AS q_base
+  FROM centered
   WINDOW wa AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          wb AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                 RANGE BETWEEN UNBOUNDED PRECEDING AND 3601 PRECEDING)
 ), scored AS (
-  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss, value,
+  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss, value, u,
          s_base / n_base AS base_mean,
          (q_base - s_base*s_base/n_base) / (n_base - 1) AS base_var
   FROM pre WHERE n_base >= 30
 )
 SELECT event_id, event_type, tss AS ts, round(value, 2) AS value,
-       round((value - base_mean) / sqrt(base_var), 4) AS z_score
+       round((u - base_mean) / sqrt(base_var), 4) AS z_score
 FROM scored
 WHERE base_var > 1e-6
-  AND abs((value - base_mean) / sqrt(base_var)) >= 3.0
+  AND abs((u - base_mean) / sqrt(base_var)) >= 3.0
 ORDER BY event_id
 """,
 )
 def q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags: each event scored against its
     type's PRECEDING-hour baseline (event-time ordering on epoch
-    seconds, current event excluded, ≥30-point cold-start guard,
-    variance-epsilon degenerate-baseline guard). Both engines compute
-    the hour stats as DIFFERENCES of two unbounded-preceding cumulative
-    (n, Σv, Σv²) frames — the retraction-free O(rows) shape (see
-    operators/events.py:value_anomalies for why Spark's bounded sliding
-    frame is O(rows × frame) instead)."""
+    seconds, current event excluded, ≥30-point null-skipping cold-start
+    guard, variance-epsilon degenerate-baseline guard). Both engines
+    compute the hour stats as DIFFERENCES of two unbounded-preceding
+    cumulative (n, Σu, Σu²) frames over per-type-min-CENTERED values —
+    the retraction-free O(rows) shape with cancellation bounded by the
+    data range (see operators/events.py:value_anomalies)."""
     from spendinganalysisetl_spark.operators.events import value_anomalies
 
     return value_anomalies(load_table(spark, sf_dir, "events"))
@@ -7115,9 +7119,12 @@ def q_lsh_cluster_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. Bench note: a fixture-sized iterative CC pays the per-round
     scheduling floor, not data cost — its wall-clock vs the VALUES
     oracle is documented-by-nature, like bpe_encode_fixture; shuffle
-    partitions pin to 1 for the call (10 docs through ~4 CC rounds at
-    the session's 32 would schedule ~hundreds of empty tasks — same
-    sizing note as lsh_cluster_stars' 8)."""
+    partitions pin to 1 for the EAGER jobs only — the iterative CC
+    rounds run via localCheckpoint inside this call (10 docs through
+    ~4 rounds at the session's 32 would schedule ~hundreds of empty
+    tasks), while the returned frame's report tail still plans at the
+    session setting when the caller executes it (conf is read at
+    execution planning; same inherent scope as lsh_cluster_stars' 8)."""
     from spendinganalysisetl_spark.operators.dedup import (
         lsh_cluster_stars_portable,
     )
@@ -7280,7 +7287,24 @@ ORDER BY query_id, rank
 """
 
 
-@register("pq_ann_fixture", _pq_fixture_oracle_sql())
+def _pq_fixture_oracle_or_none() -> str | None:
+    """Failure isolation for the import-time golden replication: the
+    numpy fit and its witness asserts run at module import (the oracle
+    string must exist at registration), and an environment without
+    numpy — or a future corpus/seed edit tripping an assert — must
+    degrade to ONE rows-only entry, not an unimportable 175-query
+    catalog. tests/test_registry_order.py::test_pq_fixture_oracle_live
+    turns the degradation into a loud pytest failure."""
+    try:
+        return _pq_fixture_oracle_sql()
+    except Exception as exc:  # pragma: no cover - exercised only on breakage
+        import warnings
+
+        warnings.warn(f"pq_ann_fixture oracle disabled: {exc!r}")
+        return None
+
+
+@register("pq_ann_fixture", _pq_fixture_oracle_or_none())
 def q_pq_ann_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable twin of pq_ann_topk (VERDICT r7 ask #4): the
     full distributed PQ pipeline — seeded subspace Lloyd fit over the
