@@ -7287,6 +7287,129 @@ ORDER BY query_id, rank
 """
 
 
+def _ivf_fixture_oracle_sql() -> str:
+    """Golden VALUES for ivf_ann_fixture: a pure-Python/numpy
+    replication of the full IVF pipeline — id-ordered sample →
+    seeded spherical k-means (operators/similarity.py:ivf_topk
+    semantics: normalize, cosine-argmax assign, recentre, renormalize)
+    → corpus cell assignment → driver-side nprobe probe routing
+    (lexsort tie-break mirrored) → within-probed-cells cosine top-k
+    with the exact fold order of functions/vectors.py:cosine
+    (dot / (sqrt(dot(a,a)) · sqrt(dot(b,b)))) → round(6) →
+    (-cos, c_id) ranking. The planted corpus is the PQ fixture's
+    integer grid, so every dot and norm² is EXACT in float64
+    (order-free) and the JVM fold and this replication are
+    bit-identical on the scoring leg; the one cross-engine float risk
+    — the executor-side normalized-matmul cell argmax — is fenced by
+    an import-time margin assert (> 1e-6 for every vector). Probe
+    routing runs driver-side numpy in BOTH ivf_topk and here (same
+    process, same library), so probe sets agree by construction."""
+    import math
+
+    import numpy as np
+
+    nlist, nprobe, iters, seed, k = 4, 2, 10, 1, 3
+    query_ids = [0, 5, 21]
+    X = np.asarray(_pq_fixture_vectors(), dtype=np.float64)
+    n = len(X)
+    sn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = sn[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sn[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cmat = cent
+    sims_all = sn @ cmat.T
+    srt = np.sort(sims_all, axis=1)
+    # Executor-side argmax fence: a ±1-ulp matmul difference between
+    # BLAS kernel choices can never flip a cell assignment.
+    assert float(np.min(srt[:, -1] - srt[:, -2])) > 1e-6
+    cells = np.argmax(sims_all, axis=1)
+
+    def cos(a, b) -> float:
+        # EXACT mirror of functions/vectors.py:cosine's sequential fold;
+        # on the integer grid every sum is exact, so order is moot, but
+        # mirror anyway so a future corpus edit stays safe.
+        d = daa = dbb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            daa += x * x
+        for y in b:
+            dbb += y * y
+        return d / (math.sqrt(daa) * math.sqrt(dbb))
+
+    rows = []
+    for q_id in query_ids:
+        qv = X[q_id]
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = qn @ cmat.T
+        probes = set(
+            int(c) for c in np.lexsort((np.arange(len(sims)), -sims))[:nprobe]
+        )
+        cand = [v for v in range(n) if int(cells[v]) in probes and v != q_id]
+        scored = sorted(
+            ((round(cos(X[q_id], X[v]), 6), v) for v in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert len(scored) > k  # rank-boundary must exist to assert on
+        topk = scored[:k]
+        # Graded results and a stable rank boundary, as in the PQ fixture.
+        assert len({t[0] for t in topk}) >= 2, topk
+        gap = topk[-1][0] - scored[k][0]
+        assert gap > 1e-4 or gap == 0.0, (topk[-1][0], scored[k][0])
+        for rnk, (cs, v) in enumerate(topk, start=1):
+            rows.append((q_id, v, float(cs), rnk))
+    values = ",\n".join(
+        f"({q}, {v}, {cs!r}, {rnk})" for q, v, cs, rnk in rows
+    )
+    return f"""
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(c_id AS BIGINT) AS c_id,
+       CAST(cos_sim AS DOUBLE) AS cos_sim,
+       CAST(rnk AS INT) AS rnk
+FROM (VALUES
+{values}
+) AS t(q_id, c_id, cos_sim, rnk)
+ORDER BY q_id, rnk
+"""
+
+
+def _ivf_fixture_oracle_or_none() -> str | None:
+    """Same failure isolation as _pq_fixture_oracle_or_none."""
+    try:
+        return _ivf_fixture_oracle_sql()
+    except Exception as exc:  # pragma: no cover - exercised only on breakage
+        import warnings
+
+        warnings.warn(f"ivf_ann_fixture oracle disabled: {exc!r}")
+        return None
+
+
+@register("ivf_ann_fixture", _ivf_fixture_oracle_or_none())
+def q_ivf_ann_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of ivf_topk (the PQ-fixture device applied
+    to the IVF family): the full distributed pipeline — sample-trained
+    spherical k-means quantizer, Arrow-batched corpus cell assignment,
+    driver-side probe routing, broadcast query join, JVM-fold cosine
+    scoring, window top-k — over the planted 32×8 integer-grid corpus,
+    against a golden VALUES oracle from an independent replication at
+    import time (see _ivf_fixture_oracle_sql). ivf_topk stays the
+    at-scale entry (real corpus; rows-only by model-artifact nature,
+    recall-pinned in tests)."""
+    from spendinganalysisetl_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_pq_fixture_vectors())],
+        "vec_id long, embedding array<float>",
+    )
+    return ivf_topk(emb, [0, 5, 21], k=3, nlist=4, nprobe=2, seed=1)
+
+
 def _pq_fixture_oracle_or_none() -> str | None:
     """Failure isolation for the import-time golden replication: the
     numpy fit and its witness asserts run at module import (the oracle
@@ -7396,10 +7519,12 @@ _CHECK_FIRST: list[str] = [
     #     date_format past the anomaly filter (output identical; the
     #     executed plan changed, so re-earn the driver row):
     "events_value_anomalies",
-    # (b) new-in-r8 oracle: the PQ fit+encode+ADC golden fixture
+    # (b) new-in-r8 oracles: the PQ fit+encode+ADC golden fixture
     #     (VERDICT r7 ask #4 — the largest remaining rows-only family
-    #     member converted via the lsh_cluster_fixture device):
+    #     member converted via the lsh_cluster_fixture device) and the
+    #     IVF fixture built the same way:
     "pq_ann_fixture",
+    "ivf_ann_fixture",
     # (c) rotation: the entire [r4]-latest block — after the r7 window
     #     these are the oldest driver rows in the catalog (VERDICT r7
     #     ask #6: after r8, no green may predate r5):
@@ -7452,7 +7577,8 @@ _CHECK_FIRST: list[str] = [
     "range_join_price_bands",
     "salted_revenue_by_flag",
     "map_roundtrip_category_totals",
-    "doc_length_histogram",
+    # (doc_length_histogram, the last r5 fill, yielded its slot to
+    # ivf_ann_fixture — it rejoins the r5 remainder for the r9 window.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -7568,8 +7694,10 @@ _CHECK_LATE: list[str] = [
     # window; these are next in line for r7):
     #
     # r5-green: the round-5 window remainder after the r8 rotation
-    # promoted its 21 oldest names into _CHECK_FIRST — these 12 are
-    # first in line for the r9 window:
+    # promoted its oldest names into _CHECK_FIRST — these (plus
+    # doc_length_histogram, which yielded its r8 slot to
+    # ivf_ann_fixture) are first in line for the r9 window:
+    "doc_length_histogram",  # [r5]
     "events_props_json_stats",  # [r5]
     "events_props_variant_stats",  # [r5]
     "embedding_label_audit",  # [r5]

@@ -53,12 +53,14 @@ def test_check_late_names_resolve():
     assert all(n in registry.ORACLE for n in registry._CHECK_LATE)
 
 
-def test_pq_fixture_oracle_live():
-    """pq_ann_fixture's golden oracle is computed at import behind a
-    failure-isolation guard (registry._pq_fixture_oracle_or_none) that
-    degrades to rows-only rather than killing the catalog import; this
-    makes that degradation a loud failure instead of a silent demotion."""
+def test_fixture_oracles_live():
+    """The ANN fixtures' golden oracles are computed at import behind
+    failure-isolation guards (registry._pq_fixture_oracle_or_none /
+    _ivf_fixture_oracle_or_none) that degrade to rows-only rather than
+    killing the catalog import; this makes that degradation a loud
+    failure instead of a silent demotion."""
     assert "pq_ann_fixture" in registry.ORACLE
+    assert "ivf_ann_fixture" in registry.ORACLE
 
 
 def test_oracle_sql_order_matches_queries():
