@@ -441,11 +441,19 @@ def ivf_topk(
     # replaces a crossJoin + window subplan — one fewer broadcast and
     # two fewer codegen stages per run.
     if query_ids is not None:
-        qrows = (
-            embeddings.filter(F.col("vec_id").isin(query_ids))
-            .select("vec_id", "embedding")
-            .collect()
-        )
+        # Same sample-reuse as pq_topk: the id-ordered training sample
+        # already holds the low-id query vectors (fixture + defaults) —
+        # one fewer collect job; out-of-sample ids fall back to a scan.
+        by_id = {r[0]: r[1] for r in sample_rows}
+        wanted = sorted(set(query_ids))
+        if all(q in by_id for q in wanted):
+            qrows = [(q, by_id[q]) for q in wanted]
+        else:
+            qrows = (
+                embeddings.filter(F.col("vec_id").isin(query_ids))
+                .select("vec_id", "embedding")
+                .collect()
+            )
     else:
         # Default probe set (vec_id < 10) is a prefix of the ordered
         # training sample — no second scan needed.
