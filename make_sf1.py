@@ -36,6 +36,14 @@ def main() -> None:
     dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
     spark = get_spark(app_name="make_sf1")
     _replicate(spark, SF_DIR, dest, 10)
+    # The rewrite invalidates any quantizer-training sample this
+    # process already collected over the old files (ADVICE r8 #3) —
+    # clear it so a same-process follow-up retrains on the new corpus.
+    from spendinganalysisetl_spark.operators.similarity import (
+        clear_sample_cache,
+    )
+
+    clear_sample_cache()
     print(f"sf1 testdata written to {dest}")
     spark.stop()
 

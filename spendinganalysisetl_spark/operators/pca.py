@@ -146,16 +146,29 @@ def covariance_matrix(
     exact in DECIMAL(38,0) and one deterministic cast-then-divide tail
     (matching the DuckDB oracle's HUGEINT math step for step).
 
-    Cache lifetime: with ``parts=None`` this persists its own
-    gramian-partials frame, and because the RETURNED frame depends on
-    it lazily, it cannot be unpersisted here — a standalone caller owns
-    the (kilobyte-sized) cache entry for the session, same contract as
-    registry ``shared()`` intermediates; multi-query sessions should
-    pass a shared ``parts`` (registry._pca_parts) instead."""
-    parts, g_tot, s_tot, n_tot, _owns = _aggregate_moments(
+    Cache lifetime: with ``parts=None`` the self-persisted
+    gramian-partials frame is released BEFORE returning — the
+    aggregated moments are bounded (d + d(d+1)/2 + 1 exact values,
+    corpus-independent, the same collect ``_fit_components`` already
+    does), so they are collected once and rebuilt as literal frames,
+    cutting the returned plan's lineage to the cache. A standalone
+    call therefore leaves no persisted frame behind
+    (tests/test_pca.py::test_covariance_standalone_no_cache_leak).
+    Multi-query sessions still pass a shared ``parts``
+    (registry._pca_parts), which this function never unpersists."""
+    parts, g_tot, s_tot, n_tot, owns = _aggregate_moments(
         embeddings, vec_col, scale, parts
     )
     d = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    if owns:
+        spark = parts.sparkSession
+        g_rows = [(r["pos"], r["gsum"]) for r in g_tot.collect()]
+        s_rows = [(r["dim"], r["ssum"]) for r in s_tot.collect()]
+        n_val = n_tot.first()["n"]
+        parts.unpersist()
+        g_tot = spark.createDataFrame(g_rows, "pos int, gsum double")
+        s_tot = spark.createDataFrame(s_rows, "dim int, ssum double")
+        n_tot = spark.createDataFrame([(n_val,)], "n double")
     pairs = _tri_index(d)
     idx = parts.sparkSession.createDataFrame(
         [(p, i, j) for p, (i, j) in enumerate(pairs)], "pos int, i int, j int"

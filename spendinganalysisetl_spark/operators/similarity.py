@@ -54,9 +54,11 @@ def corpus_sample(
     Staleness contract (same as shared()/_RELATIONS): the sample is
     pinned for the session lifetime — if the underlying parquet files
     are REWRITTEN mid-session (e.g. a regenerated sf1 sidecar corpus),
-    every index trained from it silently goes stale; regenerating
-    testdata requires a fresh session (bench scripts already start
-    one per run)."""
+    every index trained from it silently goes stale. Regenerating
+    testdata requires either a fresh session (bench scripts already
+    start one per run) or an explicit ``clear_sample_cache()`` call —
+    the invalidation hook make_sf1.py runs after rewriting the
+    sidecar (ADVICE r8 #3)."""
     from spendinganalysisetl_spark.catalog import _context_key
 
     key = (
@@ -77,6 +79,14 @@ def corpus_sample(
     rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
     _SAMPLE_CACHE[key] = (embeddings, rows)
     return rows
+
+
+def clear_sample_cache() -> None:
+    """Drop every cached training sample (ADVICE r8 #3). Call after
+    rewriting a corpus the current session already sampled (make_sf1.py
+    does) — otherwise IVF/PQ/SemDeDup/k-means quantizers keep training
+    on the pre-rewrite rows for the rest of the session."""
+    _SAMPLE_CACHE.clear()
 
 
 def _probe(df: DataFrame, query_ids: list[int] | None, id_col: str = "vec_id"):

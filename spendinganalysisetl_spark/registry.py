@@ -7416,7 +7416,7 @@ def _pq_fixture_oracle_or_none() -> str | None:
     string must exist at registration), and an environment without
     numpy — or a future corpus/seed edit tripping an assert — must
     degrade to ONE rows-only entry, not an unimportable 175-query
-    catalog. tests/test_registry_order.py::test_pq_fixture_oracle_live
+    catalog. tests/test_registry_order.py::test_fixture_oracles_live
     turns the degradation into a loud pytest failure."""
     try:
         return _pq_fixture_oracle_sql()

@@ -634,3 +634,21 @@ def test_pq_adc_equals_reconstruction_distance_and_recall(spark, embeddings):
         hits += len(exact & got)
         total += len(exact)
     assert hits / total >= 0.35, f"PQ recall collapsed: {hits}/{total}"
+
+
+def test_clear_sample_cache_invalidates(spark):
+    """ADVICE r8 #3: after clear_sample_cache(), the next corpus_sample
+    call re-collects from the (possibly rewritten) input instead of
+    serving the session-pinned rows."""
+    from spendinganalysisetl_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    first = sim.corpus_sample(df, n=3)
+    assert sim.corpus_sample(df, n=3) is first  # session-pinned hit
+    sim.clear_sample_cache()
+    again = sim.corpus_sample(df, n=3)
+    assert again is not first  # re-collected after invalidation
+    assert [r["vec_id"] for r in again] == [r["vec_id"] for r in first]

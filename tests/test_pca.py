@@ -102,3 +102,15 @@ def test_variance_explained_scree(spark, vec_df):
     assert ev == sorted(ev, reverse=True)
     # dominant direction carries a meaningful share on anisotropic data
     assert rows[0]["var_share"] > 0.15
+
+
+def test_covariance_standalone_no_cache_leak(spark, vec_df):
+    """ADVICE r8 #2: a standalone covariance_matrix(parts=None) call
+    must not leave its self-persisted gramian-partials frame cached for
+    the session — the bounded moments are collected, the partials
+    unpersisted, and the returned plan rebuilt from literal frames."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    rows = covariance_matrix(vec_df).collect()
+    assert len(rows) > 0
+    assert jsc.getPersistentRDDs().size() == before
