@@ -319,28 +319,50 @@ def unigram_cross_entropy(
     are prune candidates; boilerplate scores low).
 
     Scale shape: ONE corpus tokenize → one (doc_id, token) hash
-    aggregation (map-side combined); the per-token corpus count is a
-    WINDOW over the token partition of that same table — Spark plans no
-    exchange-reuse across forked aggregate branches (each branch
-    re-scans and re-explodes the corpus; measured 2× tokenize in the
-    executed plan), so chaining a window on the one flow is the shape
-    that tokenizes once. The corpus token total is a separate
-    explode-free scan (``sum(size(tokens))`` — no shuffle, broadcast as
-    one row), NOT a global window over the doc-term table (that would
-    move the corpus to one partition). Docs with zero tokens have no
-    distribution and are excluded (identically in the oracle).
+    aggregation (map-side combined). The per-token corpus count then
+    depends on whether the doc-term table is shared:
+
+    - ``doc_terms`` given (the registry's persisted index — the bench
+      path): the vocab is a plain ``groupBy(term)`` off the CACHE
+      (partial aggregation shrinks it map-side to distinct terms
+      before the exchange — vocab-sized, not corpus-sized) and joins
+      BACK broadcast, so the corpus-sized doc-term rows never
+      exchange-and-sort on the term key at all; their only shuffle is
+      the final per-doc aggregation. Forking off a persisted frame
+      re-reads the cache, not the corpus (r9 rewrite — the window
+      formulation below predates the shared index and was paying a
+      full exchange+sort of every (doc, term) row).
+    - ``doc_terms=None`` (standalone): a fork would re-run the
+      tokenize+explode per branch (measured 2× tokenize in the
+      executed plan — Spark plans no exchange-reuse across forked
+      aggregate branches), so the single-flow chained WINDOW over the
+      term partition stays the right shape.
+
+    The corpus token total is vocab-derived (Σ c_w — one extra tiny
+    aggregate off the vocab / a one-row broadcast), never a global
+    window over the doc-term table (that would move the corpus to one
+    partition). Docs with zero tokens have no distribution and are
+    excluded (identically in the oracle).
     """
     from pyspark.sql import Window
 
-    base = (
-        doc_terms.select("doc_id", F.col("term").alias("w"), "c")
-        if doc_terms is not None
-        else _spread(documents.select("doc_id", "text"))
-        .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    dc = base.withColumn("c_w", F.sum("c").over(Window.partitionBy("w")))
+    if doc_terms is not None:
+        dc = doc_terms.select("doc_id", F.col("term").alias("w"), "c")
+        vocab = dc.groupBy("w").agg(F.sum("c").alias("c_w"))
+        # No broadcast() hint on purpose: a natural-language vocab is
+        # small here but can reach 10^8 terms on a web corpus — AQE
+        # sees the materialized vocab stage's size and picks broadcast
+        # when it fits (it does at every bench SF), falling back to a
+        # sort-free shuffled hash join when it doesn't.
+        dc = dc.join(vocab, "w")
+    else:
+        base = (
+            _spread(documents.select("doc_id", "text"))
+            .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        dc = base.withColumn("c_w", F.sum("c").over(Window.partitionBy("w")))
     # doc_terms (registry-shared, persisted — see doc_term_counts): the
     # corpus token total then comes from the cached table (Σc — same
     # value as the scan-side Σ size(tokens): NULL-text docs contribute

@@ -4746,13 +4746,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier over the corpus (operators/
     classifier.py): a hashed bag-of-words logistic regression fit
     DISTRIBUTED on the planted labeled fixture (exact-integer gradient
-    partials — bit-deterministic under any partitioning), then every
-    document scored in ONE pure-Catalyst pass: tokenize → portable
-    md5-fold hash → broadcast dim-row weight join → exact int64 margin.
-    The oracle retrains with the independent pure-Python reference and
-    re-scores in SQL — a green row checks the whole train+score loop.
-    Weights memoized per session (train once, score many — the
-    bpe_merges convention); the corpus-scale cost is the scoring scan."""
+    partials — bit-deterministic under any partitioning AND any libm:
+    the sigmoid is rebuilt from hard-coded exp(2^j) literals, ADVICE
+    r8 #1), then every document scored in ONE PROJECTION: tokenize →
+    transform tokens through the constant-folded dim-sized weight
+    array → exact int64 aggregate. No explode/join/groupBy — the
+    corpus never shuffles in the scoring pass (r9 rewrite). The oracle
+    retrains with the independent pure-Python reference and re-scores
+    in SQL — a green row checks the whole train+score loop. Weights
+    memoized per session (train once, score many — the bpe_merges
+    convention; tests/test_classifier.py::
+    test_registry_trains_once_per_session pins that bench reps 2+
+    never retrain), so the per-rep cost is the one scoring scan; the
+    residual sf1 gap vs the VALUES-armed DuckDB twin is the per-epoch
+    job floor paid once on rep 1."""
     from spendinganalysisetl_spark.operators.classifier import margin_scores
 
     wq, bq = _cls_weights(spark)
@@ -6883,6 +6890,141 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_fixture_vectors() -> list[list[float]]:
+    """Planted 32-vector, 4-dim corpus for kmeans_fixture: four
+    clusters of EIGHT members each (i % 4 picks the cluster) around
+    centers of distinct magnitude — (0,0,0,0), (20,0,0,0), (0,30,0,0),
+    (0,0,40,0) — with {0,1}³ binary offsets per member. The numbers are
+    chosen so EVERY float64 value in the whole distributed fit is
+    exact: member counts are 8 (a power of two), so recentered
+    centroids are dyadic rationals (multiples of 1/8); dot products and
+    score sums of small ints × eighths are exactly representable; hence
+    Lloyd's argmax margins are exact (≥179 at import, asserted) and the
+    fit is bit-identical under ANY partitioning or BLAS — stronger than
+    the IVF fixture's 1e-6 matmul fence. Distinct center magnitudes
+    grade the per-cell mean norms."""
+    centers = [(0, 0, 0, 0), (20, 0, 0, 0), (0, 30, 0, 0), (0, 0, 40, 0)]
+    vecs = []
+    for i in range(32):
+        j, t = i % 4, i // 4
+        off = ((t >> 0) & 1, (t >> 1) & 1, (t >> 2) & 1, 0)
+        vecs.append([float(c + o) for c, o in zip(centers[j], off)])
+    return vecs
+
+
+def _kmeans_fixture_oracle_sql() -> str:
+    """Golden VALUES for kmeans_fixture: a pure-numpy replication of
+    the full distributed k-means pipeline (VERDICT r8 ask #7 — the last
+    big rows-only family converted via the pq/ivf/bpe/lsh fixture
+    device) — id-ordered training sample → seeded init draw (seed 4:
+    the first seed whose 4 draws land in 4 DIFFERENT planted clusters;
+    duplicate-cluster inits leave an empty cell and zero margins) →
+    Lloyd with sum/count recentring exactly as
+    operators/clustering.py:_fit_centroids → final assignment pass →
+    per-cell member count and mean norm with the same sequential folds
+    as the operator's F.aggregate / avg tail. Import-time witnesses:
+    every argmax margin exact and ≥ 1e-6 at every iteration (on this
+    grid they are exact integers ≥ 179, so no BLAS/partitioning can
+    flip an assignment), the planted 8/8/8/8 structure is recovered,
+    means are graded (≥2 distinct), and every mean_norm sits ≥ 1e-6
+    from a 4dp rounding boundary (HALF_UP and HALF_EVEN agree; a
+    sub-ulp summation-order difference cannot flip the rounding)."""
+    import math
+
+    import numpy as np
+
+    k, iters, seed = 4, 3, 4
+    X = np.asarray(_kmeans_fixture_vectors(), dtype=np.float64)
+    n = len(X)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(n, size=k, replace=False)
+    assert len({int(i) % 4 for i in idx}) == k, idx  # 4 distinct clusters
+    cent = X[idx].copy()
+
+    def _margins(scores):
+        srt = np.sort(scores, axis=1)
+        return float(np.min(srt[:, -1] - srt[:, -2]))
+
+    for _ in range(iters):
+        scores = X @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        assert _margins(scores) > 1e-6
+        assign = np.argmax(scores, axis=1)
+        for c in range(k):
+            m = X[assign == c]
+            if len(m):
+                cent[c] = m.sum(axis=0) / len(m)
+    scores = X @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+    assert _margins(scores) > 1e-6
+    assign = np.argmax(scores, axis=1)
+    rows = []
+    for cell in sorted({int(a) for a in assign}):
+        ids = [v for v in range(n) if assign[v] == cell]
+        s = 0.0
+        for v in ids:  # vec_id order — the single-mapper arrival order
+            n2 = 0.0
+            for x in X[v]:  # mirror F.aggregate's sequential fold
+                n2 += x * x
+            s += math.sqrt(n2)
+        mean = s / len(ids)
+        scaled = mean * 10000.0
+        # ≥1e-6 from the .5 boundary: HALF_UP (Spark round) and any
+        # sub-ulp cross-platform sum difference round identically.
+        assert abs(scaled - math.floor(scaled) - 0.5) > 1e-6, mean
+        rows.append((cell, len(ids), math.floor(scaled + 0.5) / 10000.0))
+    assert sorted(r[1] for r in rows) == [8, 8, 8, 8], rows  # plant recovered
+    assert len({r[2] for r in rows}) >= 2, rows  # graded means
+    values = ",\n".join(f"({c}, {nm}, {mn!r})" for c, nm, mn in rows)
+    return f"""
+SELECT CAST(cell AS INT) AS cell,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(mean_norm AS DOUBLE) AS mean_norm
+FROM (VALUES
+{values}
+) AS t(cell, n_members, mean_norm)
+ORDER BY cell
+"""
+
+
+def _kmeans_fixture_oracle_or_none() -> str | None:
+    """Same failure isolation as _pq_fixture_oracle_or_none; the
+    degradation is pinned loud by
+    tests/test_registry_order.py::test_fixture_oracles_live."""
+    try:
+        return _kmeans_fixture_oracle_sql()
+    except Exception as exc:  # pragma: no cover - exercised only on breakage
+        import warnings
+
+        warnings.warn(f"kmeans_fixture oracle disabled: {exc!r}")
+        return None
+
+
+@register("kmeans_fixture", _kmeans_fixture_oracle_or_none())
+def q_kmeans_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of kmeans_cluster_profile (VERDICT r8 ask
+    #7): the full distributed Lloyd pipeline — id-ordered sample,
+    seeded init, per-partition partial-sum iterations, Arrow-batched
+    final assignment, per-cell profile — over a planted 32×4
+    integer-grid corpus where every fit value is exactly representable
+    (see _kmeans_fixture_vectors), compared against a golden VALUES
+    oracle from an independent pure-numpy replication at import time.
+    kmeans_cluster_profile stays the at-scale entry (real corpus;
+    rows-only by model-artifact nature, differentially pinned in
+    tests/test_clustering.py). coalesce(1) keeps one mapper so each
+    cell's norms arrive in vec_id order (the replication's fold
+    order); no shuffle-partition pinning needed — the fit itself never
+    shuffles, and the profile tail's per-cell accumulation order is
+    mapper-side regardless of reducer count."""
+    from spendinganalysisetl_spark.operators.clustering import (
+        kmeans_cluster_profile,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_kmeans_fixture_vectors())],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    return kmeans_cluster_profile(emb, k=4, iters=3, seed=4)
+
+
 @register("bpe_train_merges")  # rows-only: the merge sequence is an
 # iteratively-learned model artifact (like the k-means cells) — no SQL
 # twin can replay 16 data-dependent merge rounds; the distributed
@@ -7515,79 +7657,142 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # (a) code-changed in r8 — value_anomalies moved its per-row
-    #     date_format past the anomaly filter (output identical; the
-    #     executed plan changed, so re-earn the driver row):
-    "events_value_anomalies",
-    # (b) new-in-r8 oracles: the PQ fit+encode+ADC golden fixture
-    #     (VERDICT r7 ask #4 — the largest remaining rows-only family
-    #     member converted via the lsh_cluster_fixture device) and the
-    #     IVF fixture built the same way:
-    "pq_ann_fixture",
-    "ivf_ann_fixture",
-    # (c) rotation: the entire [r4]-latest block — after the r7 window
-    #     these are the oldest driver rows in the catalog (VERDICT r7
-    #     ask #6: after r8, no green may predate r5):
-    "dedup_stats",
+    # (a) new-in-r9 oracle: the k-means train+assign+profile golden
+    #     fixture (VERDICT r8 ask #7 — the last big rows-only family
+    #     converted via the pq/ivf/bpe/lsh fixture device):
+    "kmeans_fixture",
+    # (b) code-changed in r9 — re-earn the driver row:
+    #     - quality_classifier_margins: libm-free sigmoid in BOTH
+    #       trainers (ADVICE r8 #1) + the scoring pass rewritten from
+    #       explode/join/groupBy to one constant-folded projection;
+    #     - duplicate_token_spans: the two frequency windows collapsed
+    #       onto one hash(gram) exchange (VERDICT r8 ask #2);
+    #     - doc_cross_entropy: vocab via groupBy off the persisted
+    #       doc-term cache + join-back instead of a corpus-sized
+    #       window sort (VERDICT r8 ask #4);
+    #     - embedding_covariance_matrix: covariance_matrix() gained
+    #       the standalone-cache-release branch (ADVICE r8 #2); the
+    #       registry path passes shared parts so its executed plan is
+    #       unchanged, re-checked anyway by the code-changed rule.
+    "quality_classifier_margins",
+    "duplicate_token_spans",
+    "doc_cross_entropy",
     "embedding_covariance_matrix",
-    "join_anti_customers_without_orders",
-    "join_left_order_counts",
-    "join_semi_customers_with_orders",
-    "monthly_category_amounts",
-    "pit_join_orders_scd2",
-    "point_query_order",
-    "proj_order_dates",
-    "report_global_summary",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "text_fingerprints",
-    "text_token_counts",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "window_monthly_running_total",
-    "window_rank_dense_rank",
-    "window_top_orders_per_customer",
-    # (d) rotation fill: the head of the [r5] block (next-oldest rows;
-    #     the 12-entry [r5] remainder is first in line for r9):
-    "sql_surface_recursive_spine",
-    "ab_welch_event_values",
-    "revenue_gini_by_segment",
-    "cms_heavy_hitters",
-    "minhash_lsh_pairs_portable",
-    "simhash_near_pairs_portable",
-    "weighted_sample_es",
-    "stratified_sample_hash",
-    "split_profile",
-    "corpus_shuffle_shards",
-    "incremental_near_dup_batch",
-    "near_dup_clusters",
-    "dedup_exact_survivors",
-    "text_corpus_stats",
-    "events_sessionize",
-    "window_rolling_3mo_avg",
-    "window_order_navigation",
-    "range_join_price_bands",
-    "salted_revenue_by_flag",
-    "map_roundtrip_category_totals",
-    # (doc_length_histogram, the last r5 fill, yielded its slot to
-    # ivf_ann_fixture — it rejoins the r5 remainder for the r9 window.)
+    # (c) rotation: the 13-entry [r5] remainder — after the r8 window
+    #     these are the oldest driver rows in the catalog (VERDICT r8
+    #     ask #1: after r9, no green may predate r6):
+    "doc_length_histogram",
+    "events_props_json_stats",
+    "events_props_variant_stats",
+    "embedding_label_audit",
+    "chunk_documents_sliding",
+    "scd2_customer_dim",
+    "pii_scrub_documents",
+    "domain_mix_weights",
+    "source_quality_report",
+    "incremental_dedup_batch",
+    "numeric_profile_lineitem",
+    "incremental_monthly_refresh",
+    "events_gap_fill_hourly",
+    # (d) rotation fill: the head of the [r6] block (next-oldest rows;
+    #     the 14-entry [r6] remainder is first in line for r10):
+    "correlated_subquery_above_brand_avg",
+    "cosine_near_dup_pairs",
+    "embedding_quantize_int8",
+    "events_interval_join",
+    "events_sliding_10min",
+    "grouping_sets_revenue",
+    "join_full_outer_nation_counts",
+    "monthly_unpivot_roundtrip",
+    "percentile_prices_by_priority",
+    "setop_intersect_all_priorities",
+    "setop_except_all_priorities",
+    "pagerank_customer_supplier",
+    "bfs_reach_report",
+    "bfs_reach_deep",
+    "similar_suppliers_jaccard",
+    "basket_brand_affinity",
+    "recurring_spend_customers",
+    "ewma_forecast_priority_revenue",
+    "domain_mixture_resample",
+    "ingest_media_report",
+    "bloom_skip_report",
+    "oversized_supplier_baskets",
+    "bpe_encode_fixture",
+    "tpch_q21_waiting_supplier",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "fuzzy_pairs_levenshtein",
+    "length_bucket_profile",
+    "dq_check_lineitem",
+    "corr_matrix_lineitem",
+    "similarity_brute_force_topk_blas",
+    "bigram_pmi_collocations",
 ]
 
 _CHECK_LATE: list[str] = [
-    # r7-green: the entire round-7 window (50/50 green in
-    # CORRECTNESS_r07.json), demoted to fund the r8 window above —
-    # the freshest rows in the catalog:
+    # r8-green: the entire round-8 window (50/50 green in
+    # CORRECTNESS_r08.json), demoted to fund the r9 window above —
+    # the freshest rows in the catalog. NOTE on events_value_anomalies
+    # (ADVICE r8 #1): its r8 driver row matched on ZERO rows at the
+    # sf0.01 check scale (both engines agree the result is empty
+    # there); the non-vacuous evidence is the sf0.1 parity recorded in
+    # BENCH_AB_r09.json (979 rows, exact multiset match) plus the
+    # seeded brute-force differential in tests/test_event_analytics.py.
+    "events_value_anomalies",  # [r8]
+    "pq_ann_fixture",  # [r8]
+    "ivf_ann_fixture",  # [r8]
+    "dedup_stats",  # [r8]
+    "join_anti_customers_without_orders",  # [r8]
+    "join_left_order_counts",  # [r8]
+    "join_semi_customers_with_orders",  # [r8]
+    "monthly_category_amounts",  # [r8]
+    "pit_join_orders_scd2",  # [r8]
+    "point_query_order",  # [r8]
+    "proj_order_dates",  # [r8]
+    "report_global_summary",  # [r8]
+    "setop_except_nations",  # [r8]
+    "setop_intersect_nations",  # [r8]
+    "text_fingerprints",  # [r8]
+    "text_token_counts",  # [r8]
+    "tpch_q6_forecast_revenue",  # [r8]
+    "tpch_q7_volume_shipping",  # [r8]
+    "tpch_q8_market_share",  # [r8]
+    "tpch_q9_product_profit",  # [r8]
+    "tpch_q10_returned_items",  # [r8]
+    "tpch_q11_important_stock",  # [r8]
+    "tpch_q12_late_shipment_priority",  # [r8]
+    "tpch_q14_promo_revenue",  # [r8]
+    "tpch_q15_top_supplier",  # [r8]
+    "tpch_q19_disjunctive_revenue",  # [r8]
+    "window_monthly_running_total",  # [r8]
+    "window_rank_dense_rank",  # [r8]
+    "window_top_orders_per_customer",  # [r8]
+    "sql_surface_recursive_spine",  # [r8]
+    "ab_welch_event_values",  # [r8]
+    "revenue_gini_by_segment",  # [r8]
+    "cms_heavy_hitters",  # [r8]
+    "minhash_lsh_pairs_portable",  # [r8]
+    "simhash_near_pairs_portable",  # [r8]
+    "weighted_sample_es",  # [r8]
+    "stratified_sample_hash",  # [r8]
+    "split_profile",  # [r8]
+    "corpus_shuffle_shards",  # [r8]
+    "incremental_near_dup_batch",  # [r8]
+    "near_dup_clusters",  # [r8]
+    "dedup_exact_survivors",  # [r8]
+    "text_corpus_stats",  # [r8]
+    "events_sessionize",  # [r8]
+    "window_rolling_3mo_avg",  # [r8]
+    "window_order_navigation",  # [r8]
+    "range_join_price_bands",  # [r8]
+    "salted_revenue_by_flag",  # [r8]
+    "map_roundtrip_category_totals",  # [r8]
+    # r7-green: the round-7 window (50/50 green in CORRECTNESS_r07.json)
+    # minus quality_classifier_margins / duplicate_token_spans /
+    # doc_cross_entropy (code-changed in r9 -> _CHECK_FIRST):
     "text_repetition_scores",  # [r7]
     "tfidf_top_terms",  # [r7]
-    "doc_cross_entropy",  # [r7]
     "vocab_top_terms",  # [r7]
     "decontaminate_ngram_overlap",  # [r7]
     "boilerplate_ngram_stats",  # [r7]
@@ -7596,8 +7801,6 @@ _CHECK_LATE: list[str] = [
     "vocab_zipf_fit",  # [r7]
     "token_drift_psi",  # [r7]
     "lsh_cluster_fixture",  # [r7]
-    "duplicate_token_spans",  # [r7]
-    "quality_classifier_margins",  # [r7]
     "tpch_q5_local_supplier_volume",  # [r7]
     "tpch_q18_large_volume_customer",  # [r7]
     "tpch_q16_supplier_part_counts",  # [r7]
@@ -7635,40 +7838,9 @@ _CHECK_LATE: list[str] = [
     "unique_categories",  # [r7]
     "vendor_totals",  # [r7]
     "cube_returnflag_linestatus",  # [r7]
-    # r6-green: the round-6 window (50/50 green in CORRECTNESS_r06.json)
-    # minus events_value_anomalies (code-changed in r8 → _CHECK_FIRST):
-    "correlated_subquery_above_brand_avg",  # [r6]
-    "cosine_near_dup_pairs",  # [r6]
-    "embedding_quantize_int8",  # [r6]
-    "events_interval_join",  # [r6]
-    "events_sliding_10min",  # [r6]
-    "grouping_sets_revenue",  # [r6]
-    "join_full_outer_nation_counts",  # [r6]
-    "monthly_unpivot_roundtrip",  # [r6]
-    "percentile_prices_by_priority",  # [r6]
-    "setop_intersect_all_priorities",  # [r6]
-    "setop_except_all_priorities",  # [r6]
-    "pagerank_customer_supplier",  # [r6]
-    "bfs_reach_report",  # [r6]
-    "bfs_reach_deep",  # [r6]
-    "similar_suppliers_jaccard",  # [r6]
-    "basket_brand_affinity",  # [r6]
-    "recurring_spend_customers",  # [r6]
-    "ewma_forecast_priority_revenue",  # [r6]
-    "domain_mixture_resample",  # [r6]
-    "ingest_media_report",  # [r6]
-    "bloom_skip_report",  # [r6]
-    "oversized_supplier_baskets",  # [r6]
-    "bpe_encode_fixture",  # [r6]
-    "tpch_q21_waiting_supplier",  # [r6]
-    "events_funnel_conversion",  # [r6]
-    "events_retention_cohorts",  # [r6]
-    "fuzzy_pairs_levenshtein",  # [r6]
-    "length_bucket_profile",  # [r6]
-    "dq_check_lineitem",  # [r6]
-    "corr_matrix_lineitem",  # [r6]
-    "similarity_brute_force_topk_blas",  # [r6]
-    "bigram_pmi_collocations",  # [r6]
+    # r6-green remainder: the round-6 window minus the 32 oldest rows
+    # promoted into the r9 _CHECK_FIRST above — these 14 are first in
+    # line for the r10 window:
     "similarity_brute_force_topk",  # [r6]
     "similarity_filtered_topk",  # [r6]
     "similarity_pairwise_dot_stats",  # [r6]
@@ -7683,36 +7855,6 @@ _CHECK_LATE: list[str] = [
     "events_running_distinct_users",  # [r6]
     "tpch_q1_pricing_summary",  # [r6]
     "tpch_q3_shipping_priority",  # [r6]
-    # Every name below holds a GREEN driver row from the tagged round
-    # (rows+schema+hash all true in CORRECTNESS_r0N.json) and its code
-    # is unchanged in round 6 — demoted to spend the 50-slot window on
-    # the rotation-debt / code-changed / new queries above. The local
-    # oracle-parity gate (tests/test_oracle_parity.py) still covers
-    # every one on each pytest run.
-    #
-    # r3-green remainder (the oldest 26 [r3] rows rotated into the r6
-    # window; these are next in line for r7):
-    #
-    # r5-green: the round-5 window remainder after the r8 rotation
-    # promoted its oldest names into _CHECK_FIRST — these (plus
-    # doc_length_histogram, which yielded its r8 slot to
-    # ivf_ann_fixture) are first in line for the r9 window:
-    "doc_length_histogram",  # [r5]
-    "events_props_json_stats",  # [r5]
-    "events_props_variant_stats",  # [r5]
-    "embedding_label_audit",  # [r5]
-    "chunk_documents_sliding",  # [r5]
-    "scd2_customer_dim",  # [r5]
-    "pii_scrub_documents",  # [r5]
-    "domain_mix_weights",  # [r5]
-    "source_quality_report",  # [r5]
-    "incremental_dedup_batch",  # [r5]
-    "numeric_profile_lineitem",  # [r5]
-    "incremental_monthly_refresh",  # [r5]
-    "events_gap_fill_hourly",  # [r5]
-    # (the former r4-green block — the entire round-4 window — was
-    # promoted en bloc into the r8 _CHECK_FIRST above: after the r7
-    # window those were the oldest driver rows in the catalog.)
 ]
 
 

@@ -61,6 +61,7 @@ def test_fixture_oracles_live():
     failure instead of a silent demotion."""
     assert "pq_ann_fixture" in registry.ORACLE
     assert "ivf_ann_fixture" in registry.ORACLE
+    assert "kmeans_fixture" in registry.ORACLE
 
 
 def test_oracle_sql_order_matches_queries():
