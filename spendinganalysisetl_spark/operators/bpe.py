@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spendinganalysisetl_spark.catalog import local_table as _local_table
+
 #: Word inventory for vocabulary induction: lowercase letter runs.
 #: Digits/punct are excluded to keep the demo alphabet small; a
 #: production run would use byte-level pre-tokens instead.
@@ -190,7 +192,8 @@ def bpe_train(
         try:
             head = words.limit(driver_vocab_rows + 1).collect()
             if len(head) <= driver_vocab_rows:
-                return spark.createDataFrame(
+                return _local_table(
+                    spark,
                     _merge_rounds_local(
                         {r["word"]: int(r["cnt"]) for r in head},
                         n_merges,
@@ -225,7 +228,7 @@ def bpe_train(
         vocab = vocab.withColumn(
             "symbols", _merge_expr(left, right)
         ).localCheckpoint()
-    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+    return _local_table(spark, merges, _MERGE_SCHEMA)
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

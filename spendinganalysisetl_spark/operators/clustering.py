@@ -29,13 +29,26 @@ from spendinganalysisetl_spark.partitioning import spread as _spread
 
 
 def _fit_centroids(
-    embeddings: DataFrame, k: int, iters: int, seed: int, vec_col: str
+    embeddings: DataFrame,
+    k: int,
+    iters: int,
+    seed: int,
+    vec_col: str,
+    spread: bool = True,
 ):
     """Lloyd's iterations via per-partition partial sums; returns the
     final (k, d) float64 centroid matrix. Init is a deterministic
     corpus sample (orderBy id limit 4096 → seeded choice), matching
     ``ivf_topk``'s convention so fits are reproducible across runs and
-    cluster layouts."""
+    cluster layouts.
+
+    ``spread=False`` skips the pre-fit fan-out repartition: right for
+    a FIXTURE-SIZED input already in one partition, where fanning 32
+    rows across 32 partitions makes every Lloyd job pay 32 Python/
+    Arrow task setups instead of 1 (measured 11 s → ~1 s for the
+    3-iteration kmeans_fixture fit). The at-scale default stays True —
+    coarse file splits plus per-row GEMM need the fan-out. The fit is
+    bit-identical either way (order-free exact-integer partials)."""
     import numpy as np
 
     from spendinganalysisetl_spark.operators.similarity import corpus_sample
@@ -51,7 +64,10 @@ def _fit_centroids(
     # One spread (shuffle) total, persisted for the fit: every Lloyd
     # iteration then scans the cached partitions — without the persist,
     # each iteration re-pays the scan AND the spread exchange.
-    data = _spread(embeddings.select(vec_col)).persist()
+    data = embeddings.select(vec_col)
+    if spread:
+        data = _spread(data)
+    data = data.persist()
 
     try:
         for _ in range(iters):
@@ -107,6 +123,7 @@ def kmeans_assign(
     iters: int = 5,
     seed: int = 42,
     vec_col: str = "embedding",
+    spread: bool = True,
 ) -> DataFrame:
     """Fit k-means on the FULL corpus (see module docstring) and return
     every row with its cluster id: input columns + ``cell``. Assignment
@@ -116,7 +133,7 @@ def kmeans_assign(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cmat = _fit_centroids(embeddings, k, iters, seed, vec_col)
+    cmat = _fit_centroids(embeddings, k, iters, seed, vec_col, spread)
 
     @pandas_udf("int")
     def _cell(batch, cmat=cmat):
@@ -133,13 +150,14 @@ def kmeans_cluster_profile(
     iters: int = 5,
     seed: int = 42,
     vec_col: str = "embedding",
+    spread: bool = True,
 ) -> DataFrame:
     """Cluster-level corpus map: per cell, member count and mean vector
     norm (4dp) — the summary a semantic-dedup or topic-shard pass prints
     before acting on the assignments. Rows-only by nature (the fitted
     cells are engine-internal); the fit itself is differentially tested
     against a single-machine numpy Lloyd in tests/test_clustering.py."""
-    assigned = kmeans_assign(embeddings, k, iters, seed, vec_col)
+    assigned = kmeans_assign(embeddings, k, iters, seed, vec_col, spread)
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x

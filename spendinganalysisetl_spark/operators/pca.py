@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spendinganalysisetl_spark.catalog import local_table as _local_table
 from spendinganalysisetl_spark.partitioning import spread as _spread
 
 _SCALE = 1000.0
@@ -166,12 +167,14 @@ def covariance_matrix(
         s_rows = [(r["dim"], r["ssum"]) for r in s_tot.collect()]
         n_val = n_tot.first()["n"]
         parts.unpersist()
-        g_tot = spark.createDataFrame(g_rows, "pos int, gsum double")
-        s_tot = spark.createDataFrame(s_rows, "dim int, ssum double")
-        n_tot = spark.createDataFrame([(n_val,)], "n double")
+        g_tot = _local_table(spark, g_rows, "pos int, gsum double")
+        s_tot = _local_table(spark, s_rows, "dim int, ssum double")
+        n_tot = _local_table(spark, [(n_val,)], "n double")
     pairs = _tri_index(d)
-    idx = parts.sparkSession.createDataFrame(
-        [(p, i, j) for p, (i, j) in enumerate(pairs)], "pos int, i int, j int"
+    idx = _local_table(
+        parts.sparkSession,
+        [(p, i, j) for p, (i, j) in enumerate(pairs)],
+        "pos int, i int, j int",
     )
     dec = "decimal(38,0)"
     si = s_tot.select(F.col("dim").alias("i"), F.col("ssum").alias("s_i"))
@@ -319,6 +322,8 @@ def variance_explained(
         )
         for p, ev in enumerate(top)
     ]
-    return embeddings.sparkSession.createDataFrame(
-        rows, "pc long, eigenvalue double, var_share double"
+    return _local_table(
+        embeddings.sparkSession,
+        rows,
+        "pc long, eigenvalue double, var_share double",
     )

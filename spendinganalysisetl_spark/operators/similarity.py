@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spendinganalysisetl_spark.catalog import local_table as _local_table
 from spendinganalysisetl_spark.functions.vectors import cosine, dot
 from spendinganalysisetl_spark.partitioning import spread as _spread
 
@@ -478,8 +479,8 @@ def ivf_topk(
         order = np.lexsort((np.arange(len(sims)), -sims))[:nprobe]
         for c in order:
             q_cell_rows.append((int(r[0]), [float(x) for x in qv], int(c)))
-    q_cells = spark.createDataFrame(
-        q_cell_rows, "q_id BIGINT, q_vec ARRAY<DOUBLE>, cell INT"
+    q_cells = _local_table(
+        spark, q_cell_rows, "q_id BIGINT, q_vec ARRAY<DOUBLE>, cell INT"
     )
     scored = (
         assigned.join(F.broadcast(q_cells), "cell")

@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spendinganalysisetl_spark.catalog import load_table
+from spendinganalysisetl_spark.catalog import load_table, local_table
 from spendinganalysisetl_spark.operators import report
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4689,7 +4689,8 @@ def _cls_weights(spark: SparkSession) -> tuple[list[int], int]:
         return hit
     for k in [k for k in _CLS_WEIGHTS if k != key]:
         del _CLS_WEIGHTS[k]
-    labeled = spark.createDataFrame(
+    labeled = local_table(
+        spark,
         [(i, lab, t) for i, (lab, t) in enumerate(_CLS_FIXTURE)],
         "doc_id long, label int, text string",
     )
@@ -4803,7 +4804,13 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring dedup (operators/trainprep.py:duplicate_token_spans).
     The oracle independently recomputes document frequency with a
     groupBy + join-back; the Spark side chains windows instead (no
-    plan fork re-running the corpus explode)."""
+    plan fork re-running the corpus explode).
+
+    r9 (VERDICT r8 ask #2): the two frequency windows now share ONE
+    hash(gram) exchange — a same-session sf1 A/B measured the
+    single-exchange form at 1.80-2.24 s warm vs 2.96-3.22 s for the
+    two-exchange r8 form (~35% off the exploded-gram sort cost;
+    BENCH_AB_r09.json), putting it at ~1.0-1.7x the DuckDB twin."""
     from spendinganalysisetl_spark.operators.trainprep import (
         duplicate_token_spans,
     )
@@ -5228,8 +5235,8 @@ def q_bloom_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 32).alias("bucket"), F.col("o_custkey")
     )
     idx = build_bloom_bitsets(base, "bucket", "o_custkey")
-    probes = spark.createDataFrame(
-        [(p,) for p in _BLOOM_PROBES], "probe bigint"
+    probes = local_table(
+        spark, [(p,) for p in _BLOOM_PROBES], "probe bigint"
     )
     nc = (
         candidate_buckets_bitset(idx, probes)
@@ -5473,7 +5480,7 @@ def q_bfs_reach_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cotransaction_edges_from_pairs,
     )
 
-    src = spark.createDataFrame([("s1",)], "node string")
+    src = local_table(spark, [("s1",)], "node string")
     levels = bfs_levels(
         cotransaction_edges_from_pairs(_cs_pairs(spark, sf_dir)), src, 4
     )
@@ -5528,7 +5535,7 @@ def q_bfs_reach_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cotransaction_edges_from_pairs,
     )
 
-    src = spark.createDataFrame([("s1",)], "node string")
+    src = local_table(spark, [("s1",)], "node string")
     levels = bfs_levels(
         cotransaction_edges_from_pairs(_cs_pairs(spark, sf_dir)), src, 8
     )
@@ -6270,7 +6277,22 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram cross-entropy vs the corpus distribution — the
     LM-free analog of CCNet perplexity filtering
     (operators/textanalysis.py:unigram_cross_entropy). Reads the
-    session-shared doc-term index (_doc_terms)."""
+    session-shared doc-term index (_doc_terms).
+
+    sf1 floor adjudication (VERDICT r8 ask #4, closing the two-round
+    "borderline"): a controlled same-session A/B on the 1.16M-row sf1
+    doc-term cache measured all three plan shapes WITHIN NOISE of each
+    other — window-over-term 0.95-1.3 s, vocab-groupBy + AQE join
+    1.2-1.7 s, forced-broadcast join 1.2-1.3 s (5 reps each,
+    interleaved; BENCH_AB_r09.json) — so the remaining gap vs the
+    DuckDB twin (~0.36 s) is not a missing plan optimization but the
+    floor of a three-exchange distributed pipeline on ~1M rows, the
+    bloom/simhash precedent. The vocab-groupBy shape is kept anyway
+    because it is the 100 TB shape: the corpus-sized doc-term rows
+    never exchange-AND-SORT on the term key (the map-side-combined
+    vocab aggregate exchanges distinct-terms-per-partition, and the
+    join back is broadcast when the vocab fits, sort-free SHJ when
+    not)."""
     from spendinganalysisetl_spark.operators.textanalysis import unigram_cross_entropy
 
     return unigram_cross_entropy(
@@ -7018,11 +7040,18 @@ def q_kmeans_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_cluster_profile,
     )
 
-    emb = spark.createDataFrame(
+    emb = local_table(
+        spark,
         [(i, v) for i, v in enumerate(_kmeans_fixture_vectors())],
         "vec_id long, embedding array<double>",
     ).coalesce(1)
-    return kmeans_cluster_profile(emb, k=4, iters=3, seed=4)
+    # spread=False: fanning 32 rows across 32 partitions would make
+    # every Lloyd job pay 32 Python/Arrow task setups; one partition →
+    # one task per job. Together with local_table (Arrow LocalRelation,
+    # not a per-action-re-evaluated ExistingRDD — see catalog.py) the
+    # fixture prices at ~1.3-1.8 s/rep warm vs ~16 s/rep as first
+    # written (sf0.1 bench session A/B, BENCH_AB_r09.json).
+    return kmeans_cluster_profile(emb, k=4, iters=3, seed=4, spread=False)
 
 
 @register("bpe_train_merges")  # rows-only: the merge sequence is an
@@ -7134,7 +7163,8 @@ def q_bpe_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest fact into a driver-checked row."""
     from spendinganalysisetl_spark.operators.bpe import bpe_encode_stats, bpe_train
 
-    docs = spark.createDataFrame(
+    docs = local_table(
+        spark,
         [(i, t) for i, t in enumerate(_BPE_FIXTURE_TEXTS)],
         "doc_id long, text string",
     )
@@ -7271,7 +7301,8 @@ def q_lsh_cluster_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_cluster_stars_portable,
     )
 
-    docs = spark.createDataFrame(
+    docs = local_table(
+        spark,
         [(i, t) for i, t in enumerate(_LSH_FIXTURE_TEXTS)],
         "doc_id long, text string",
     )
@@ -7545,7 +7576,8 @@ def q_ivf_ann_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-pinned in tests)."""
     from spendinganalysisetl_spark.operators.similarity import ivf_topk
 
-    emb = spark.createDataFrame(
+    emb = local_table(
+        spark,
         [(i, v) for i, v in enumerate(_pq_fixture_vectors())],
         "vec_id long, embedding array<float>",
     )
@@ -7585,7 +7617,8 @@ def q_pq_ann_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction."""
     from spendinganalysisetl_spark.operators.similarity import pq_topk
 
-    emb = spark.createDataFrame(
+    emb = local_table(
+        spark,
         [(i, v) for i, v in enumerate(_pq_fixture_vectors())],
         "vec_id long, embedding array<float>",
     )

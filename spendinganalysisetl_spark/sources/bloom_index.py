@@ -202,8 +202,10 @@ def point_read_with_bloom(
         index = build_bloom_index(
             full.withColumn("_file", F.input_file_name()), "_file", value_col, k, m
         )
-    probe = spark.createDataFrame(
-        [(value,)], full.select(value_col).schema
+    from spendinganalysisetl_spark.catalog import local_table
+
+    probe = local_table(
+        spark, [(value,)], full.select(value_col).schema
     ).withColumnRenamed(value_col, "probe")
     files = [
         r["bucket"] for r in candidate_buckets(index, probe, k=k, m=m).collect()

@@ -123,7 +123,9 @@ def list_ids(spark: SparkSession, id_values: list[int]) -> DataFrame:
     their API exposes it — one cheap driver-side GET is fine for a list
     endpoint — and hand the DISTRIBUTION problem (the N+1 fan-out) to
     ``fetch_records``."""
-    return spark.createDataFrame([(int(i),) for i in id_values], "id long")
+    from spendinganalysisetl_spark.catalog import local_table
+
+    return local_table(spark, [(int(i),) for i in id_values], "id long")
 
 
 # --- Spark 4 Python DataSource form ------------------------------------------
