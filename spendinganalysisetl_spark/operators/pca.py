@@ -62,7 +62,10 @@ def _tri_index(d: int):
 
 
 def gramian_partials(
-    embeddings: DataFrame, vec_col: str = "embedding", scale: float = _SCALE
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = _SCALE,
+    spread: bool = True,
 ) -> DataFrame:
     """One row per Arrow batch: exact integer moments of the quantized
     vectors — ``n``, per-dimension sums ``s`` (length d), and the
@@ -87,7 +90,10 @@ def gramian_partials(
                 }
             )
 
-    return _spread(embeddings.select(vec_col)).mapInPandas(
+    base = embeddings.select(vec_col)
+    if spread:
+        base = _spread(base)
+    return base.mapInPandas(
         _partial, "n double, s array<double>, g array<double>"
     )
 
@@ -97,6 +103,7 @@ def _aggregate_moments(
     vec_col: str,
     scale: float,
     parts: DataFrame | None = None,
+    spread: bool = True,
 ):
     """Shared fork point: the per-batch partials, PERSISTED (they are
     |batches| rows of ~d²/2 doubles — kilobytes per 128 MB of corpus),
@@ -115,7 +122,7 @@ def _aggregate_moments(
 
     owns = parts is None
     if parts is None:
-        parts = gramian_partials(embeddings, vec_col, scale).persist(
+        parts = gramian_partials(embeddings, vec_col, scale, spread).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     g_tot = (
@@ -210,6 +217,7 @@ def _fit_components(
     k: int,
     scale: float,
     parts: DataFrame | None = None,
+    spread: bool = True,
 ):
     """Driver-side tail of the fit: collect the EXACT aggregated moments
     (d + d(d+1)/2 + 1 values — bounded, corpus-independent), build the
@@ -219,7 +227,7 @@ def _fit_components(
     import numpy as np
 
     parts, g_tot, s_tot, n_tot, owns = _aggregate_moments(
-        embeddings, vec_col, scale, parts
+        embeddings, vec_col, scale, parts, spread
     )
     d = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
     # Bounded collects: d + d(d+1)/2 + 1 exact values, corpus-independent.
@@ -256,6 +264,7 @@ def pca_project(
     scale: float = _SCALE,
     ordered: bool = True,
     parts: DataFrame | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Project every vector onto the top-k principal components of the
     (quantized) corpus covariance. Output is flat rows
@@ -266,7 +275,9 @@ def pca_project(
     in original units)."""
     import numpy as np
 
-    mean, _evals, comps = _fit_components(embeddings, vec_col, k, scale, parts)
+    mean, _evals, comps = _fit_components(
+        embeddings, vec_col, k, scale, parts, spread
+    )
     kk = comps.shape[1]
 
     def _project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -285,7 +296,10 @@ def pca_project(
             )
             yield out
 
-    projected = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
+    proj_base = embeddings.select(id_col, vec_col)
+    if spread:
+        proj_base = _spread(proj_base)
+    projected = proj_base.mapInPandas(
         _project, f"{id_col} long, pc long, score double"
     )
     out = projected.select(

@@ -7054,6 +7054,125 @@ def q_kmeans_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_profile(emb, k=4, iters=3, seed=4, spread=False)
 
 
+def _pca_fixture_vectors() -> list[list[float]]:
+    """Planted 8-vector, 4-dim corpus for pca_fixture: coordinates are
+    four mutually ORTHOGONAL, zero-sum ±1 patterns (Hadamard rows)
+    scaled by distinct magnitudes (5, 3, 2, 1), so the quantized
+    covariance is EXACTLY diagonal — diag(25, 9, 4, 1), zero
+    cross-moments — with distinct integer eigenvalues. LAPACK ``eigh``
+    on an exactly diagonal matrix returns exact ±unit eigenvectors and
+    the diagonal itself as eigenvalues (verified by import-time
+    asserts, which degrade the oracle to rows-only on any platform
+    where this does not hold), the sign convention fixes them to +unit,
+    and the projection scores are then exactly the planted coordinates
+    — every float in fit, eigh, and GEMM is exactly representable."""
+    pats = [
+        [1, -1, 1, -1, 1, -1, 1, -1],
+        [1, 1, -1, -1, 1, 1, -1, -1],
+        [1, 1, 1, 1, -1, -1, -1, -1],
+        [1, -1, -1, 1, 1, -1, -1, 1],
+    ]
+    scales = [5.0, 3.0, 2.0, 1.0]
+    return [
+        [scales[j] * pats[j][i] for j in range(4)] for i in range(8)
+    ]
+
+
+def _pca_fixture_oracle_sql() -> str:
+    """Golden VALUES for pca_fixture: an independent pure-numpy
+    replication of the full PCA pipeline — quantize → exact moments →
+    population covariance → eigh → (eigenvalue desc, index) order →
+    largest-|coefficient|-positive sign fix → top-3 projection — over
+    the planted diagonal-covariance corpus. Import-time witnesses: the
+    covariance is exactly diag(25, 9, 4, 1); eigenvalues exactly
+    (25, 9, 4, 1) after the sort; every eigenvector exactly a +unit
+    vector; every score exactly the planted coordinate; scores graded
+    (≥2 distinct magnitudes). A green driver row therefore checks the
+    whole distributed fit+eigh+project loop against exact ground
+    truth, converting the PCA projection family's differential test
+    into a driver-checked row (the kmeans/pq/ivf/bpe/lsh device)."""
+    import numpy as np
+
+    scale, k = 1000.0, 3
+    X = np.asarray(_pca_fixture_vectors(), dtype=np.float64)
+    n, d = X.shape
+    q = np.floor(X * scale + 0.5)
+    g = q.T @ q
+    s = q.sum(axis=0)
+    assert not s.any()  # zero-sum patterns: mean is exactly zero
+    cov = (n * g - np.outer(s, s)) / n / n / (scale * scale)
+    want_diag = np.array([25.0, 9.0, 4.0, 1.0])
+    assert (cov == np.diag(want_diag)).all(), cov  # exactly diagonal
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")
+    evals, evecs = evals[order], evecs[:, order]
+    for c in range(evecs.shape[1]):
+        j = int(np.argmax(np.abs(evecs[:, c])))
+        if evecs[j, c] < 0:
+            evecs[:, c] = -evecs[:, c]
+    assert (evals == want_diag).all(), evals  # exact integer spectrum
+    # exact +unit eigenvectors (the LAPACK-exactness fence)
+    for c in range(d):
+        col = evecs[:, c]
+        assert ((col == 0.0) | (col == 1.0)).all() and col.sum() == 1.0, col
+    mean = s / n / scale
+    scores = (q / scale - mean) @ evecs[:, :k]
+    expect = X[:, :k]  # planted coordinates, already eigenvalue-desc
+    assert (scores == expect).all(), (scores, expect)
+    assert len({abs(v) for v in scores.ravel()}) >= 2  # graded
+    rows = [
+        (i, c, float(scores[i, c]))
+        for i in range(n)
+        for c in range(k)
+    ]
+    values = ",\n".join(f"({i}, {c}, {v!r})" for i, c, v in rows)
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(pc AS BIGINT) AS pc,
+       CAST(score AS DOUBLE) AS score
+FROM (VALUES
+{values}
+) AS t(vec_id, pc, score)
+ORDER BY vec_id, pc
+"""
+
+
+def _pca_fixture_oracle_or_none() -> str | None:
+    """Same failure isolation as _pq_fixture_oracle_or_none; pinned
+    loud by tests/test_registry_order.py::test_fixture_oracles_live."""
+    try:
+        return _pca_fixture_oracle_sql()
+    except Exception as exc:  # pragma: no cover - exercised only on breakage
+        import warnings
+
+        warnings.warn(f"pca_fixture oracle disabled: {exc!r}")
+        return None
+
+
+@register("pca_fixture", _pca_fixture_oracle_or_none())
+def q_pca_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of pca_projection_scores: the full
+    distributed PCA pipeline — exact-integer Gramian partials,
+    driver-side eigh with the pinned (eigenvalue desc, index) order
+    and largest-|coefficient|-positive sign conventions, broadcast
+    top-3 GEMM projection — over a planted 8×4 corpus whose covariance
+    is exactly diagonal (see _pca_fixture_vectors), compared against a
+    golden VALUES oracle from an independent pure-numpy replication at
+    import time. pca_projection_scores / pca_variance_explained stay
+    the at-scale entries (real embeddings; rows-only by eigenbasis
+    nature, pinned by the numpy differential in tests/test_pca.py).
+    spread=False + coalesce(1): one task per Arrow job on the 8-row
+    corpus (the kmeans_fixture lesson, BENCH_AB_r09.json)."""
+    from spendinganalysisetl_spark.operators.pca import pca_project
+
+    emb = local_table(
+        spark,
+        [(i, v) for i, v in enumerate(_pca_fixture_vectors())],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    return pca_project(emb, k=3, spread=False)
+
+
 @register("bpe_train_merges")  # rows-only: the merge sequence is an
 # iteratively-learned model artifact (like the k-means cells) — no SQL
 # twin can replay 16 data-dependent merge rounds; the distributed
@@ -7690,10 +7809,13 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # (a) new-in-r9 oracle: the k-means train+assign+profile golden
+    # (a) new-in-r9 oracles: the k-means train+assign+profile golden
     #     fixture (VERDICT r8 ask #7 — the last big rows-only family
-    #     converted via the pq/ivf/bpe/lsh fixture device):
+    #     converted via the pq/ivf/bpe/lsh fixture device) and the PCA
+    #     projection fixture built the same way (planted
+    #     diagonal-covariance corpus — exact eigh, exact scores):
     "kmeans_fixture",
+    "pca_fixture",
     # (b) code-changed in r9 — re-earn the driver row:
     #     - quality_classifier_margins: libm-free sigmoid in BOTH
     #       trainers (ADVICE r8 #1) + the scoring pass rewritten from
@@ -7760,7 +7882,8 @@ _CHECK_FIRST: list[str] = [
     "dq_check_lineitem",
     "corr_matrix_lineitem",
     "similarity_brute_force_topk_blas",
-    "bigram_pmi_collocations",
+    # (bigram_pmi_collocations, the last r6 fill, yielded its slot to
+    # pca_fixture — it rejoins the r6 remainder for the r10 window.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -7871,9 +7994,10 @@ _CHECK_LATE: list[str] = [
     "unique_categories",  # [r7]
     "vendor_totals",  # [r7]
     "cube_returnflag_linestatus",  # [r7]
-    # r6-green remainder: the round-6 window minus the 32 oldest rows
-    # promoted into the r9 _CHECK_FIRST above — these 14 are first in
+    # r6-green remainder: the round-6 window minus the 31 oldest rows
+    # promoted into the r9 _CHECK_FIRST above — these 15 are first in
     # line for the r10 window:
+    "bigram_pmi_collocations",  # [r6]
     "similarity_brute_force_topk",  # [r6]
     "similarity_filtered_topk",  # [r6]
     "similarity_pairwise_dot_stats",  # [r6]
