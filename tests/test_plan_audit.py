@@ -453,3 +453,34 @@ def test_presentation_free_cores_have_no_single_partition_sink(spark, sf_dir):
             f"{name}: presentation-free core plans a single-partition "
             f"sink\n{plan[:1500]}"
         )
+
+
+def test_classifier_scoring_plans_no_hash_exchange(spark, sf_dir):
+    """r9 rewrite: margin_scores is ONE projection (constant-folded
+    weight array + transform/aggregate) — no explode, no join, no
+    groupBy; the only exchanges are the round-robin spread and the
+    presentation repartition(1), never a hashpartitioning shuffle."""
+    from spendinganalysisetl_spark.operators.classifier import margin_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(margin_scores(docs, [1] * 16, 0, 16))
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate" not in plan  # no explode
+    assert "Join" not in plan
+
+
+def test_duplicate_spans_single_gram_exchange(spark, sf_dir):
+    """r9 rewrite (VERDICT r8 ask #2): both document-frequency windows
+    ride ONE hash(gram) exchange (lag(doc_id) change marker over the
+    same sort); the only other hash exchange is the per-doc island
+    merge after the df filter. Exactly two hashpartitioning exchanges,
+    on gram then doc_id."""
+    import re
+
+    from spendinganalysisetl_spark.operators.trainprep import (
+        duplicate_token_spans,
+    )
+
+    plan = _plan(duplicate_token_spans(load_table(spark, sf_dir, "documents")))
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sorted(keys) == ["doc_id", "gram"], keys
