@@ -7149,6 +7149,154 @@ def _pca_fixture_oracle_or_none() -> str | None:
         return None
 
 
+def _semdedup_fixture_vectors() -> list[list[float]]:
+    """Planted 12-vector, 8-dim corpus for semdedup_fixture: four
+    clusters of THREE around dominant dims 0/2/4/6 — per cluster an
+    axis vector (8·e_dom), a spill vector (6 at dom, ±2 at the seven
+    other dims under a cluster-specific sign code), and the spill
+    vector with its first spill sign flipped. Every vector has norm
+    EXACTLY 8, so normalized coordinates are dyadic (eighths) and all
+    pairwise cosines are exact multiples of 1/64: within-cluster
+    0.75 / 0.75 / 0.875, cross-cluster ≤ 0.5 — a 0.7 threshold
+    separates them with 0.2 of margin on either side. Lloyd's
+    spherical k-means from the seed-5 init recovers the plant with
+    ≥ 0.375 argmax margin at every iteration (asserted at import)."""
+    codes = [
+        [1, 1, 1, 1, 1, 1, 1],
+        [1, -1, 1, -1, 1, -1, 1],
+        [1, 1, -1, -1, 1, 1, -1],
+        [1, -1, -1, 1, 1, -1, -1],
+    ]
+    d = 8
+    vecs: list[list[float]] = []
+    for j in range(4):
+        dom = 2 * j
+        others = [k for k in range(d) if k != dom]
+        a = [0.0] * d
+        a[dom] = 8.0
+        b = [0.0] * d
+        b[dom] = 6.0
+        for idx, k in enumerate(others):
+            b[k] = 2.0 * codes[j][idx]
+        b2 = list(b)
+        b2[others[0]] *= -1.0
+        vecs.extend([a, b, b2])
+    return vecs
+
+
+def _semdedup_fixture_oracle_sql() -> str:
+    """Golden VALUES for semdedup_fixture: a pure-numpy replication of
+    the full SemDeDup pipeline — id-ordered sample → seeded spherical
+    k-means (normalize, cosine-argmax, mean, renormalize, exactly as
+    operators/similarity.py:clustered_cosine_pairs) → corpus cell
+    assignment → per-cell sorted-by-id upper-triangle cosine pairs at
+    threshold 0.7. Import-time witnesses: every vector's norm exactly
+    8 (normalized coordinates dyadic → pairwise cosines exact, so the
+    VALUES are exact ground truth, not an echo); every Lloyd and
+    assignment argmax margin > 1e-6 (measured 0.375 — no BLAS can flip
+    a cell); the planted 3/3/3/3 structure is recovered; the pair set
+    is graded (≥2 distinct cosines) and non-empty per cluster; every
+    cross-cluster cosine ≤ 0.5 (so the threshold has real margin)."""
+    import numpy as np
+
+    nlist, iters, seed, thr = 4, 10, 5, 0.7
+    X = np.asarray(_semdedup_fixture_vectors(), dtype=np.float64)
+    n = len(X)
+    norms = np.linalg.norm(X, axis=1)
+    assert (norms == 8.0).all(), norms  # exact power-of-two norms
+    xn = X / 8.0
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(n, size=nlist, replace=False)
+    assert len({int(i) // 3 for i in idx}) == nlist, idx  # 4 distinct clusters
+    cent = xn[idx].copy()
+
+    def _margin(sims):
+        srt = np.sort(sims, axis=1)
+        return float(np.min(srt[:, -1] - srt[:, -2]))
+
+    for _ in range(iters):
+        sims = xn @ cent.T
+        assert _margin(sims) > 1e-6
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            m = xn[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    sims = xn @ cent.T
+    assert _margin(sims) > 1e-6
+    assign = np.argmax(sims, axis=1)
+    assert sorted(np.bincount(assign, minlength=nlist).tolist()) == [3, 3, 3, 3]
+    assert all(
+        len({i // 3 for i in range(n) if assign[i] == c}) == 1
+        for c in range(nlist)
+    )  # plant recovered
+    S = xn @ xn.T
+    cross = [
+        float(S[i, k])
+        for i in range(n)
+        for k in range(i + 1, n)
+        if i // 3 != k // 3
+    ]
+    assert max(cross) <= 0.5  # threshold margin witness
+    rows = []
+    for c in range(nlist):
+        ids = sorted(i for i in range(n) if assign[i] == c)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                s = float(np.round(S[ids[ai], ids[bi]], 6))
+                if s >= thr:
+                    rows.append((ids[ai], ids[bi], s))
+    assert rows and len({r[2] for r in rows}) >= 2, rows  # graded, non-empty
+    values = ",\n".join(f"({a}, {b}, {s!r})" for a, b, s in rows)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(cos_sim AS DOUBLE) AS cos_sim
+FROM (VALUES
+{values}
+) AS t(id_a, id_b, cos_sim)
+ORDER BY id_a, id_b
+"""
+
+
+def _semdedup_fixture_oracle_or_none() -> str | None:
+    """Same failure isolation as _pq_fixture_oracle_or_none; pinned
+    loud by tests/test_registry_order.py::test_fixture_oracles_live."""
+    try:
+        return _semdedup_fixture_oracle_sql()
+    except Exception as exc:  # pragma: no cover - exercised only on breakage
+        import warnings
+
+        warnings.warn(f"semdedup_fixture oracle disabled: {exc!r}")
+        return None
+
+
+@register("semdedup_fixture", _semdedup_fixture_oracle_or_none())
+def q_semdedup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of clustered_cosine_pairs: the full
+    SemDeDup pipeline — sample-trained spherical k-means quantizer,
+    Arrow-batched cell assignment, per-cell applyInPandas GEMM, pair
+    threshold — over a planted 12×8 corpus whose vectors all have
+    norm exactly 8 (dyadic normalized coordinates → every pairwise
+    cosine exact), compared against a golden VALUES oracle from an
+    independent pure-numpy replication at import time (see
+    _semdedup_fixture_oracle_sql). clustered_cosine_pairs stays the
+    at-scale entry (real embeddings; rows-only by quantizer-cell
+    nature, recall/no-FP pinned vs the exact oracle-checked twin in
+    tests/test_dedup_similarity.py)."""
+    from spendinganalysisetl_spark.operators.similarity import (
+        clustered_cosine_pairs,
+    )
+
+    emb = local_table(
+        spark,
+        [(i, v) for i, v in enumerate(_semdedup_fixture_vectors())],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    return clustered_cosine_pairs(emb, threshold=0.7, nlist=4, seed=5)
+
+
 @register("pca_fixture", _pca_fixture_oracle_or_none())
 def q_pca_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable twin of pca_projection_scores: the full
@@ -7811,11 +7959,14 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_FIRST: list[str] = [
     # (a) new-in-r9 oracles: the k-means train+assign+profile golden
     #     fixture (VERDICT r8 ask #7 — the last big rows-only family
-    #     converted via the pq/ivf/bpe/lsh fixture device) and the PCA
+    #     converted via the pq/ivf/bpe/lsh fixture device), the PCA
     #     projection fixture built the same way (planted
-    #     diagonal-covariance corpus — exact eigh, exact scores):
+    #     diagonal-covariance corpus — exact eigh, exact scores), and
+    #     the SemDeDup fixture (norm-8 planted clusters — exact dyadic
+    #     cosines, margin-fenced quantizer):
     "kmeans_fixture",
     "pca_fixture",
+    "semdedup_fixture",
     # (b) code-changed in r9 — re-earn the driver row:
     #     - quality_classifier_margins: libm-free sigmoid in BOTH
     #       trainers (ADVICE r8 #1) + the scoring pass rewritten from
@@ -7881,9 +8032,9 @@ _CHECK_FIRST: list[str] = [
     "length_bucket_profile",
     "dq_check_lineitem",
     "corr_matrix_lineitem",
-    "similarity_brute_force_topk_blas",
-    # (bigram_pmi_collocations, the last r6 fill, yielded its slot to
-    # pca_fixture — it rejoins the r6 remainder for the r10 window.)
+    # (bigram_pmi_collocations and similarity_brute_force_topk_blas,
+    # the last two r6 fills, yielded their slots to pca_fixture and
+    # semdedup_fixture — they rejoin the r6 remainder for r10.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -7994,10 +8145,11 @@ _CHECK_LATE: list[str] = [
     "unique_categories",  # [r7]
     "vendor_totals",  # [r7]
     "cube_returnflag_linestatus",  # [r7]
-    # r6-green remainder: the round-6 window minus the 31 oldest rows
-    # promoted into the r9 _CHECK_FIRST above — these 15 are first in
+    # r6-green remainder: the round-6 window minus the 30 oldest rows
+    # promoted into the r9 _CHECK_FIRST above — these 16 are first in
     # line for the r10 window:
     "bigram_pmi_collocations",  # [r6]
+    "similarity_brute_force_topk_blas",  # [r6]
     "similarity_brute_force_topk",  # [r6]
     "similarity_filtered_topk",  # [r6]
     "similarity_pairwise_dot_stats",  # [r6]

@@ -63,6 +63,7 @@ def test_fixture_oracles_live():
     assert "ivf_ann_fixture" in registry.ORACLE
     assert "kmeans_fixture" in registry.ORACLE
     assert "pca_fixture" in registry.ORACLE
+    assert "semdedup_fixture" in registry.ORACLE
 
 
 def test_oracle_sql_order_matches_queries():
