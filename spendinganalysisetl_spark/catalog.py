@@ -63,15 +63,19 @@ def local_table(spark: SparkSession, rows, schema) -> DataFrame:
 
     ``createDataFrame(list, ...)`` in classic PySpark plans as
     ``Scan ExistingRDD`` — the rows live in a pickled Python RDD that a
-    PYTHON WORKER re-evaluates on EVERY action over the frame (measured
-    ~5-7 s per job in this environment vs 0.1 s for the same 32 rows as
-    a LocalRelation; it also re-prices every round of an iterative
-    query that joins such a frame). Routing the rows through pandas
-    takes the Arrow conversion path, which lands them in a JVM
+    PYTHON WORKER STAGE re-evaluates on EVERY action over the frame
+    (one Python task per slice, defaultParallelism slices), and it
+    re-prices every round of an iterative query that joins such a
+    frame. Measured against the same 32 rows as a LocalRelation
+    (0.1 s/action): ~0.5 s/action on a quiet host, amplifying to
+    5-7 s/action under load (Python task setup multiplies under
+    scheduling pressure — the r9 sf0.1 bench carried ~30 s of this
+    across the fixture queries). Routing the rows through pandas takes
+    the Arrow conversion path, which lands them in a JVM
     ``LocalRelation`` ONCE at creation — every later action is a plain
-    in-JVM scan. Falls back to the list path if the Arrow conversion
-    rejects the rows (exotic types), so behavior never changes, only
-    speed."""
+    in-JVM scan, load-independent. Falls back to the list path if the
+    Arrow conversion rejects the rows (exotic types), so behavior
+    never changes, only speed."""
     import pandas as pd
     from pyspark.sql.types import StructType
 
