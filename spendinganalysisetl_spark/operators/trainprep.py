@@ -731,6 +731,67 @@ def domain_mix_weights(
     )
 
 
+def temperature_mix_weights(
+    documents: DataFrame,
+    tau: float = 0.5,
+    max_weight: float = 5.0,
+    qscale: float = 1e9,
+) -> DataFrame:
+    """Temperature-flattened domain-mixture weights: per language the
+    observed token share ``p_i``, the flattened share
+    ``q_i = p_i^τ / Σ_j p_j^τ``, and the resampling weight
+    ``min(q_i / p_i, max_weight)`` — the standard multilingual-LM
+    data-mix device (public knowledge: temperature/exponent sampling in
+    mBERT/XLM-R/mT5 data recipes; τ=1 keeps the natural mix, τ→0
+    approaches uniform, so it interpolates between ``domain_mix_weights``'
+    uniform target and no resampling).
+
+    Portability: the registered query runs τ=0.5, where ``p^τ`` is
+    ``sqrt`` — an IEEE-754 EXACT-ROUNDED operation, bit-identical on
+    every engine (general ``pow`` is libm-dependent and stays off the
+    oracle path). The flattened numerators are then quantized to
+    ``qscale`` integer units BEFORE the normalizing sum, so the sum is
+    an exact int64 in any accumulation order — without this, the
+    |langs|-term float sum's order would differ between engines and a
+    1-ulp wiggle could cross the 6dp rounding boundary.
+
+    Scale shape: identical to ``domain_mix_weights`` — ONE map-side-
+    combined grouped aggregation over the corpus; every share/total is
+    a window over the |langs| aggregated rows (a crossJoin with a
+    separate totals aggregate would plan a second corpus scan)."""
+    if tau != 0.5:  # non-oracle path: honest general form
+        flat_num = lambda c: F.pow(c, F.lit(tau))  # noqa: E731
+    else:
+        flat_num = F.sqrt
+    per_lang = (
+        _spread(documents.select("lang", "text"))
+        .select("lang", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    obs = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    s_i = F.floor(flat_num(obs) * F.lit(qscale) + F.lit(0.5)).cast("long")
+    q_i = s_i.cast("double") / F.sum(s_i).over(w).cast("double")
+    return (
+        per_lang.select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(obs, 6).alias("obs_share"),
+            F.round(q_i, 6).alias("flat_share"),
+            F.round(F.least(q_i / obs, F.lit(max_weight)), 4).alias(
+                "mix_weight"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )
+
+
 def resample_to_mixture(
     documents: DataFrame,
     domain_col: str = "lang",

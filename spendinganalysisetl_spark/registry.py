@@ -5855,6 +5855,45 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_weights(load_table(spark, sf_dir, "documents"), max_weight=5.0)
 
 
+@register(
+    "domain_mix_temperature",
+    """
+WITH lt AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '\\S+', 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM lt),
+sq AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / corpus_tokens AS obs,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / corpus_tokens)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS s
+  FROM lt CROSS JOIN tot
+), tot2 AS (SELECT CAST(sum(s) AS BIGINT) AS stot FROM sq)
+SELECT lang, n_docs, n_tokens,
+       round(obs, 6) AS obs_share,
+       round(CAST(s AS DOUBLE) / stot, 6) AS flat_share,
+       round(least((CAST(s AS DOUBLE) / stot) / obs, 5.0), 4) AS mix_weight
+FROM sq CROSS JOIN tot2 ORDER BY lang
+""",
+)
+def q_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture weights at τ=0.5 (operators/
+    trainprep.py:temperature_mix_weights): q_i ∝ √p_i, weight =
+    min(q_i/p_i, 5.0) — the multilingual-LM data-mix interpolation
+    between the natural mix (τ=1) and domain_mix_weights' uniform
+    target (τ→0). sqrt is IEEE exact-rounded and the flattened
+    numerators are integer-quantized before the normalizing sum, so
+    the DuckDB twin reproduces every weight bit-for-bit."""
+    from spendinganalysisetl_spark.operators.trainprep import (
+        temperature_mix_weights,
+    )
+
+    return temperature_mix_weights(
+        load_table(spark, sf_dir, "documents"), tau=0.5, max_weight=5.0
+    )
+
+
 _MIX_FOLD = hex_fold_sql("md5(CAST(doc_id AS VARCHAR))", 1, 7)
 
 
@@ -7967,6 +8006,9 @@ _CHECK_FIRST: list[str] = [
     "kmeans_fixture",
     "pca_fixture",
     "semdedup_fixture",
+    # (also new-in-r9: domain_mix_temperature — the τ=0.5 flattened
+    # mixture twin of domain_mix_weights)
+    "domain_mix_temperature",
     # (b) code-changed in r9 — re-earn the driver row:
     #     - quality_classifier_margins: libm-free sigmoid in BOTH
     #       trainers (ADVICE r8 #1) + the scoring pass rewritten from
@@ -8031,10 +8073,11 @@ _CHECK_FIRST: list[str] = [
     "fuzzy_pairs_levenshtein",
     "length_bucket_profile",
     "dq_check_lineitem",
-    "corr_matrix_lineitem",
-    # (bigram_pmi_collocations and similarity_brute_force_topk_blas,
-    # the last two r6 fills, yielded their slots to pca_fixture and
-    # semdedup_fixture — they rejoin the r6 remainder for r10.)
+    # (corr_matrix_lineitem, bigram_pmi_collocations, and
+    # similarity_brute_force_topk_blas,
+    # the last three r6 fills, yielded their slots to pca_fixture,
+    # semdedup_fixture, and domain_mix_temperature — they rejoin the
+    # r6 remainder for r10.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -8145,9 +8188,10 @@ _CHECK_LATE: list[str] = [
     "unique_categories",  # [r7]
     "vendor_totals",  # [r7]
     "cube_returnflag_linestatus",  # [r7]
-    # r6-green remainder: the round-6 window minus the 30 oldest rows
-    # promoted into the r9 _CHECK_FIRST above — these 16 are first in
+    # r6-green remainder: the round-6 window minus the 29 oldest rows
+    # promoted into the r9 _CHECK_FIRST above — these 17 are first in
     # line for the r10 window:
+    "corr_matrix_lineitem",  # [r6]
     "bigram_pmi_collocations",  # [r6]
     "similarity_brute_force_topk_blas",  # [r6]
     "similarity_brute_force_topk",  # [r6]

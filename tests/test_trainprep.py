@@ -555,3 +555,36 @@ def test_resample_to_mixture_laws(spark):
     assert by["big"] < 60
     # cap respected
     assert max(Counter((i, d) for i, d, _ in got).values()) <= 5
+
+
+def test_temperature_mix_weights_math(spark):
+    """τ=0.5 flattening on a planted 2-lang corpus: hand-computed
+    shares/weights; flattening moves the mix toward uniform (minority
+    share rises, majority falls) and weights respect the cap."""
+    import math
+
+    from spendinganalysisetl_spark.operators.trainprep import (
+        temperature_mix_weights,
+    )
+
+    # lang a: 9 tokens, lang b: 1 token -> p = (0.9, 0.1)
+    docs = spark.createDataFrame(
+        [(0, "a", "t t t t t t t t t"), (1, "b", "t")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in temperature_mix_weights(docs).collect()}
+    sa = math.floor(math.sqrt(0.9) * 1e9 + 0.5)
+    sb = math.floor(math.sqrt(0.1) * 1e9 + 0.5)
+    qa, qb = sa / (sa + sb), sb / (sa + sb)
+    assert out["a"]["obs_share"] == 0.9 and out["b"]["obs_share"] == 0.1
+    assert out["a"]["flat_share"] == round(qa, 6)
+    assert out["b"]["flat_share"] == round(qb, 6)
+    assert out["a"]["mix_weight"] == round(qa / 0.9, 4) < 1.0  # majority down
+    assert out["b"]["mix_weight"] == round(qb / 0.1, 4) > 1.0  # minority up
+    # cap law: extreme imbalance hits the 5.0 ceiling
+    docs2 = spark.createDataFrame(
+        [(0, "a", " ".join(["t"] * 400)), (1, "b", "t")],
+        "doc_id long, lang string, text string",
+    )
+    out2 = {r["lang"]: r for r in temperature_mix_weights(docs2).collect()}
+    assert out2["b"]["mix_weight"] == 5.0
