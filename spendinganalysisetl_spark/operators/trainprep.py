@@ -687,6 +687,105 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
     )
 
 
+def skipgram_pmi(
+    documents: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    unigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Collocation mining over a SKIP-GRAM window: PMI of ordered token
+    pairs ``(w_i, w_{i+d})`` for ``1 ≤ d ≤ window`` — the word2vec-style
+    generalization of ``bigram_pmi`` (adjacent-only = window 1), the
+    co-occurrence pass behind phrase detection and embedding-training
+    context windows. ``pmi = log2((c_ab/B) / ((c_a/N)(c_b/N)))`` with
+    unigram totals ``N``, pair totals ``B``, support floor
+    ``c_ab >= min_count``.
+
+    Scale shape: pair generation is ONE nested-``transform`` projection
+    over the token array — no self-join of the exploded position table
+    (the join-shaped formulation shuffles corpus-token-sized inputs on
+    doc_id and re-tokenizes per branch); the exploded pair stream is
+    ``window``-bounded (≤ k rows per token occurrence) and aggregates
+    map-side. The unigram side reuses the session-shared doc-term index
+    when the caller passes it (``unigrams`` = (doc_id, term, c) rows —
+    registry._doc_terms; a vocab-sized re-aggregation of a CACHED
+    table, zero extra corpus scans) and otherwise pays one more
+    tokenize pass. Totals are unpartitioned windows over AGGREGATED
+    (pair-type-/vocab-sized) tables; the two unigram lookups join on a
+    token key. PMI rounds at 4dp with signed-zero canonicalization
+    (the bigram_pmi conventions)."""
+    toks = _spread(documents.select("text")).select(
+        ws_tokens(F.col("text")).alias("toks")
+    )
+    cnt = F.size(F.col("toks"))
+    # (w_i, w_{i+d}) for i in 1..n-1, d in 1..min(window, n-i): inner
+    # sequence bounds stay ≥ 1 for every generated i (a start>stop
+    # Spark sequence would DESCEND, not empty out — guarded by the
+    # outer range and the n>=2 gate, which also keeps the filter out
+    # of the tokenize projection's pushdown path).
+    pair_structs = F.when(
+        cnt >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), cnt - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(window), cnt - i)
+                    ),
+                    lambda d: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + d).alias("w2"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pc = (
+        toks.select(F.explode(pair_structs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    wall = Window.partitionBy()
+    pc = pc.withColumn("b_total", F.sum("c_ab").over(wall)).filter(
+        F.col("c_ab") >= min_count
+    )
+    if unigrams is not None:
+        uc = unigrams.groupBy("term").agg(
+            F.sum("c").cast("long").alias("c_u")
+        )
+    else:
+        uc = (
+            _spread(documents.select("text"))
+            .select(F.explode(ws_tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c_u"))
+        )
+    uc = uc.withColumn("n_total", F.sum("c_u").over(wall))
+    ua = uc.select(
+        F.col("term").alias("w1"),
+        F.col("c_u").alias("c_a"),
+        "n_total",
+    )
+    ub = uc.select(F.col("term").alias("w2"), F.col("c_u").alias("c_b"))
+    num = F.col("c_ab").cast("double") * F.col("n_total") * F.col("n_total")
+    den = F.col("b_total").cast("double") * F.col("c_a") * F.col("c_b")
+    return (
+        pc.join(ua, "w1")
+        .join(ub, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.round(F.log2(num / den), 4) + F.lit(0.0)).alias("pmi"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("w1", "w2")
+    )
+
+
 def domain_mix_weights(
     documents: DataFrame, max_weight: float = 5.0
 ) -> DataFrame:

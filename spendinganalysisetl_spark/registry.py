@@ -5894,6 +5894,55 @@ def q_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skipgram_pmi_collocations",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+', 0) AS t FROM documents
+), pos AS (
+  SELECT t, unnest(range(1, len(t) + 1)) AS i FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT t[i] AS w1, t[i + d.d] AS w2
+  FROM pos CROSS JOIN (SELECT unnest(range(1, 4)) AS d) d
+  WHERE i + d.d <= len(t)
+), pc AS (
+  SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2
+), bt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS b_total FROM pc),
+uc AS (
+  SELECT term, count(*) AS c_u
+  FROM (SELECT unnest(t) AS term FROM toks) u GROUP BY term
+), nt AS (SELECT CAST(sum(c_u) AS BIGINT) AS n_total FROM uc)
+SELECT pc.w1, pc.w2, pc.c_ab,
+       CAST(a.c_u AS BIGINT) AS c_a, CAST(b.c_u AS BIGINT) AS c_b,
+       round(log2((CAST(pc.c_ab AS DOUBLE) * n_total * n_total)
+                  / (CAST(b_total AS DOUBLE) * a.c_u * b.c_u)), 4) + 0.0
+         AS pmi
+FROM pc
+JOIN uc a ON pc.w1 = a.term
+JOIN uc b ON pc.w2 = b.term
+CROSS JOIN bt CROSS JOIN nt
+WHERE pc.c_ab >= 5
+ORDER BY pc.w1, pc.w2
+""",
+)
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram-window collocations: PMI of ordered token pairs within
+    distance 3 (operators/trainprep.py:skipgram_pmi) — the word2vec
+    context-window generalization of bigram_pmi_collocations. Pair
+    generation is one nested-transform projection (no position-table
+    self-join); the unigram side re-aggregates the session-shared
+    doc-term index (_doc_terms — a cached vocab-sized table, zero
+    extra corpus scans)."""
+    from spendinganalysisetl_spark.operators.trainprep import skipgram_pmi
+
+    return skipgram_pmi(
+        load_table(spark, sf_dir, "documents"),
+        window=3,
+        min_count=5,
+        unigrams=_doc_terms(spark, sf_dir),
+    )
+
+
 _MIX_FOLD = hex_fold_sql("md5(CAST(doc_id AS VARCHAR))", 1, 7)
 
 
@@ -8007,8 +8056,10 @@ _CHECK_FIRST: list[str] = [
     "pca_fixture",
     "semdedup_fixture",
     # (also new-in-r9: domain_mix_temperature — the τ=0.5 flattened
-    # mixture twin of domain_mix_weights)
+    # mixture twin of domain_mix_weights — and skipgram_pmi_collocations,
+    # the window-3 generalization of bigram_pmi)
     "domain_mix_temperature",
+    "skipgram_pmi_collocations",
     # (b) code-changed in r9 — re-earn the driver row:
     #     - quality_classifier_margins: libm-free sigmoid in BOTH
     #       trainers (ADVICE r8 #1) + the scoring pass rewritten from
@@ -8072,12 +8123,11 @@ _CHECK_FIRST: list[str] = [
     "events_retention_cohorts",
     "fuzzy_pairs_levenshtein",
     "length_bucket_profile",
-    "dq_check_lineitem",
-    # (corr_matrix_lineitem, bigram_pmi_collocations, and
-    # similarity_brute_force_topk_blas,
-    # the last three r6 fills, yielded their slots to pca_fixture,
-    # semdedup_fixture, and domain_mix_temperature — they rejoin the
-    # r6 remainder for r10.)
+    # (dq_check_lineitem, corr_matrix_lineitem, bigram_pmi_collocations,
+    # and similarity_brute_force_topk_blas — the last four r6 fills —
+    # yielded their slots to pca_fixture, semdedup_fixture,
+    # domain_mix_temperature, and skipgram_pmi_collocations; they
+    # rejoin the r6 remainder for r10.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -8188,9 +8238,10 @@ _CHECK_LATE: list[str] = [
     "unique_categories",  # [r7]
     "vendor_totals",  # [r7]
     "cube_returnflag_linestatus",  # [r7]
-    # r6-green remainder: the round-6 window minus the 29 oldest rows
-    # promoted into the r9 _CHECK_FIRST above — these 17 are first in
+    # r6-green remainder: the round-6 window minus the 28 oldest rows
+    # promoted into the r9 _CHECK_FIRST above — these 18 are first in
     # line for the r10 window:
+    "dq_check_lineitem",  # [r6]
     "corr_matrix_lineitem",  # [r6]
     "bigram_pmi_collocations",  # [r6]
     "similarity_brute_force_topk_blas",  # [r6]

@@ -588,3 +588,37 @@ def test_temperature_mix_weights_math(spark):
     )
     out2 = {r["lang"]: r for r in temperature_mix_weights(docs2).collect()}
     assert out2["b"]["mix_weight"] == 5.0
+
+
+def test_skipgram_pmi_hand_checked(spark):
+    """Window-3 skip-gram pairs on a planted corpus: hand-computed pair
+    and unigram counts; window-1 restriction equals bigram semantics;
+    support floor drops rare pairs."""
+    import math
+
+    from spendinganalysisetl_spark.operators.trainprep import skipgram_pmi
+
+    # "a b c a b c" per doc, 3 docs: unigrams a=b=c=6 each, N=18.
+    docs = spark.createDataFrame(
+        [(i, "a b c a b c") for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = {(r["w1"], r["w2"]): r for r in skipgram_pmi(docs, window=3, min_count=3).collect()}
+    # positions 1..6; pairs per doc within distance 3:
+    # (a,b)x2 d1, (b,c)x2 d1, (c,a) d1; (a,c)x2 d2, (b,a) d2, (c,b) d2;
+    # (a,a) d3, (b,b) d3, (c,c) d3 -> per doc 12 pairs, x3 docs
+    assert rows[("a", "b")]["c_ab"] == 6
+    assert rows[("a", "c")]["c_ab"] == 6
+    assert rows[("c", "a")]["c_ab"] == 3
+    assert rows[("a", "a")]["c_ab"] == 3
+    assert all(r["c_a"] == 6 and r["c_b"] == 6 for r in rows.values())
+    b_total = 12 * 3
+    n = 18
+    want = round(math.log2((6 / b_total) / ((6 / n) * (6 / n))), 4) + 0.0
+    assert rows[("a", "b")]["pmi"] == want
+    # floor: min_count above any planted pair count -> empty
+    assert skipgram_pmi(docs, window=3, min_count=7).count() == 0
+    # window=1 degenerates to adjacent-bigram pair counts
+    rows1 = {(r["w1"], r["w2"]): r["c_ab"]
+             for r in skipgram_pmi(docs, window=1, min_count=1).collect()}
+    assert rows1 == {("a", "b"): 6, ("b", "c"): 6, ("c", "a"): 3}
