@@ -604,14 +604,19 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
     aggregate, chained on the main flow (zero extra corpus work). Only
     the ``w2``-side unigram lookup needs a second pass (its count lives
     on OTHER rows' ``w1`` — not derivable by a window over this
-    partition), so the plan pays exactly two corpus passes, down from
-    three in the join-shaped form (Spark plans no exchange reuse across
-    forked aggregate branches; the fork is unavoidable here, the ua
-    join wasn't). Totals are unpartitioned windows OVER AGGREGATED
-    tables (vocabulary-/bigram-type-sized, not corpus-sized); the
-    ``w2`` join keys on a token — a uniform hash join. The log2
-    identity is computed as one double expression identically in the
-    DuckDB twin; PMI rounds at 4dp (log ulp-safety margin).
+    partition), so the plan pays exactly two corpus passes. Corpus
+    totals ``N``/``B`` are SCALAR aggregates of the pair aggregate
+    crossJoined back as broadcasts — never ``sum().over(Window
+    .partitionBy())``: at 100 TB the pair-type table is billions of
+    rows and an unpartitioned window would move ALL of it through ONE
+    partition, whereas the scalar agg ships one partial row per
+    partition, and its branch rides a ``ReusedExchange`` of the main
+    flow's pair shuffle (verified in the executed plan; pinned by
+    tests/test_plan_audit.py::test_pmi_no_unpartitioned_window), so
+    the totals cost no extra corpus pass. The ``w2`` join keys on a
+    token — a uniform hash join. The log2 identity is computed as one
+    double expression identically in the DuckDB twin; PMI rounds at
+    4dp (log ulp-safety margin).
     """
     toks = _spread(documents.select("text")).select(
         ws_tokens(F.col("text")).alias("toks")
@@ -647,7 +652,18 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
         .select("p.w1", "p.w2")
     )
     agg = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    wall = Window.partitionBy()
+    # Corpus totals as ONE 1-row scalar aggregate, broadcast back: B =
+    # all bigram occurrences (non-NULL w2 rows), N = all token
+    # occurrences (every occurrence sits on exactly one w1). B uses a
+    # conditional sum, NOT a filter — a pushed-down filter would change
+    # the exchange subtree and break the ReusedExchange of the main
+    # flow's pair shuffle (see docstring).
+    tot = agg.agg(
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("c")))
+        .cast("long")
+        .alias("b_total"),
+        F.sum("c").cast("long").alias("n_total"),
+    )
     # c_a chained as a window on the main flow — every occurrence of w1
     # is on some (w1, *) row, so the partition sum IS its unigram count.
     with_ca = agg.withColumn(
@@ -656,15 +672,13 @@ def bigram_pmi(documents: DataFrame, min_count: int = 5) -> DataFrame:
     bigr = (
         with_ca.filter(F.col("w2").isNotNull())
         .withColumnRenamed("c", "c_ab")
-        .withColumn("b_total", F.sum("c_ab").over(wall))
         .filter(F.col("c_ab") >= min_count)
+        .crossJoin(F.broadcast(tot))
     )
-    # The ONE remaining fork: the w2-side lookup table (vocab-sized),
-    # carrying the corpus total alongside.
+    # The ONE remaining fork: the w2-side lookup table (vocab-sized).
     ub = (
         agg.groupBy("w1")
         .agg(F.sum("c").cast("long").alias("c_b"))
-        .withColumn("n_total", F.sum("c_b").over(wall))
         .withColumnRenamed("w1", "w2")
     )
     num = F.col("c_ab").cast("double") * F.col("n_total") * F.col("n_total")
@@ -710,10 +724,14 @@ def skipgram_pmi(
     when the caller passes it (``unigrams`` = (doc_id, term, c) rows —
     registry._doc_terms; a vocab-sized re-aggregation of a CACHED
     table, zero extra corpus scans) and otherwise pays one more
-    tokenize pass. Totals are unpartitioned windows over AGGREGATED
-    (pair-type-/vocab-sized) tables; the two unigram lookups join on a
-    token key. PMI rounds at 4dp with signed-zero canonicalization
-    (the bigram_pmi conventions)."""
+    tokenize pass. Corpus totals ``B``/``N`` are SCALAR aggregates
+    crossJoined back as broadcasts (never unpartitioned windows — at
+    100 TB the distinct skip-gram pair-type table is billions of rows
+    and a ``Window.partitionBy()`` would funnel all of it through one
+    partition; the scalar branch ships one partial row per partition
+    and rides a ReusedExchange of the pair shuffle); the two unigram
+    lookups join on a token key. PMI rounds at 4dp with signed-zero
+    canonicalization (the bigram_pmi conventions)."""
     toks = _spread(documents.select("text")).select(
         ws_tokens(F.col("text")).alias("toks")
     )
@@ -746,10 +764,15 @@ def skipgram_pmi(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
-    wall = Window.partitionBy()
-    pc = pc.withColumn("b_total", F.sum("c_ab").over(wall)).filter(
-        F.col("c_ab") >= min_count
-    )
+    # Corpus pair total B as a 1-row scalar aggregate broadcast back —
+    # NOT an unpartitioned window: at 100 TB the distinct skip-gram
+    # pair-type table is billions of rows and a window over an empty
+    # partition spec would move all of it through ONE partition. The
+    # scalar branch ships one partial row per partition and rides a
+    # ReusedExchange of the main flow's pair shuffle (pinned by
+    # tests/test_plan_audit.py::test_pmi_no_unpartitioned_window).
+    b_tot = pc.agg(F.sum("c_ab").cast("long").alias("b_total"))
+    pc = pc.filter(F.col("c_ab") >= min_count).crossJoin(F.broadcast(b_tot))
     if unigrams is not None:
         uc = unigrams.groupBy("term").agg(
             F.sum("c").cast("long").alias("c_u")
@@ -761,11 +784,12 @@ def skipgram_pmi(
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("c_u"))
         )
-    uc = uc.withColumn("n_total", F.sum("c_u").over(wall))
+    # Unigram total N: same scalar-broadcast idiom over the vocab-sized
+    # aggregate (vocab is itself unbounded at crawl scale).
+    n_tot = uc.agg(F.sum("c_u").cast("long").alias("n_total"))
     ua = uc.select(
         F.col("term").alias("w1"),
         F.col("c_u").alias("c_a"),
-        "n_total",
     )
     ub = uc.select(F.col("term").alias("w2"), F.col("c_u").alias("c_b"))
     num = F.col("c_ab").cast("double") * F.col("n_total") * F.col("n_total")
@@ -773,6 +797,7 @@ def skipgram_pmi(
     return (
         pc.join(ua, "w1")
         .join(ub, "w2")
+        .crossJoin(F.broadcast(n_tot))
         .select(
             "w1",
             "w2",

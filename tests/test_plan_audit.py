@@ -484,3 +484,58 @@ def test_duplicate_spans_single_gram_exchange(spark, sf_dir):
     plan = _plan(duplicate_token_spans(load_table(spark, sf_dir, "documents")))
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert sorted(keys) == ["doc_id", "gram"], keys
+
+
+def test_pmi_no_unpartitioned_window(spark, sf_dir):
+    """r10 (VERDICT r9 ask #1): the corpus totals B/N in bigram/skipgram
+    PMI are scalar aggregates broadcast back via crossJoin — NEVER
+    ``sum().over(Window.partitionBy())`` on the pair-type table, which
+    at 100 TB would funnel billions of aggregated pair rows through ONE
+    partition. An unpartitioned (and order-less) window prints as
+    ``windowspecdefinition(specifiedwindowframe...`` — partition or
+    order expressions would precede the frame. Executed first so AQE's
+    runtime stage reuse is visible: the scalar-total branch must ride a
+    ReusedExchange of the main flow's pair shuffle (zero extra corpus
+    work), not replan the corpus scan."""
+    import __spark_entry__ as entrymod
+
+    for name in ("bigram_pmi_collocations", "skipgram_pmi_collocations"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "windowspecdefinition(specifiedwindowframe" not in plan, (
+            f"{name}: unpartitioned window over the pair table\n{plan[:2000]}"
+        )
+        assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, (
+            f"{name}: scalar-total branch replans instead of reusing the "
+            f"pair exchange\n{plan[:2000]}"
+        )
+
+
+def test_local_table_plans_local_relation(spark):
+    """ADVICE r9 #2: catalog.local_table's performance guarantee — rows
+    land in a JVM LocalRelation via Arrow, NOT a pickled Python RDD that
+    a worker stage re-evaluates on every action (``Scan ExistingRDD``,
+    the r9 0.5-7 s/action defect). The except-Exception fallback and
+    spark.sql.execution.arrow.pyspark.fallback.enabled can silently
+    degrade to the slow path, so pin the plan shape: direct calls and a
+    representative registry caller (pca_fixture) both scan a
+    LocalTableScan and never an ExistingRDD."""
+    import __spark_entry__ as entrymod
+
+    from spendinganalysisetl_spark.catalog import local_table
+
+    df = local_table(
+        spark,
+        [(i, [float(i), float(i + 1)]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(df)
+    assert "ExistingRDD" not in plan, plan
+    assert "LocalTableScan" in plan, plan
+
+    fx = entrymod.queries()["pca_fixture"](spark, "/root/testdata/sf0.001")
+    fx.collect()
+    fplan = _plan(fx)
+    assert "ExistingRDD" not in fplan, fplan[:2000]
+    assert "LocalTableScan" in fplan, fplan[:2000]

@@ -622,3 +622,49 @@ def test_skipgram_pmi_hand_checked(spark):
     rows1 = {(r["w1"], r["w2"]): r["c_ab"]
              for r in skipgram_pmi(docs, window=1, min_count=1).collect()}
     assert rows1 == {("a", "b"): 6, ("b", "c"): 6, ("c", "a"): 3}
+
+
+def test_pmi_values_off_rounding_boundaries():
+    """ADVICE r9 #1: the PMI oracles' bit-for-bit parity rests on
+    ``round(log2(x), 4)`` agreeing between Spark (JVM Math.log, 1-ulp)
+    and DuckDB (libm). Unlike the planted fixtures there is no
+    constructed fence keeping pmi away from the 4dp HALF_UP boundary,
+    so pin the empirical fence at the driver's check scale: every
+    UNROUNDED pmi value at sf0.01 must sit > 1e-9 from a .00005
+    boundary (i.e. the fractional part of |pmi|*1e4 stays > 1e-5 away
+    from 0.5), where a 1-ulp log2 divergence (~1e-15 relative) cannot
+    flip the rounded digit. Re-run against regenerated testdata each
+    round — this is a data property, not a code property."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    for name in ("bigram_pmi_collocations", "skipgram_pmi_collocations"):
+        sql = oracles[name]
+        raw = sql.replace("round(log2", "(log2").replace(
+            ", 4) + 0.0", ") + 0.0"
+        )
+        # the surgery must have bitten, or the fence is vacuously green
+        # over already-rounded values
+        assert raw != sql and "round(log2" not in raw, name
+        vals = [
+            r[0]
+            for r in con.execute(f"SELECT pmi FROM ({raw}) s").fetchall()
+        ]
+        assert len(vals) >= 100, (name, len(vals))
+        worst = min(abs((abs(v) * 1e4) % 1.0 - 0.5) for v in vals)
+        assert worst > 1e-5, (
+            f"{name}: a pmi value sits {worst:.2e} (scaled) from the 4dp "
+            f"rounding boundary — cross-engine log2 ulp drift can flip it"
+        )
+    con.close()
