@@ -1106,3 +1106,120 @@ def token_drift_psi(
         .orderBy(F.col("psi_term").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+def dsir_bucket_stats(
+    documents: DataFrame, target_lang: str = "en", n_buckets: int = 256
+) -> DataFrame:
+    """Hashed-unigram bucket statistics for DSIR-style data selection
+    (public method: Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling" — hashed n-gram features, a
+    target-vs-raw likelihood ratio per feature, per-document importance
+    weights). Returns one row per hash bucket with the target-side and
+    raw-side token counts: ``(bk, c_t, c_r)``.
+
+    Scale shape: ONE tokenize scan; membership in the target domain is
+    a column predicate, so BOTH counts come from one conditional
+    aggregation (map-side combined, bucket-cardinality output — no
+    second corpus pass for the target side). The bucket hash is the
+    engine-portable md5-fold (functions/text.py:hex_fold — same device
+    as the portable MinHash family), so a DuckDB oracle reproduces
+    every count bit-for-bit; the xxhash64 one-op hash is the drop-in
+    at-scale variant, exactly as in the dedup family."""
+    from spendinganalysisetl_spark.functions.text import hex_fold
+
+    toks = _spread(documents.select("lang", "text")).select(
+        "lang", F.explode(ws_tokens(F.col("text"))).alias("t")
+    )
+    bk = (hex_fold(F.md5("t"), 1, width=8) % n_buckets).cast("int")
+    return (
+        toks.select(
+            bk.alias("bk"),
+            (F.col("lang") == target_lang).cast("long").alias("is_t"),
+        )
+        .groupBy("bk")
+        .agg(
+            F.sum("is_t").cast("long").alias("c_t"),
+            F.count(F.lit(1)).cast("long").alias("c_r"),
+        )
+    )
+
+
+def dsir_quantized_weights(
+    stats_rows, n_buckets: int = 256
+) -> list[int]:
+    """Per-bucket importance weights from collected bucket stats:
+    ``w_b = log2( p_target(b) / p_raw(b) )`` with add-half smoothing,
+    quantized to integer MICRO-units (half away from zero) so document
+    scores are exact int64 sums — order-independent and bit-identical
+    across engines (the quality-classifier convention). The smoothed
+    ratio is built from EXACT int64 products first —
+    ``((2·c_t+1)·(2·N_r+B)) / ((2·c_r+1)·(2·N_t+B))`` — each side fits
+    2^53 at any oracle-checked scale, so the double quotient is the
+    correctly-rounded value of an exact rational on every engine; the
+    only libm call is the single log2 per bucket, fenced off the
+    quantization boundary by a test (the PMI fence device). At 100 TB
+    the int64 products overflow 2^53: compute the weight in log space
+    (log2 numerator − log2 denominator) and accept per-weight ulp
+    noise — scores are then no longer bit-portable, which only the
+    oracle gate needs. Missing buckets (no token hashed there) get the
+    c_t=c_r=0 smoothed weight so the scorer can index any bucket."""
+    import math
+
+    stats = {int(r["bk"]): (int(r["c_t"]), int(r["c_r"])) for r in stats_rows}
+    n_t = sum(ct for ct, _ in stats.values())
+    n_r = sum(cr for _, cr in stats.values())
+    out = []
+    for b in range(n_buckets):
+        c_t, c_r = stats.get(b, (0, 0))
+        num = (2 * c_t + 1) * (2 * n_r + n_buckets)
+        den = (2 * c_r + 1) * (2 * n_t + n_buckets)
+        assert num < 2**53 and den < 2**53, "use log-space at this scale"
+        lg = math.log2(num / den)
+        q = math.floor(abs(lg) * 1_000_000 + 0.5)
+        out.append(q if lg >= 0 else -q)
+    return out
+
+
+def dsir_scores(
+    documents: DataFrame,
+    weights_q: list[int],
+    n_buckets: int = 256,
+    ordered: bool = True,
+) -> DataFrame:
+    """Score every document under quantized DSIR bucket weights:
+    ``dsir_micro = Σ w_q[bucket(token)]`` over all token occurrences —
+    the log importance ratio in micro-units, an exact int64. The whole
+    pass is ONE PROJECTION (the classifier margin_scores idiom): the
+    bucket-sized weight vector is an all-literal array that
+    ConstantFolding collapses to a single Literal, tokens map through
+    ``transform`` + ``element_at`` and sum via ``aggregate`` — no
+    explode, no join, no groupBy; doc rows never shuffle. ``n_tokens``
+    re-runs the tokenize regex in the same scan (one extra regex per
+    row, the text_token_counts precedent) rather than referencing the
+    transformed array twice, which CollapseProject would re-inline
+    into two full evaluations anyway. At 100 TB with 10^5+ buckets the
+    literal array gives way to a broadcast map-side join — same
+    shuffle-free shape, dictionary instead of literal."""
+    from spendinganalysisetl_spark.functions.text import hex_fold
+
+    warr = F.array(*[F.lit(int(w)) for w in weights_q])
+    tok_w = F.transform(
+        ws_tokens(F.col("text")),
+        lambda t: F.element_at(
+            warr,
+            (hex_fold(F.md5(t), 1, width=8) % n_buckets).cast("int")
+            + F.lit(1),
+        ),
+    )
+    s = F.aggregate(
+        tok_w, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    out = _spread(documents.select("doc_id", "text")).select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.coalesce(s, F.lit(0)).cast("long").alias("dsir_micro"),
+    )
+    if not ordered:
+        return out
+    return out.repartition(1).sortWithinPartitions("doc_id")

@@ -668,3 +668,150 @@ def test_pmi_values_off_rounding_boundaries():
             f"rounding boundary — cross-engine log2 ulp drift can flip it"
         )
     con.close()
+
+
+def _dsir_py(docs, target_lang="en", n_buckets=256):
+    """Independent pure-Python DSIR replication: ASCII \\S+ tokenize
+    (Java regex \\S is ASCII — NOT Python's Unicode \\S), md5-fold
+    bucket, add-half smoothed log2 ratio, micro-quantized half away
+    from zero, exact int64 doc scores."""
+    import hashlib
+    import math
+    import re
+
+    tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+
+    c_t = [0] * n_buckets
+    c_r = [0] * n_buckets
+    toks = {}
+    for doc_id, lang, text in docs:
+        ts = tok_re.findall(text.lower())
+        toks[doc_id] = ts
+        for t in ts:
+            b = bucket(t)
+            c_r[b] += 1
+            if lang == target_lang:
+                c_t[b] += 1
+    n_t, n_r = sum(c_t), sum(c_r)
+    wq = []
+    for b in range(n_buckets):
+        num = (2 * c_t[b] + 1) * (2 * n_r + n_buckets)
+        den = (2 * c_r[b] + 1) * (2 * n_t + n_buckets)
+        lg = math.log2(num / den)
+        q = math.floor(abs(lg) * 1_000_000 + 0.5)
+        wq.append(q if lg >= 0 else -q)
+    return wq, {
+        d: (len(ts), sum(wq[bucket(t)] for t in ts))
+        for d, ts in toks.items()
+    }
+
+
+def test_dsir_matches_pure_python_reference(spark):
+    """Bit-for-bit differential: the distributed count → quantize →
+    score pipeline against an independent replication, on a hand
+    corpus with mixed languages, repeated tokens, and an empty doc."""
+    from spendinganalysisetl_spark.catalog import local_table
+    from spendinganalysisetl_spark.operators.trainprep import (
+        dsir_bucket_stats,
+        dsir_quantized_weights,
+        dsir_scores,
+    )
+
+    docs = [
+        (0, "en", "the cat sat on the mat the cat"),
+        (1, "en", "quality text with diverse tokens here"),
+        (2, "de", "der hund und die katze und der hund"),
+        (3, "de", "schnelle braune fuchs springt"),
+        (4, "fr", "le chat et le chien et le chat"),
+        (5, "en", ""),
+    ]
+    df = local_table(spark, docs, "doc_id long, lang string, text string")
+    rows = dsir_bucket_stats(df, "en", 256).collect()
+    wq = dsir_quantized_weights(rows, 256)
+    ref_wq, ref_scores = _dsir_py(docs)
+    assert wq == ref_wq
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_micro"])
+        for r in dsir_scores(df, wq, 256).collect()
+    }
+    assert got == ref_scores
+    # the fixture must witness signal: target docs should outscore
+    # per-token the non-target ones on average, or it's defanged
+    en = sum(got[d][1] for d in (0, 1)) / max(sum(got[d][0] for d in (0, 1)), 1)
+    de = sum(got[d][1] for d in (2, 3)) / max(sum(got[d][0] for d in (2, 3)), 1)
+    assert en > de
+
+
+def test_dsir_weights_off_quantization_boundaries():
+    """The one libm call in the DSIR pipeline is log2 per bucket; a
+    1-ulp divergence between CPython's libm (which builds the Spark
+    literal array) and DuckDB's (the oracle) could flip the micro-
+    quantized integer exactly on a .5 boundary. Fence: at both local
+    check scales, every |lg|*1e6 sits > 1e-6 from its rounding
+    boundary (1 ulp of lg ~ 1e-16 relative — orders of magnitude
+    inside the fence). Data property — re-runs against regenerated
+    testdata every round."""
+    import math
+
+    import duckdb
+
+    from spendinganalysisetl_spark.registry import (
+        _DSIR_BUCKETS,
+        hex_fold_sql,
+    )
+
+    # the synthetic corpus has a ~31-token vocabulary, so only ~30 of
+    # the 256 buckets are populated at any scale — the fence covers
+    # every weight that can actually be hit
+    for sf, min_rows in (
+        ("/root/testdata/sf0.001", 20),
+        ("/root/testdata/sf0.01", 20),
+    ):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        fold = hex_fold_sql("md5(t)", 1, width=8)
+        lgs = [
+            r[0]
+            for r in con.execute(f"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\\S+', 0)) AS t
+  FROM documents
+), tb AS (
+  SELECT CAST(({fold}) % {_DSIR_BUCKETS} AS INT) AS bk,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t FROM tok
+), cnt AS (
+  SELECT bk, CAST(sum(is_t) AS BIGINT) AS c_t,
+         CAST(count(*) AS BIGINT) AS c_r FROM tb GROUP BY bk
+), tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                  CAST(sum(c_r) AS BIGINT) AS n_r FROM cnt)
+SELECT log2( CAST((2*c_t + 1) * (2*n_r + {_DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((2*c_r + 1) * (2*n_t + {_DSIR_BUCKETS}) AS DOUBLE) )
+FROM cnt CROSS JOIN tot
+""").fetchall()
+        ]
+        con.close()
+        assert len(lgs) >= min_rows, (sf, len(lgs))
+        worst = min(abs((abs(v) * 1e6) % 1.0 - 0.5) for v in lgs)
+        assert worst > 1e-6, (
+            f"{sf}: a DSIR weight sits {worst:.2e} (scaled) from the "
+            f"micro-quantization boundary"
+        )
+
+
+def test_dsir_weights_memoized_per_session(spark):
+    """The bucket-count scan runs once per (session, sf_dir) — bench
+    reps 2+ reuse the collected weight list (the classifier train-once
+    convention)."""
+    from spendinganalysisetl_spark import registry
+
+    registry._DSIR_MEMO.clear()
+    w1 = registry._dsir_weights(spark, "/root/testdata/sf0.001")
+    assert len(registry._DSIR_MEMO) == 1
+    w2 = registry._dsir_weights(spark, "/root/testdata/sf0.001")
+    assert w2 is w1
