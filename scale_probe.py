@@ -122,6 +122,18 @@ QUERIES = [
     # probe); bpe_encode shares bpe_train_merges' corpus-scan shape.
     "bfs_reach_deep",
     "domain_mixture_resample",
+    # r10 additions (VERDICT r9 ask #9): the two collocation passes
+    # after the scalar-broadcast totals rewrite (pair explode +
+    # aggregate must scale with tokens, never funnel through one
+    # partition), the classifier's one-projection scoring pass (pure
+    # scan scaling; the train memo is corpus-independent), and DSIR
+    # scoring (same constant-folded projection idiom; its bucket-count
+    # memo builds once per (session, dir) on the warm pass — the
+    # count-once/score-many design, so reps time the scoring scan).
+    "skipgram_pmi_collocations",
+    "bigram_pmi_collocations",
+    "quality_classifier_margins",
+    "dsir_importance_weights",
 ]
 
 
@@ -303,6 +315,9 @@ def main() -> None:
             # r7: the text family's shared doc-term index — the
             # tokenize it hides is precisely tfidf's scaling stage
             "tfidf_top_terms": (("doc_terms",), ()),
+            # r10: skipgram's unigram side reads the same cached index;
+            # pay its build per rep so the ratio includes it
+            "skipgram_pmi_collocations": (("doc_terms",), ()),
             # r7: stars now reads the shared banded-signature table;
             # the shingle+hash scan it hides IS the scaling stage
             "lsh_cluster_stars": (("minhash_banded_32_8",), ()),

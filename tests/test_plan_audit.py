@@ -539,3 +539,22 @@ def test_local_table_plans_local_relation(spark):
     fplan = _plan(fx)
     assert "ExistingRDD" not in fplan, fplan[:2000]
     assert "LocalTableScan" in fplan, fplan[:2000]
+
+
+def test_q7_q9_fact_join_broadcasts_below_threshold(spark, sf_dir):
+    """r10 (_fact_join_hint): below the broadcast threshold the one
+    fact⋈fact join in Q7/Q9 must ride a broadcast — q7's pre-cut
+    orders side is a join output whose stats-free size estimate
+    otherwise lands an SMJ on a tiny side (and an unconditional
+    SHUFFLE_HASH hint would outrank the free broadcast, the r10 sf0.1
+    regression). Above the threshold the same helper swaps in
+    SHUFFLE_HASH (asserted by the sf1 A/B in the registry docstring,
+    not here — the test corpus is all sub-threshold)."""
+    import __spark_entry__ as entrymod
+
+    for name in ("tpch_q7_volume_shipping", "tpch_q9_product_profit"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan, f"{name}\n{plan[:1500]}"
+        assert "ShuffledHashJoin" not in plan, f"{name}\n{plan[:1500]}"
+        assert "BroadcastHashJoin" in plan, f"{name}\n{plan[:1500]}"
