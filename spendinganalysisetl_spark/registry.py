@@ -6150,7 +6150,16 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is one nested-transform projection (no position-table
     self-join); the unigram side re-aggregates the session-shared
     doc-term index (_doc_terms — a cached vocab-sized table, zero
-    extra corpus scans)."""
+    extra corpus scans).
+
+    sf1 floor note (r10): 2.11 s vs the 0.46 s DuckDB twin (4.6x).
+    The shape is already minimal — ONE tokenize, a window-bounded pair
+    explode (<=3 rows per token occurrence), map-side-combined
+    aggregation, broadcast scalar totals — and the 100x scale probe
+    reads 8.14x wall at 100x data (SCALE_PROBE_100X.json), so the gap
+    is the multi-exchange distributed job floor against a
+    single-process hash aggregate, the doc_cross_entropy precedent.
+    """
     from spendinganalysisetl_spark.operators.trainprep import skipgram_pmi
 
     return skipgram_pmi(
