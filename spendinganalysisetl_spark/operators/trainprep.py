@@ -1223,3 +1223,129 @@ def dsir_scores(
     if not ordered:
         return out
     return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+def unimax_language_budgets(
+    documents: DataFrame,
+    budget_num: int = 3,
+    budget_den: int = 2,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax language-budget allocation (public method: Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): given a total token budget
+    ``B`` and an epoch cap ``E``, allocate tokens to languages by
+    WATER-FILLING — every language gets the uniform share of the
+    remaining budget unless that would repeat its corpus more than
+    ``E`` times, in which case it caps at ``E·N_l`` and frees budget
+    for the rest. The third member of the mixture family: uniform
+    target (``domain_mix_weights``) and temperature flattening
+    (``temperature_mix_weights``) reweight SHARES; UniMax allocates an
+    absolute budget under a repetition bound.
+
+    ``B = floor(total_tokens · budget_num / budget_den)`` keeps the
+    budget data-derived (so the same query is meaningful at every SF)
+    and INTEGER — the whole allocation is exact int64 arithmetic, so
+    the DuckDB twin reproduces it bit-for-bit with no rounding fence
+    needed. The sequential water-filling loop has a closed form when
+    languages are processed in ascending ``E·N_l`` order: the capped
+    set is exactly the prefix where ``t_i·(k−i+1) + Σ_{j<i} t_j ≤ B``
+    (standard water-filling: once a language is rich enough to take
+    the uniform share, so is every richer one), and every uncapped
+    language splits the post-cap remainder evenly — floor division,
+    with the ``rem`` leftover tokens granted one each to the first
+    ``rem`` uncapped languages in the same canonical order (exact
+    budget conservation, deterministically).
+
+    Scale shape: ONE map-side-combined grouped aggregation over the
+    corpus; every window after it runs over the |languages| aggregated
+    rows (the domain_mix convention — a handful of rows through one
+    partition, not corpus data). Columns: per-language tokens, the
+    epoch cap, capped flag, allocated tokens, and the realized
+    repetition rate in exact basis points."""
+    per_lang = (
+        _spread(documents.select("lang", "text"))
+        .select("lang", F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    t = (F.lit(int(max_epochs)) * F.col("n_tokens")).cast("long")
+    wall = Window.partitionBy()
+    order = Window.orderBy(F.col("cap_tokens").asc(), F.col("lang").asc())
+    base = per_lang.withColumn("cap_tokens", t).withColumn(
+        "budget",
+        F.floor(
+            F.sum("n_tokens").over(wall)
+            * F.lit(int(budget_num))
+            / F.lit(int(budget_den))
+        ).cast("long"),
+    )
+    ranked = (
+        base.withColumn("idx", F.row_number().over(order))
+        .withColumn("k", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "cum_excl",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "capped",
+            (
+                F.col("cap_tokens") * (F.col("k") - F.col("idx") + 1)
+                + F.col("cum_excl")
+                <= F.col("budget")
+            ).cast("int"),
+        )
+    )
+    shared = (
+        ranked.withColumn(
+            "capped_sum",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("capped") == 1, F.col("cap_tokens"))
+                ).over(wall),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_uncapped",
+            (F.col("k") - F.sum("capped").over(wall)).cast("long"),
+        )
+        .withColumn(
+            "rank_u",
+            F.sum(1 - F.col("capped")).over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    leftover = F.col("budget") - F.col("capped_sum")
+    alloc = F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(
+        F.floor(leftover / F.col("n_uncapped")).cast("long")
+        + (
+            F.col("rank_u") <= leftover % F.col("n_uncapped")
+        ).cast("long")
+    )
+    return (
+        shared.select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "cap_tokens",
+            "budget",
+            "capped",
+            alloc.cast("long").alias("alloc_tokens"),
+            # repetition rate in exact basis points: 10000 = one epoch
+            F.floor(
+                alloc * F.lit(10000) / F.col("n_tokens")
+            ).cast("long").alias("epochs_bp"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )

@@ -6113,6 +6113,82 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unimax_language_budgets",
+    """
+WITH tok AS (
+  SELECT lang, len(regexp_extract_all(lower(text), '\\S+', 0)) AS n_tok
+  FROM documents
+), pl AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY lang
+), b AS (
+  SELECT CAST(floor(CAST(sum(n_tokens) AS BIGINT) * 3 / 2) AS BIGINT) AS budget
+  FROM pl
+), r AS (
+  SELECT pl.lang, pl.n_docs, pl.n_tokens,
+         CAST(2 * pl.n_tokens AS BIGINT) AS cap_tokens, b.budget,
+         row_number() OVER w AS idx,
+         CAST(count(*) OVER () AS BIGINT) AS k,
+         CAST(COALESCE(sum(2 * pl.n_tokens) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_excl
+  FROM pl CROSS JOIN b
+  WINDOW w AS (ORDER BY 2 * pl.n_tokens ASC, pl.lang ASC)
+), c AS (
+  SELECT *, CASE WHEN cap_tokens * (k - idx + 1) + cum_excl <= budget
+                 THEN 1 ELSE 0 END AS capped
+  FROM r
+), s AS (
+  SELECT *,
+         CAST(COALESCE(sum(CASE WHEN capped = 1 THEN cap_tokens END)
+                       OVER (), 0) AS BIGINT) AS capped_sum,
+         CAST(k - sum(capped) OVER () AS BIGINT) AS n_uncapped,
+         CAST(sum(1 - capped) OVER (
+           ORDER BY cap_tokens ASC, lang ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS rank_u
+  FROM c
+), a AS (
+  SELECT *,
+         CAST(CASE WHEN capped = 1 THEN cap_tokens
+              ELSE CAST(floor((budget - capped_sum) / n_uncapped) AS BIGINT)
+                   + (CASE WHEN rank_u <= (budget - capped_sum) % n_uncapped
+                      THEN 1 ELSE 0 END) END AS BIGINT) AS alloc_tokens
+  FROM s
+)
+SELECT lang, n_docs, n_tokens, cap_tokens, budget, CAST(capped AS INT) AS capped,
+       alloc_tokens,
+       CAST(floor(alloc_tokens * 10000 / n_tokens) AS BIGINT) AS epochs_bp
+FROM a ORDER BY lang
+""",
+)
+def q_unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023 — public
+    method): water-filling token budgets under an epoch cap, the
+    absolute-budget member of the mixture family beside uniform-target
+    and temperature-flattened shares. Budget = 1.5x the corpus total
+    (data-derived, so both branches of the water-filling witness at
+    every SF), epoch cap 2. The sequential loop collapses to a closed
+    form over the |languages| aggregated rows — capped set = the
+    ascending-cap prefix where cap·(remaining langs) + already-capped
+    ≤ budget — so the whole allocation is ONE corpus aggregation plus
+    windows over a handful of rows, in exact int64 arithmetic the
+    DuckDB twin reproduces bit-for-bit
+    (operators/trainprep.py:unimax_language_budgets)."""
+    from spendinganalysisetl_spark.operators.trainprep import (
+        unimax_language_budgets,
+    )
+
+    return unimax_language_budgets(
+        load_table(spark, sf_dir, "documents"),
+        budget_num=3,
+        budget_den=2,
+        max_epochs=2,
+    )
+
+
+@register(
     "skipgram_pmi_collocations",
     """
 WITH toks AS (
@@ -8282,10 +8358,13 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # (a) new-in-r10 oracle: DSIR importance resampling (hashed-unigram
+    # (a) new-in-r10 oracles: DSIR importance resampling (hashed-unigram
     #     likelihood-ratio data selection — counts, weights, and scores
-    #     recomputed independently by the SQL twin):
+    #     recomputed independently by the SQL twin) and UniMax
+    #     water-filling language budgets (exact-int64 closed form,
+    #     bit-for-bit twin):
     "dsir_importance_weights",
+    "unimax_language_budgets",
     # (b) code-changed in r10 — re-earn the driver row:
     #     - skipgram/bigram PMI: corpus totals B/N rewritten from
     #       unpartitioned windows to broadcast scalar aggregates
@@ -8353,7 +8432,8 @@ _CHECK_FIRST: list[str] = [
     "report_fi_summary",
     "ngram_jaccard_pairs",
     "join_revenue_by_nation",
-    "rollup_returnflag_linestatus",
+    # (rollup_returnflag_linestatus — the last r7 fill — yielded its
+    # slot to unimax_language_budgets; it rejoins the r7 remainder.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -8466,7 +8546,8 @@ _CHECK_LATE: list[str] = [
     # r7-green remainder: the round-7 window minus the 23 rows promoted
     # into the r10 _CHECK_FIRST fill, the four streaming drains and
     # lsh_cluster_fixture (code-changed in r10 -> _CHECK_FIRST) — these
-    # 19 are first in line for the r11 window:
+    # 20 are first in line for the r11 window:
+    "rollup_returnflag_linestatus",  # [r7]
     "setop_union_nations",  # [r7]
     "text_lang_id",  # [r7]
     "bottom5_vendors_ref_compat",  # [r7]

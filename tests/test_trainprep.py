@@ -815,3 +815,76 @@ def test_dsir_weights_memoized_per_session(spark):
     assert len(registry._DSIR_MEMO) == 1
     w2 = registry._dsir_weights(spark, "/root/testdata/sf0.001")
     assert w2 is w1
+
+
+def _unimax_py(counts, budget, E):
+    """Independent sequential water-filling reference (the literal
+    UniMax loop, no closed form): ascending epoch-cap order, each
+    language takes min(uniform share of remaining, E*N), leftover
+    integer tokens go one-each to the first uncapped languages in
+    canonical order."""
+    langs = sorted(counts, key=lambda l: (E * counts[l], l))
+    alloc, b_rem = {}, budget
+    capped = {}
+    for i, l in enumerate(langs):
+        share = b_rem // (len(langs) - i)
+        t = E * counts[l]
+        if t <= share:
+            alloc[l] = t
+            capped[l] = 1
+            b_rem -= t
+        else:
+            # uncapped suffix: equal integer split + remainder one-each
+            suffix = langs[i:]
+            base, rem = divmod(b_rem, len(suffix))
+            for j, u in enumerate(suffix):
+                alloc[u] = base + (1 if j < rem else 0)
+                capped[u] = 0
+            b_rem = 0
+            break
+    return alloc, capped
+
+
+@pytest.mark.parametrize(
+    "counts,num,den,E",
+    [
+        # mixed capped/uncapped with a remainder to distribute
+        ({"aa": 10, "bb": 100, "cc": 1000, "dd": 7}, 3, 2, 2),
+        # everything capped (budget >= sum of caps)
+        ({"aa": 10, "bb": 20}, 10, 1, 2),
+        # nothing capped (tiny budget)
+        ({"aa": 50, "bb": 60, "cc": 70}, 1, 2, 2),
+        # tie on cap_tokens -> lang tiebreak decides the remainder token
+        ({"aa": 30, "bb": 30, "cc": 300}, 3, 2, 2),
+    ],
+)
+def test_unimax_matches_sequential_reference(spark, counts, num, den, E):
+    from spendinganalysisetl_spark.catalog import local_table
+    from spendinganalysisetl_spark.operators.trainprep import (
+        unimax_language_budgets,
+    )
+
+    rows, did = [], 0
+    for lang, n in sorted(counts.items()):
+        rows.append((did, lang, " ".join(["w"] * n)))
+        did += 1
+    df = local_table(spark, rows, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: r
+        for r in unimax_language_budgets(
+            df, budget_num=num, budget_den=den, max_epochs=E
+        ).collect()
+    }
+    budget = sum(counts.values()) * num // den
+    ref_alloc, ref_capped = _unimax_py(counts, budget, E)
+    for lang in counts:
+        assert got[lang]["alloc_tokens"] == ref_alloc[lang], (lang, dict(got[lang].asDict()))
+        assert got[lang]["capped"] == ref_capped[lang], lang
+        assert got[lang]["budget"] == budget
+        assert got[lang]["cap_tokens"] == E * counts[lang]
+    # exact budget conservation unless every language capped out
+    total = sum(ref_alloc.values())
+    if not all(ref_capped.values()):
+        assert total == budget
+    else:
+        assert total == sum(E * n for n in counts.values()) <= budget
