@@ -464,3 +464,77 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
     )
     return ranked.select("doc_id", "rank", "term", "tfidf")
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    documents: DataFrame,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-rule quality gate (public filter set: Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1 — the rule
+    pack MassiveWeb filtered with, since reused by C4-style and
+    FineWeb-style pipelines): explicit PASS/FAIL flags per rule plus
+    the conjunction, the binary-gate complement of ``quality_scores``'
+    continuous composite. Rules implementable on flat text (the
+    line-level bullet/ellipsis rules need line structure the synthetic
+    corpus lacks):
+
+    1. word count in [50, 100000]
+    2. mean word length in [3, 10]
+    3. symbol-to-word ratio ≤ 0.1 for each of '#' and '...'
+    4. ≥ 80% of words contain an alphabetic character
+    5. ≥ 2 distinct stopwords present (default: the Gopher 8-word
+       list; the registered query extends it with 'a' because the
+       synthetic corpus's 31-token vocabulary carries only {the, a}
+       as function words — the rule's SHAPE is under test, the list is
+       a config knob in every production filter stack)
+
+    Every threshold compares via INTEGER CROSS-MULTIPLICATION
+    (``char_sum ≥ 3·n_words`` instead of ``char_sum/n_words ≥ 3``), so
+    the whole report is exact int64 — no float surface, no rounding
+    fence, bit-identical on any engine and under any row order. One
+    projection over one scan; flags are scan-side, so at 100 TB this
+    gate fuses into whatever pass reads the text anyway (or rides an
+    Observation, the observe_expectations pattern)."""
+    lower = F.lower(F.col("text"))
+    toks = ws_tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    char_sum = F.length(F.regexp_replace(lower, r"\s+", "")).cast("long")
+    n_alpha = F.size(
+        F.regexp_extract_all(lower, F.lit(r"\S*[a-z]\S*"), F.lit(0))
+    ).cast("long")
+    n_hash = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), F.lit(0))
+    ).cast("long")
+    n_stop = sum(
+        F.when(lower.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in stopwords
+    ).cast("long")
+    f_words = (n_words >= 50) & (n_words <= 100_000)
+    f_mwl = (char_sum >= 3 * n_words) & (char_sum <= 10 * n_words)
+    f_sym = (10 * n_hash <= n_words) & (10 * n_ellipsis <= n_words)
+    f_alpha = 5 * n_alpha >= 4 * n_words
+    f_stop = n_stop >= 2
+    out = _spread(documents.select("doc_id", "text")).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        char_sum.alias("char_sum"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        f_words.cast("int").alias("flag_word_count"),
+        f_mwl.cast("int").alias("flag_mean_word_len"),
+        f_sym.cast("int").alias("flag_symbol_ratio"),
+        f_alpha.cast("int").alias("flag_alpha_words"),
+        f_stop.cast("int").alias("flag_stopwords"),
+        (f_words & f_mwl & f_sym & f_alpha & f_stop)
+        .cast("int")
+        .alias("gopher_pass"),
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")

@@ -2457,6 +2457,65 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality_flags",
+    """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\\S+', 0)) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS BIGINT) AS char_sum,
+         CAST(len(regexp_extract_all(lower(text), '\\S*[a-z]\\S*', 0)) AS BIGINT) AS n_alpha_words,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.', 0)) AS BIGINT) AS n_ellipsis,
+         CAST((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\ba\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+  FROM documents
+), g AS (
+  SELECT *,
+    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS flag_word_count,
+    CASE WHEN char_sum >= 3 * n_words AND char_sum <= 10 * n_words THEN 1 ELSE 0 END AS flag_mean_word_len,
+    CASE WHEN 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words THEN 1 ELSE 0 END AS flag_symbol_ratio,
+    CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS flag_alpha_words,
+    CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS flag_stopwords
+  FROM f
+)
+SELECT doc_id, n_words, char_sum, n_alpha_words, n_stopwords,
+       CAST(flag_word_count AS INT) AS flag_word_count,
+       CAST(flag_mean_word_len AS INT) AS flag_mean_word_len,
+       CAST(flag_symbol_ratio AS INT) AS flag_symbol_ratio,
+       CAST(flag_alpha_words AS INT) AS flag_alpha_words,
+       CAST(flag_stopwords AS INT) AS flag_stopwords,
+       CAST(flag_word_count * flag_mean_word_len * flag_symbol_ratio
+            * flag_alpha_words * flag_stopwords AS INT) AS gopher_pass
+FROM g ORDER BY doc_id
+""",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021, Appendix A1.1 —
+    public filter set): per-document PASS/FAIL flags for the word-
+    count, mean-word-length, symbol-ratio, alpha-word, and stopword
+    rules plus their conjunction — the binary complement of
+    text_quality_scores' continuous composite. Every threshold
+    compares by integer cross-multiplication, so the whole report is
+    exact int64 with zero float surface
+    (operators/textanalysis.py:gopher_quality_flags). The stopword
+    list is the paper's extended with 'a' — the synthetic vocabulary
+    carries only {the, a} as function words, and the rule must
+    witness both outcomes at check scale
+    (tests/test_textanalysis.py::test_gopher_flags_witness_both...)."""
+    from spendinganalysisetl_spark.operators.textanalysis import (
+        gopher_quality_flags,
+    )
+
+    from spendinganalysisetl_spark.operators.textanalysis import (
+        GOPHER_STOPWORDS,
+    )
+
+    return gopher_quality_flags(
+        load_table(spark, sf_dir, "documents"),
+        stopwords=("the", "a") + GOPHER_STOPWORDS[1:7],
+    )
+
+
+@register(
     "text_lang_id",
     """
 WITH hits AS (
@@ -8365,6 +8424,8 @@ _CHECK_FIRST: list[str] = [
     #     bit-for-bit twin):
     "dsir_importance_weights",
     "unimax_language_budgets",
+    # (plus the Gopher-rule binary quality gate — exact-int thresholds):
+    "gopher_quality_flags",
     # (b) code-changed in r10 — re-earn the driver row:
     #     - skipgram/bigram PMI: corpus totals B/N rewritten from
     #       unpartitioned windows to broadcast scalar aggregates
@@ -8431,9 +8492,9 @@ _CHECK_FIRST: list[str] = [
     "asof_join_click_purchase",
     "report_fi_summary",
     "ngram_jaccard_pairs",
-    "join_revenue_by_nation",
-    # (rollup_returnflag_linestatus — the last r7 fill — yielded its
-    # slot to unimax_language_budgets; it rejoins the r7 remainder.)
+    # (rollup_returnflag_linestatus and join_revenue_by_nation — the
+    # last two r7 fills — yielded their slots to unimax_language_budgets
+    # and gopher_quality_flags; they rejoin the r7 remainder.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -8546,8 +8607,9 @@ _CHECK_LATE: list[str] = [
     # r7-green remainder: the round-7 window minus the 23 rows promoted
     # into the r10 _CHECK_FIRST fill, the four streaming drains and
     # lsh_cluster_fixture (code-changed in r10 -> _CHECK_FIRST) — these
-    # 20 are first in line for the r11 window:
+    # 21 are first in line for the r11 window:
     "rollup_returnflag_linestatus",  # [r7]
+    "join_revenue_by_nation",  # [r7]
     "setop_union_nations",  # [r7]
     "text_lang_id",  # [r7]
     "bottom5_vendors_ref_compat",  # [r7]
