@@ -538,3 +538,128 @@ def gopher_quality_flags(
         .alias("gopher_pass"),
     )
     return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+def stupid_backoff_ce(
+    documents: DataFrame,
+    doc_terms: DataFrame | None = None,
+    train_mod: int = 20,
+    alpha_num: int = 2,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """Per-document bigram cross-entropy under a Stupid Backoff LM
+    (public method: Brants et al. 2007, "Large Language Models in
+    Machine Translation" — the count-ratio LM that made web-scale
+    n-gram scoring tractable by replacing discounted smoothing with a
+    fixed backoff factor α=0.4): the bigram step up from
+    ``unigram_cross_entropy``, and the shape of a real perplexity
+    filter. Score for token pair (a,b):
+
+        S(b|a) = c_ab/c_a                 if the TRAIN corpus saw (a,b)
+               = α · c_b/N                else if it saw b
+               = α² · 1/V                 else (uniform floor — keeps
+                                          log finite on unseen tokens)
+
+    The LM trains on the SMALL ``doc_id % train_mod == 0`` slice and
+    SCORES EVERY document — the CCNet shape exactly (a compact trusted
+    corpus, e.g. Wikipedia, models the language; the whole crawl gets
+    scored against it), and with a 5% seed the out-of-train documents
+    genuinely witness the unseen-bigram backoff (~20% of scored pair
+    types at the check scales; the uniform floor is pinned by the
+    planted-corpus differential test — the synthetic vocabulary is
+    small enough that every token appears in any slice). Output per doc with ≥2
+    tokens: scored-pair count and
+    ``bigram_ce = -(1/n_pairs) Σ c_d(a,b)·log2(S(b|a))``, rounded 4dp
+    (the doc_cross_entropy log-ulp convention; α and the ratios are
+    exact small rationals so both engines compute identical doubles
+    into the log).
+
+    Scale shape: ONE tokenize → pair projection (nested transform, no
+    position self-join) → ONE corpus-pair exchange into the per-doc
+    pair table ``dp``; the train-side bigram counts RE-AGGREGATE dp
+    (map-side combined, pair-type-sized — never a second corpus pass),
+    unigram counts re-aggregate the shared doc-term index when given,
+    corpus totals are scalar broadcasts (never unpartitioned windows),
+    and the backoff CASE rides the join projection. Two corpus-sized
+    exchanges total (dp build + dp⋈bigram join); everything else is
+    type-sized."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    toks = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    cnt = F.size("toks")
+    pair_structs = F.when(
+        cnt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), cnt - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    dp = (
+        toks.select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_train = (F.col("doc_id") % train_mod) == 0
+    cb = (
+        dp.filter(is_train)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c_ab"))
+    )
+    if doc_terms is not None:
+        terms = doc_terms.select("doc_id", "term", "c")
+    else:
+        terms = (
+            _spread(documents.select("doc_id", "text"))
+            .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    uni = (
+        terms.filter(is_train)
+        .groupBy("term")
+        .agg(F.sum("c").cast("long").alias("c_u"))
+    )
+    tot = uni.agg(
+        F.sum("c_u").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("v_train"),
+    )
+    ca = uni.select(F.col("term").alias("w1"), F.col("c_u").alias("c_a"))
+    cbu = uni.select(F.col("term").alias("w2"), F.col("c_u").alias("c_b"))
+    alpha = F.lit(alpha_num).cast("double") / F.lit(alpha_den)
+    joined = (
+        dp.join(cb, ["w1", "w2"], "left")
+        .join(ca, "w1", "left")
+        .join(cbu, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    s = (
+        F.when(
+            F.col("c_ab").isNotNull(),
+            F.col("c_ab").cast("double") / F.col("c_a"),
+        )
+        .when(
+            F.col("c_b").isNotNull(),
+            alpha * F.col("c_b").cast("double") / F.col("n_train"),
+        )
+        .otherwise(alpha * alpha / F.col("v_train"))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_pairs"),
+            (
+                F.round(
+                    -F.sum(F.col("c") * F.log2(s)) / F.sum("c"), 4
+                )
+                + F.lit(0.0)
+            ).alias("bigram_ce"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -6759,6 +6759,71 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stupid_backoff_bigram_ce",
+    f"""
+WITH {_DOC_TERM_CTE},
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+', 0) AS t FROM documents
+), pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM tk WHERE len(t) >= 2) u
+), dp AS (
+  SELECT doc_id, w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2, 3
+), cb AS (
+  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c_ab
+  FROM dp WHERE doc_id % 20 = 0 GROUP BY 1, 2
+), uni AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS c_u
+  FROM dc WHERE doc_id % 20 = 0 GROUP BY term
+), tot AS (
+  SELECT CAST(sum(c_u) AS BIGINT) AS n_train,
+         CAST(count(*) AS BIGINT) AS v_train
+  FROM uni
+), j AS (
+  SELECT dp.doc_id, dp.c,
+         CASE WHEN cb.c_ab IS NOT NULL
+                THEN CAST(cb.c_ab AS DOUBLE) / a.c_u
+              WHEN b.c_u IS NOT NULL
+                THEN (CAST(2 AS DOUBLE) / 5) * b.c_u / tot.n_train
+              ELSE (CAST(2 AS DOUBLE) / 5) * (CAST(2 AS DOUBLE) / 5)
+                   / tot.v_train END AS s
+  FROM dp
+  LEFT JOIN cb ON dp.w1 = cb.w1 AND dp.w2 = cb.w2
+  LEFT JOIN uni a ON dp.w1 = a.term
+  LEFT JOIN uni b ON dp.w2 = b.term
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pairs,
+       round(-sum(c * log2(s)) / sum(c), 4) + 0.0 AS bigram_ce
+FROM j GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_stupid_backoff_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under a Stupid Backoff LM
+    (Brants et al. 2007 — public method): the bigram step up from
+    doc_cross_entropy and the shape of a real perplexity filter. The
+    LM trains on the SMALL doc_id % 20 == 0 slice and scores EVERY
+    document — the CCNet arrangement (a compact trusted corpus models
+    the language, the whole stream is scored against it), which makes
+    ~20% of scored pair types at check scale genuinely take the
+    unseen-bigram alpha backoff; the uniform alpha^2/V floor is pinned
+    by the planted-corpus differential (the synthetic vocabulary is
+    too small to leave any token unseen). One corpus-pair exchange + one
+    dp-bigram join; unigram sides re-aggregate the session-shared
+    doc-term index; totals are scalar broadcasts
+    (operators/textanalysis.py:stupid_backoff_ce)."""
+    from spendinganalysisetl_spark.operators.textanalysis import (
+        stupid_backoff_ce,
+    )
+
+    return stupid_backoff_ce(
+        load_table(spark, sf_dir, "documents"),
+        doc_terms=_doc_terms(spark, sf_dir),
+    )
+
+
+@register(
     "tfidf_top_terms",
     f"""
 WITH {_DOC_TERM_CTE},
@@ -8424,8 +8489,11 @@ _CHECK_FIRST: list[str] = [
     #     bit-for-bit twin):
     "dsir_importance_weights",
     "unimax_language_budgets",
-    # (plus the Gopher-rule binary quality gate — exact-int thresholds):
+    # (plus the Gopher-rule binary quality gate — exact-int thresholds —
+    # and the Stupid Backoff bigram LM cross-entropy, the CCNet-shaped
+    # perplexity filter):
     "gopher_quality_flags",
+    "stupid_backoff_bigram_ce",
     # (b) code-changed in r10 — re-earn the driver row:
     #     - skipgram/bigram PMI: corpus totals B/N rewritten from
     #       unpartitioned windows to broadcast scalar aggregates
@@ -8491,10 +8559,10 @@ _CHECK_FIRST: list[str] = [
     "text_quality_scores",
     "asof_join_click_purchase",
     "report_fi_summary",
-    "ngram_jaccard_pairs",
-    # (rollup_returnflag_linestatus and join_revenue_by_nation — the
-    # last two r7 fills — yielded their slots to unimax_language_budgets
-    # and gopher_quality_flags; they rejoin the r7 remainder.)
+    # (rollup_returnflag_linestatus, join_revenue_by_nation, and
+    # ngram_jaccard_pairs — the last three r7 fills — yielded their
+    # slots to unimax_language_budgets, gopher_quality_flags, and
+    # stupid_backoff_bigram_ce; they rejoin the r7 remainder.)
 ]
 
 _CHECK_LATE: list[str] = [
@@ -8607,9 +8675,10 @@ _CHECK_LATE: list[str] = [
     # r7-green remainder: the round-7 window minus the 23 rows promoted
     # into the r10 _CHECK_FIRST fill, the four streaming drains and
     # lsh_cluster_fixture (code-changed in r10 -> _CHECK_FIRST) — these
-    # 21 are first in line for the r11 window:
+    # 22 are first in line for the r11 window:
     "rollup_returnflag_linestatus",  # [r7]
     "join_revenue_by_nation",  # [r7]
+    "ngram_jaccard_pairs",  # [r7]
     "setop_union_nations",  # [r7]
     "text_lang_id",  # [r7]
     "bottom5_vendors_ref_compat",  # [r7]
