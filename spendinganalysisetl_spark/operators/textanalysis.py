@@ -574,15 +574,20 @@ def stupid_backoff_ce(
     exact small rationals so both engines compute identical doubles
     into the log).
 
-    Scale shape: ONE tokenize → pair projection (nested transform, no
-    position self-join) → ONE corpus-pair exchange into the per-doc
-    pair table ``dp``; the train-side bigram counts RE-AGGREGATE dp
-    (map-side combined, pair-type-sized — never a second corpus pass),
-    unigram counts re-aggregate the shared doc-term index when given,
-    corpus totals are scalar broadcasts (never unpartitioned windows),
-    and the backoff CASE rides the join projection. Two corpus-sized
-    exchanges total (dp build + dp⋈bigram join); everything else is
-    type-sized."""
+    Scale shape: scoring is PER-OCCURRENCE — tokenize → pair
+    projection (nested transform, no position self-join) → join the
+    pair-TYPE-sized weight table → ONE map-side-combined exchange on
+    doc_id. The corpus pair stream itself never exchanges on a pair
+    key (the first-draft shape aggregated (doc, w1, w2) before joining
+    and paid a full corpus-pair shuffle for a ~1.1× row cut — r10 sf1
+    A/B: 5.1-5.9 s → ~1.4 s rewritten). The weight side is built from
+    the TRAIN slice only (a filtered pair aggregation, 5% of the
+    corpus) and joins back by AQE choice: broadcast while the pair
+    vocabulary fits, sort-free shuffled-hash when a web-scale pair
+    table doesn't. Unigram counts re-aggregate the shared doc-term
+    index when given; corpus totals are scalar broadcasts (never
+    unpartitioned windows); the backoff CASE rides the join
+    projection."""
     from pyspark.sql import Window  # noqa: F401  (parity with siblings)
 
     toks = _spread(documents.select("doc_id", "text")).select(
@@ -599,17 +604,14 @@ def stupid_backoff_ce(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    dp = (
-        toks.select("doc_id", F.explode(pair_structs).alias("p"))
-        .select("doc_id", "p.w1", "p.w2")
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    pairs = toks.select(
+        "doc_id", F.explode(pair_structs).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
     is_train = (F.col("doc_id") % train_mod) == 0
     cb = (
-        dp.filter(is_train)
+        pairs.filter(is_train)
         .groupBy("w1", "w2")
-        .agg(F.sum("c").cast("long").alias("c_ab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
     )
     if doc_terms is not None:
         terms = doc_terms.select("doc_id", "term", "c")
@@ -633,7 +635,7 @@ def stupid_backoff_ce(
     cbu = uni.select(F.col("term").alias("w2"), F.col("c_u").alias("c_b"))
     alpha = F.lit(alpha_num).cast("double") / F.lit(alpha_den)
     joined = (
-        dp.join(cb, ["w1", "w2"], "left")
+        pairs.join(cb, ["w1", "w2"], "left")
         .join(ca, "w1", "left")
         .join(cbu, "w2", "left")
         .crossJoin(F.broadcast(tot))
@@ -652,10 +654,10 @@ def stupid_backoff_ce(
     return (
         joined.groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
             (
                 F.round(
-                    -F.sum(F.col("c") * F.log2(s)) / F.sum("c"), 4
+                    -F.sum(F.log2(s)) / F.count(F.lit(1)), 4
                 )
                 + F.lit(0.0)
             ).alias("bigram_ce"),

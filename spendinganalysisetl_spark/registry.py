@@ -6234,7 +6234,14 @@ def q_unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ budget — so the whole allocation is ONE corpus aggregation plus
     windows over a handful of rows, in exact int64 arithmetic the
     DuckDB twin reproduces bit-for-bit
-    (operators/trainprep.py:unimax_language_budgets)."""
+    (operators/trainprep.py:unimax_language_budgets).
+
+    sf1 bench note (r10): ~1.0 s steady vs domain_mix_weights' 0.6 s
+    on the identical corpus stage — the delta is the chained 5-row
+    window stages' scheduling floor (six Window nodes over the
+    |languages| rows, each an AQE stage at sf1), priced against a
+    0.12 s single-process twin. Absolute sits under the weak bar; the
+    5-row windows are the documented domain_mix convention."""
     from spendinganalysisetl_spark.operators.trainprep import (
         unimax_language_budgets,
     )
@@ -6809,10 +6816,19 @@ def q_stupid_backoff_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20% of scored pair types at check scale genuinely take the
     unseen-bigram alpha backoff; the uniform alpha^2/V floor is pinned
     by the planted-corpus differential (the synthetic vocabulary is
-    too small to leave any token unseen). One corpus-pair exchange + one
-    dp-bigram join; unigram sides re-aggregate the session-shared
-    doc-term index; totals are scalar broadcasts
-    (operators/textanalysis.py:stupid_backoff_ce)."""
+    too small to leave any token unseen). Scoring is per-occurrence:
+    the exploded pair stream joins the pair-TYPE-sized weight side and
+    exchanges ONCE on doc_id (map-side combined); unigram sides
+    re-aggregate the session-shared doc-term index; totals are scalar
+    broadcasts (operators/textanalysis.py:stupid_backoff_ce).
+
+    sf1 bench note (r10): the first-draft shape aggregated
+    (doc, w1, w2) before joining — a full corpus-pair shuffle for a
+    ~1.1x row cut — and read 5.1-5.9 s; the shipped per-occurrence
+    form reads 2.6-2.9 s steady vs the 0.95 s DuckDB twin. The
+    residual ~2.8x is ~30M exploded pairs driven through one corpus
+    scan + one doc-key exchange against a single-process hash lookup
+    — the skipgram/doc_cross_entropy floor class."""
     from spendinganalysisetl_spark.operators.textanalysis import (
         stupid_backoff_ce,
     )
