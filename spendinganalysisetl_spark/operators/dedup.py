@@ -1010,3 +1010,152 @@ def fuzzy_pairs_levenshtein(
         .repartition(1)
         .sortWithinPartitions("id_a", "id_b")
     )
+
+
+def line_boilerplate_stats(
+    documents: DataFrame,
+    line_len: int = 10,
+    n_hashes: int = 8,
+    bands: int = 2,
+    gram: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Line-level near-dedup in the RefinedWeb/CCNet line-dedup shape
+    (public methods: Penedo et al. 2023 §3.3 exact-substring/line
+    dedup; Wenzek et al. 2019 §2 per-line dedup before LM filtering):
+    split every document into pseudo-lines (consecutive ``line_len``-
+    token windows — the synthetic corpus carries no newlines, so the
+    fixed-width window stands in for physical lines; a real corpus
+    would split on '\\n' in the same projection), flag lines whose
+    near-duplicates span ``>= min_docs`` distinct documents
+    (boilerplate: headers, footers, navigation chrome), and emit the
+    per-document boilerplate-line fraction a CCNet-style cleaner would
+    use to drop or trim the document.
+
+    Near-duplicate detection reuses the banded-MinHash machinery at
+    LINE granularity over the portable md5-fold hash family
+    (``functions.text.hex_fold``, the Kirsch-Mitzenmacher family the
+    oracle reproduces bit-for-bit): per DISTINCT line, word
+    ``gram``-shingles -> ``n_hashes`` minhashes -> ``bands`` band keys;
+    a line is boilerplate iff ANY of its band buckets gathers
+    ``min_docs`` distinct documents. Exact duplicate lines share every
+    band by construction, so CCNet's exact line-hash dedup is the
+    degenerate case; the band semantics add RefinedWeb's near-match
+    tolerance (an LSH over-approximation, documented rather than
+    chased with a pair-verify — boilerplate flagging is a recall
+    filter, not a join).
+
+    Scale shape: NO pair join anywhere — O(distinct lines x bands)
+    bucket rows, so a bucket shared by a million boilerplate copies
+    costs one aggregation row, not 10^12 candidate pairs (the failure
+    mode that rules out pairwise line comparison at 100 TB). Exchanges:
+    the distinct-line collapse (keyed on the line; occurrence count
+    >> distinct count for boilerplate-heavy crawls), the signature
+    groupBy, the bucket-support aggregation (band key), and the final
+    doc_id rollup. The boilerplate-line set is the flagged vocabulary
+    — typically tiny; the flag join stays a key join so the plan
+    survives even when it is not.
+
+    Differential: tests/test_dedup_similarity.py replicates the full
+    pipeline in pure Python (hashlib.md5) on a planted corpus;
+    registry oracle ``line_boilerplate_minhash`` reproduces it in
+    DuckDB SQL at the driver's check scales.
+    """
+    from spendinganalysisetl_spark.functions.text import (
+        hex_fold,
+        shingles_of_tokens,
+    )
+
+    assert n_hashes <= 8, "portable family: h1 + i*h2 overflows beyond i=7"
+    rows_per_band = n_hashes // bands
+    toks = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    cnt = F.size("toks")
+    starts = F.when(
+        cnt >= 1, F.sequence(F.lit(1), cnt, F.lit(line_len))
+    ).otherwise(F.array().cast("array<int>"))
+    dl = (
+        toks.select(
+            "doc_id", "toks", F.posexplode(starts).alias("line_idx", "s")
+        )
+        .select(
+            "doc_id",
+            "line_idx",
+            F.concat_ws(" ", F.slice("toks", F.col("s"), line_len)).alias(
+                "line"
+            ),
+        )
+        .cache()  # reused: bucket support + final per-doc rollup
+    )
+    dist = dl.select("line").distinct()
+    sh = dist.select(
+        "line",
+        shingles_of_tokens(
+            F.split(F.col("line"), " "), gram, _inline=True
+        ).alias("sh"),
+    )
+    ex = sh.select("line", F.explode("sh").alias("g"))
+    # md5 once, both folds in their own projection (hex_fold contract:
+    # the 14-op fold chains appear once in the plan each).
+    hm = ex.select("line", F.md5("g").alias("hx"))
+    hh = hm.select(
+        "line",
+        hex_fold(F.col("hx"), 1).alias("h1"),
+        hex_fold(F.col("hx"), 15).alias("h2"),
+    )
+    sig = hh.groupBy("line").agg(
+        *[
+            F.expr(f"min(h1 + CAST({i} AS BIGINT) * h2) AS m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    line_bands = sig.select(
+        "line",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"m{b * rows_per_band + r}").alias(f"k{r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    ).cache()  # reused: bucket support + boiler-line lookup
+    support = (
+        dl.select("doc_id", "line")
+        .join(line_bands, "line")
+        .groupBy("band", "band_key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    boiler = (
+        line_bands.join(support, ["band", "band_key"])
+        .select("line")
+        .distinct()
+        .withColumn("is_boiler", F.lit(1))
+    )
+    return (
+        dl.join(boiler, "line", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("long")
+            .alias("boiler_lines"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "boiler_lines",
+            (
+                F.col("boiler_lines").cast("double") / F.col("n_lines")
+            ).alias("boiler_frac"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

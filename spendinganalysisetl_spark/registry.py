@@ -117,6 +117,17 @@ def _stream_session(spark: SparkSession, shuffle_partitions: int) -> SparkSessio
         hit.conf.set(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
+        # newSession() inherits only builder-time SparkConf, NOT the
+        # caller's runtime conf.set state (r10 ADVICE #3). Copy the
+        # load-bearing runtime confs the drains depend on — the drains'
+        # date_format/window math reads the session time zone, and a
+        # driver that pinned its own session to UTC at runtime would
+        # otherwise silently diverge inside the child.
+        for conf_key in ("spark.sql.session.timeZone",):
+            try:
+                hit.conf.set(conf_key, spark.conf.get(conf_key))
+            except Exception:
+                pass
     return hit
 
 
@@ -146,6 +157,13 @@ def _fact_join_hint(
     The footprint check reads file metadata only (compressed bytes, a
     conservative under-estimate of in-memory size, so the crossover
     errs toward the shuffle arm only after broadcast is truly gone).
+    Known approximation (r10 ADVICE #4): the gate reads the FULL
+    table's footprint while the hinted side is the pre-cut join
+    output (~2/25 of orders for q7), so near the crossover it can
+    pick SHUFFLE_HASH where broadcasting the cut side would still
+    win; the measured A/Bs confirm the chosen arms are right at both
+    sf0.1 and sf1, and the error direction only ever costs the
+    sort-skip delta, never an OOM-broadcast.
     This is the decision a CBO makes from table stats; expressed
     per-query because the engine deliberately runs stats-free
     (SURVEY §4)."""
@@ -2497,10 +2515,18 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares by integer cross-multiplication, so the whole report is
     exact int64 with zero float surface
     (operators/textanalysis.py:gopher_quality_flags). The stopword
-    list is the paper's extended with 'a' — the synthetic vocabulary
-    carries only {the, a} as function words, and the rule must
-    witness both outcomes at check scale
-    (tests/test_textanalysis.py::test_gopher_flags_witness_both...)."""
+    list is the paper's 8-word list with 'with' swapped out for 'a'
+    (("the","a") + GOPHER_STOPWORDS[1:7] keeps be/to/of/and/that/have
+    and drops 'with') — the synthetic vocabulary carries only
+    {the, a} as function words, and the rule must witness both
+    outcomes at check scale
+    (tests/test_textanalysis.py::test_gopher_flags_witness_both...).
+
+    Perf floor (BENCH_AB_r10.json): 0.95 s at sf1 vs a ~0.41 s DuckDB
+    twin (2.3x ratio but under the 1.4 s absolute bar) — the query is
+    a single pure scan-side projection with integer cross-multiplied
+    thresholds; there is no join/shuffle/window to remove, so the
+    residual is Spark's fixed per-action cost. Accepted floor."""
     from spendinganalysisetl_spark.operators.textanalysis import (
         gopher_quality_flags,
     )
@@ -4063,6 +4089,94 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs_portable
 
     return minhash_lsh_pairs_portable(load_table(spark, sf_dir, "documents"))
+
+
+def _line_boiler_sql(
+    line_len: int = 10,
+    n_hashes: int = 8,
+    bands: int = 2,
+    gram: int = 3,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB twin of operators.dedup.line_boilerplate_stats — the
+    full line→word-gram→md5-fold-minhash→band→bucket-support pipeline
+    in SQL (bit-for-bit portable hash family)."""
+    rpb = n_hashes // bands
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT line, {b} AS band, {keys} FROM sigs".format(
+            b=b,
+            keys=", ".join(f"m{b * rpb + r} AS k{r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    bandkey = ", ".join(f"k{r}" for r in range(rpb))
+    mins = ", ".join(f"min(h1 + {i} * h2) AS m{i}" for i in range(n_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+', 0) AS t FROM documents
+), nn AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
+), st AS (
+  SELECT doc_id, t, generate_series(1, n, {line_len}) AS starts FROM nn
+), ex AS (
+  SELECT doc_id, generate_subscripts(starts, 1) - 1 AS line_idx,
+         unnest(starts) AS s, t
+  FROM st
+), dl AS (
+  SELECT doc_id, line_idx,
+         array_to_string(list_slice(t, s, s + {line_len - 1}), ' ') AS line
+  FROM ex
+), dist AS (
+  SELECT DISTINCT line FROM dl
+), dtok AS (
+  SELECT line, string_split(line, ' ') AS lt FROM dist
+), shex AS (
+  SELECT line,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(lt) - {gram - 1}, 1) + 1),
+           i -> array_to_string(list_slice(lt, i, i + {gram - 1}), ' ')
+         ))) AS g
+  FROM dtok
+), hh AS (
+  SELECT line, {hex_fold_sql('md5(g)', 1)} AS h1,
+               {hex_fold_sql('md5(g)', 15)} AS h2
+  FROM shex
+), sigs AS (
+  SELECT line, {mins} FROM hh GROUP BY line
+), lb AS (
+  {band_rows}
+), buckets AS (
+  SELECT band, {bandkey}, count(DISTINCT doc_id) AS n_docs
+  FROM dl JOIN lb USING (line) GROUP BY band, {bandkey}
+), boiler AS (
+  SELECT DISTINCT lb.line FROM lb JOIN buckets USING (band, {bandkey})
+  WHERE n_docs >= {min_docs}
+)
+SELECT dl.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(b.line) AS BIGINT) AS boiler_lines,
+       CAST(count(b.line) AS DOUBLE) / count(*) AS boiler_frac
+FROM dl LEFT JOIN boiler b ON dl.line = b.line
+GROUP BY dl.doc_id ORDER BY dl.doc_id
+"""
+
+
+@register("line_boilerplate_minhash", _line_boiler_sql())
+def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level near-dedup (RefinedWeb/CCNet line-dedup shape, new
+    r11): fixed-width pseudo-lines -> banded MinHash at LINE
+    granularity over the portable md5-fold family -> a line is
+    boilerplate iff any band bucket spans >= 3 distinct docs -> per-doc
+    boilerplate-line fraction. No pair join anywhere — O(distinct
+    lines x bands) bucket rows, the property that keeps line dedup
+    feasible at 100 TB (operators/dedup.py:line_boilerplate_stats;
+    pure-Python differential in tests/test_dedup_similarity.py).
+    boiler_frac is a raw small-int division — both engines produce the
+    identical IEEE double, no rounding surface."""
+    from spendinganalysisetl_spark.operators.dedup import (
+        line_boilerplate_stats,
+    )
+
+    return line_boilerplate_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -6822,13 +6936,23 @@ def q_stupid_backoff_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate the session-shared doc-term index; totals are scalar
     broadcasts (operators/textanalysis.py:stupid_backoff_ce).
 
-    sf1 bench note (r10): the first-draft shape aggregated
-    (doc, w1, w2) before joining — a full corpus-pair shuffle for a
-    ~1.1x row cut — and read 5.1-5.9 s; the shipped per-occurrence
-    form reads 2.6-2.9 s steady vs the 0.95 s DuckDB twin. The
-    residual ~2.8x is ~30M exploded pairs driven through one corpus
-    scan + one doc-key exchange against a single-process hash lookup
-    — the skipgram/doc_cross_entropy floor class."""
+    sf1 bench note (r10, closed r11 to the doc_cross_entropy
+    three-shape standard — BENCH_AB_r11.json): the r10 first draft
+    aggregated (doc, w1, w2) before joining — a full corpus-pair
+    shuffle for a ~1.1x row cut — and read 5.1-5.9 s. r11 controlled
+    A/B, one session interleaved best-of-3 at sf1: planner-choice
+    weight joins (r10 shipped) 1.43 s / explicit-broadcast weight
+    joins (shipped) 1.30 s / per-(doc,w1,w2) pre-agg re-timed under
+    the FINAL join order 1.79 s, vs the DuckDB twin 0.69 s — 1.9x,
+    inside the 2x bar (a second same-day pair read 1.24 s vs 0.59 s =
+    2.1x; the residual is ~30M exploded pairs through one corpus scan
+    + one doc_id exchange against a single-process hash lookup — the
+    skipgram/doc_cross_entropy floor class). The broadcast is not
+    AQE's grace anymore: the operator hints it (the CCNet train LM is
+    fixed-size, so the weight side is O(LM) at any corpus scale) and
+    tests/test_plan_audit.py::
+    test_stupid_backoff_pair_stream_exchanges_only_on_doc_id pins
+    zero SMJ/SHJ + a doc_id-only pair-stream exchange."""
     from spendinganalysisetl_spark.operators.textanalysis import (
         stupid_backoff_ce,
     )
@@ -8498,93 +8622,126 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every pytest invocation regardless of window position.
 
 _CHECK_FIRST: list[str] = [
-    # (a) new-in-r10 oracles: DSIR importance resampling (hashed-unigram
-    #     likelihood-ratio data selection — counts, weights, and scores
-    #     recomputed independently by the SQL twin) and UniMax
-    #     water-filling language budgets (exact-int64 closed form,
-    #     bit-for-bit twin):
-    "dsir_importance_weights",
-    "unimax_language_budgets",
-    # (plus the Gopher-rule binary quality gate — exact-int thresholds —
-    # and the Stupid Backoff bigram LM cross-entropy, the CCNet-shaped
-    # perplexity filter):
-    "gopher_quality_flags",
+    # --- r11 window ---
+    # (a) new-in-r11 oracle: line-level near-dedup (RefinedWeb/CCNet
+    #     line-dedup shape — banded MinHash at line granularity,
+    #     portable md5-fold twin, no pair join):
+    "line_boilerplate_minhash",
+    # (b) code-changed in r11 — re-earn the driver row:
+    #     - stupid_backoff_bigram_ce: weight joins now explicitly
+    #       broadcast (weight_join="broadcast"; VERDICT r10 ask #1,
+    #       three-shape sf1 A/B in BENCH_AB_r11.json);
+    #     - the four streaming drains: _stream_session now copies the
+    #       caller's runtime spark.sql.session.timeZone onto the child
+    #       session (ADVICE r10 #3):
     "stupid_backoff_bigram_ce",
-    # (b) code-changed in r10 — re-earn the driver row:
-    #     - skipgram/bigram PMI: corpus totals B/N rewritten from
-    #       unpartitioned windows to broadcast scalar aggregates
-    #       (VERDICT r9 ask #1);
-    #     - dq_check_lineitem: FK anti join no longer distincts the
-    #       parent key (sf1 A/B 1.96->1.01 s, ask #2);
-    #     - tpch_q7: both fact-shuffle inputs pre-cut by their broadcast
-    #       dims + SHUFFLE_HASH (1.20->0.69 s, ask #3);
-    #     - tpch_q9: SHUFFLE_HASH on the orders side (1.50->1.22 s);
-    #     - lsh_cluster_fixture: partition sizing moved from a session-
-    #       global conf write to the operator's num_partitions (ask #8);
-    #     - the four oracle-backed streaming drains: state-partition pin
-    #       moved to a child session (_stream_session, ask #8):
-    "skipgram_pmi_collocations",
-    "bigram_pmi_collocations",
-    "dq_check_lineitem",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "lsh_cluster_fixture",
     "stream_tumbling_5min",
     "stream_session_window",
     "stream_running_distinct_users",
     "stream_dedup_at_least_once",
-    # (c) rotation: the 16-entry [r6] remainder — after the r9 window
-    #     these are the oldest driver rows in the catalog (VERDICT r9
-    #     ask #4: after r10, no green may predate r7); dq_check_lineitem
-    #     and bigram_pmi_collocations from the same r6 block sit in (b):
-    "corr_matrix_lineitem",
-    "similarity_brute_force_topk_blas",
-    "similarity_brute_force_topk",
-    "similarity_filtered_topk",
-    "similarity_pairwise_dot_stats",
-    "vendor_monthly_trend",
-    "monthly_pct_change_inf_ref",
-    "merge_delete_retention",
-    "upsert_time_travel",
-    "upsert_merge_monthly",
-    "multimodal_features",
-    "multimodal_resize_pipeline",
-    "events_transition_matrix",
-    "events_running_distinct_users",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    # (d) rotation fill: the 23 oldest [r7] rows (head of the r7 block;
-    #     the 19-entry r7 remainder is first in line for r11):
-    "text_repetition_scores",
-    "tfidf_top_terms",
-    "vocab_top_terms",
-    "decontaminate_ngram_overlap",
-    "boilerplate_ngram_stats",
-    "sequence_packing_bins",
-    "training_shard_pipeline",
-    "vocab_zipf_fit",
-    "token_drift_psi",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_customer",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q13_customer_distribution",
-    "sql_surface_q1",
-    "category_totals",
-    "monthly_pct_change_last",
-    "corpus_curation",
-    "text_quality_scores",
-    "asof_join_click_purchase",
-    "report_fi_summary",
-    # (rollup_returnflag_linestatus, join_revenue_by_nation, and
-    # ngram_jaccard_pairs — the last three r7 fills — yielded their
-    # slots to unimax_language_budgets, gopher_quality_flags, and
-    # stupid_backoff_bigram_ce; they rejoin the r7 remainder.)
+    # (c) rotation: the 22-entry [r7] remainder — after the r10 window
+    #     these are the oldest driver rows in the catalog (standing
+    #     policy: no green goes permanently unwatched):
+    "rollup_returnflag_linestatus",
+    "join_revenue_by_nation",
+    "ngram_jaccard_pairs",
+    "setop_union_nations",
+    "text_lang_id",
+    "bottom5_vendors_ref_compat",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_volume_part_shippers",
+    "tpch_q22_dormant_rich_customers",
+    "tpch_q4_order_priority_exists",
+    "tpch_q2_min_cost_supplier",
+    "multimodal_frame_sample",
+    "scalar_functions_showcase",
+    "events_tumbling_5min",
+    "events_session_window_native",
+    "monthly_pivot_wide",
+    "monthly_avg_absent_as_zero",
+    "category_totals_ref_roundsum",
+    "top5_vendors",
+    "unique_categories",
+    "vendor_totals",
+    "cube_returnflag_linestatus",
+    # (d) rotation fill: the 22 oldest [r8] rows (head of the r8 block;
+    #     events_value_anomalies leads — its sf0.01 row matches on zero
+    #     rows, the non-vacuous sf0.1 parity is re-recorded per round in
+    #     BENCH_AB_r{N}.json, standing VERDICT ask):
+    "events_value_anomalies",
+    "pq_ann_fixture",
+    "ivf_ann_fixture",
+    "dedup_stats",
+    "join_anti_customers_without_orders",
+    "join_left_order_counts",
+    "join_semi_customers_with_orders",
+    "monthly_category_amounts",
+    "pit_join_orders_scd2",
+    "point_query_order",
+    "proj_order_dates",
+    "report_global_summary",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "text_fingerprints",
+    "text_token_counts",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_revenue",
 ]
 
 _CHECK_LATE: list[str] = [
-    # r9-green: the round-9 window (50/50 green in CORRECTNESS_r09.json)
-    # minus skipgram_pmi_collocations (code-changed in r10 -> _CHECK_FIRST)
-    # — the freshest rows in the catalog:
+    # r10-green: the round-10 window (50/50 green in CORRECTNESS_r10)
+    # minus stupid_backoff_bigram_ce and the four streaming drains
+    # (code-changed in r11 -> _CHECK_FIRST) — the freshest rows:
+    "dsir_importance_weights",  # [r10]
+    "unimax_language_budgets",  # [r10]
+    "gopher_quality_flags",  # [r10]
+    "skipgram_pmi_collocations",  # [r10]
+    "bigram_pmi_collocations",  # [r10]
+    "dq_check_lineitem",  # [r10]
+    "tpch_q7_volume_shipping",  # [r10]
+    "tpch_q9_product_profit",  # [r10]
+    "lsh_cluster_fixture",  # [r10]
+    "corr_matrix_lineitem",  # [r10]
+    "similarity_brute_force_topk_blas",  # [r10]
+    "similarity_brute_force_topk",  # [r10]
+    "similarity_filtered_topk",  # [r10]
+    "similarity_pairwise_dot_stats",  # [r10]
+    "vendor_monthly_trend",  # [r10]
+    "monthly_pct_change_inf_ref",  # [r10]
+    "merge_delete_retention",  # [r10]
+    "upsert_time_travel",  # [r10]
+    "upsert_merge_monthly",  # [r10]
+    "multimodal_features",  # [r10]
+    "multimodal_resize_pipeline",  # [r10]
+    "events_transition_matrix",  # [r10]
+    "events_running_distinct_users",  # [r10]
+    "tpch_q1_pricing_summary",  # [r10]
+    "tpch_q3_shipping_priority",  # [r10]
+    "text_repetition_scores",  # [r10]
+    "tfidf_top_terms",  # [r10]
+    "vocab_top_terms",  # [r10]
+    "decontaminate_ngram_overlap",  # [r10]
+    "boilerplate_ngram_stats",  # [r10]
+    "sequence_packing_bins",  # [r10]
+    "training_shard_pipeline",  # [r10]
+    "vocab_zipf_fit",  # [r10]
+    "token_drift_psi",  # [r10]
+    "tpch_q5_local_supplier_volume",  # [r10]
+    "tpch_q18_large_volume_customer",  # [r10]
+    "tpch_q16_supplier_part_counts",  # [r10]
+    "tpch_q13_customer_distribution",  # [r10]
+    "sql_surface_q1",  # [r10]
+    "category_totals",  # [r10]
+    "monthly_pct_change_last",  # [r10]
+    "corpus_curation",  # [r10]
+    "text_quality_scores",  # [r10]
+    "asof_join_click_purchase",  # [r10]
+    "report_fi_summary",  # [r10]
+    # r9-green: unchanged since their r9 rows:
     "kmeans_fixture",  # [r9]
     "pca_fixture",  # [r9]
     "semdedup_fixture",  # [r9]
@@ -8634,35 +8791,9 @@ _CHECK_LATE: list[str] = [
     "events_retention_cohorts",  # [r9]
     "fuzzy_pairs_levenshtein",  # [r9]
     "length_bucket_profile",  # [r9]
-    # r8-green: the round-8 window minus tpch_q7/tpch_q9 (code-changed in
-    # r10 -> _CHECK_FIRST). NOTE on events_value_anomalies (ADVICE r8 #1):
-    # its r8 driver row matched on ZERO rows at the sf0.01 check scale
-    # (both engines agree the result is empty there); the non-vacuous
-    # evidence is the sf0.1 parity recorded in BENCH_AB_r09.json (979
-    # rows, exact multiset match) plus the seeded brute-force
-    # differential in tests/test_event_analytics.py.
-    "events_value_anomalies",  # [r8]
-    "pq_ann_fixture",  # [r8]
-    "ivf_ann_fixture",  # [r8]
-    "dedup_stats",  # [r8]
-    "join_anti_customers_without_orders",  # [r8]
-    "join_left_order_counts",  # [r8]
-    "join_semi_customers_with_orders",  # [r8]
-    "monthly_category_amounts",  # [r8]
-    "pit_join_orders_scd2",  # [r8]
-    "point_query_order",  # [r8]
-    "proj_order_dates",  # [r8]
-    "report_global_summary",  # [r8]
-    "setop_except_nations",  # [r8]
-    "setop_intersect_nations",  # [r8]
-    "text_fingerprints",  # [r8]
-    "text_token_counts",  # [r8]
-    "tpch_q6_forecast_revenue",  # [r8]
-    "tpch_q8_market_share",  # [r8]
-    "tpch_q10_returned_items",  # [r8]
-    "tpch_q11_important_stock",  # [r8]
-    "tpch_q12_late_shipment_priority",  # [r8]
-    "tpch_q14_promo_revenue",  # [r8]
+    # r8-green remainder: the r8 block minus the 22 rows promoted
+    # into the r11 _CHECK_FIRST fill — these 25 are first in line
+    # for the r12 window:
     "tpch_q15_top_supplier",  # [r8]
     "tpch_q19_disjunctive_revenue",  # [r8]
     "window_monthly_running_total",  # [r8]
@@ -8688,34 +8819,7 @@ _CHECK_LATE: list[str] = [
     "range_join_price_bands",  # [r8]
     "salted_revenue_by_flag",  # [r8]
     "map_roundtrip_category_totals",  # [r8]
-    # r7-green remainder: the round-7 window minus the 23 rows promoted
-    # into the r10 _CHECK_FIRST fill, the four streaming drains and
-    # lsh_cluster_fixture (code-changed in r10 -> _CHECK_FIRST) — these
-    # 22 are first in line for the r11 window:
-    "rollup_returnflag_linestatus",  # [r7]
-    "join_revenue_by_nation",  # [r7]
-    "ngram_jaccard_pairs",  # [r7]
-    "setop_union_nations",  # [r7]
-    "text_lang_id",  # [r7]
-    "bottom5_vendors_ref_compat",  # [r7]
-    "tpch_q17_small_qty_revenue",  # [r7]
-    "tpch_q20_volume_part_shippers",  # [r7]
-    "tpch_q22_dormant_rich_customers",  # [r7]
-    "tpch_q4_order_priority_exists",  # [r7]
-    "tpch_q2_min_cost_supplier",  # [r7]
-    "multimodal_frame_sample",  # [r7]
-    "scalar_functions_showcase",  # [r7]
-    "events_tumbling_5min",  # [r7]
-    "events_session_window_native",  # [r7]
-    "monthly_pivot_wide",  # [r7]
-    "monthly_avg_absent_as_zero",  # [r7]
-    "category_totals_ref_roundsum",  # [r7]
-    "top5_vendors",  # [r7]
-    "unique_categories",  # [r7]
-    "vendor_totals",  # [r7]
-    "cube_returnflag_linestatus",  # [r7]
 ]
-
 
 def ordered_queries() -> dict[str, QueryFn]:
     """Catalog in driver-check order (see block comment above)."""

@@ -652,3 +652,115 @@ def test_clear_sample_cache_invalidates(spark):
     again = sim.corpus_sample(df, n=3)
     assert again is not first  # re-collected after invalidation
     assert [r["vec_id"] for r in again] == [r["vec_id"] for r in first]
+
+
+def _line_boiler_py(
+    docs, line_len=10, n_hashes=8, bands=2, gram=3, min_docs=3
+):
+    """Independent pure-Python replication of line_boilerplate_stats:
+    ASCII \\S+ tokenize (Java \\S is ASCII, not Python's Unicode \\S),
+    fixed-width pseudo-lines, word-gram shingles with the sub-gram
+    whole-line edge, md5-fold Kirsch-Mitzenmacher minhash, banded
+    bucket support over distinct docs."""
+    import hashlib
+    import re
+
+    tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")
+    rpb = n_hashes // bands
+    dl = []  # (doc_id, line)
+    for doc_id, text in docs:
+        ts = tok_re.findall(text.lower())
+        for i in range(0, len(ts), line_len):
+            dl.append((doc_id, " ".join(ts[i : i + line_len])))
+
+    def grams(line):
+        lt = line.split(" ")
+        if len(lt) < gram:
+            return {" ".join(lt)}
+        return {
+            " ".join(lt[i : i + gram]) for i in range(len(lt) - gram + 1)
+        }
+
+    def bandkeys(line):
+        h = []
+        for g in grams(line):
+            hx = hashlib.md5(g.encode()).hexdigest()
+            h.append((int(hx[:14], 16), int(hx[14:28], 16)))
+        sig = [min(h1 + i * h2 for h1, h2 in h) for i in range(n_hashes)]
+        return [
+            (b, tuple(sig[b * rpb + r] for r in range(rpb)))
+            for b in range(bands)
+        ]
+
+    keys = {line: bandkeys(line) for line in {l for _, l in dl}}
+    support = {}
+    for doc_id, line in dl:
+        for bk in keys[line]:
+            support.setdefault(bk, set()).add(doc_id)
+    boiler = {
+        line
+        for line, bks in keys.items()
+        if any(len(support[bk]) >= min_docs for bk in bks)
+    }
+    out = {}
+    for doc_id, line in dl:
+        n, b = out.get(doc_id, (0, 0))
+        out[doc_id] = (n + 1, b + (1 if line in boiler else 0))
+    return {
+        doc_id: (n, b, b / n) for doc_id, (n, b) in sorted(out.items())
+    }
+
+
+def test_line_boilerplate_matches_python_differential(spark):
+    """r11 operator: planted corpus — four docs share one exact
+    10-token line (boilerplate by construction: every band bucket of
+    that line spans 4 >= 3 docs), each doc carries unique filler lines
+    (distinct vocabularies, so filler bucket support stays 1), and a
+    fifth doc holds only unique lines (boiler_lines must be 0). The
+    Spark pipeline must match the independent pure-Python replication
+    row-for-row, and the planted structure must witness both flag
+    outcomes."""
+    from spendinganalysisetl_spark.operators.dedup import (
+        line_boilerplate_stats,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = []
+    for d in range(4):
+        filler = " ".join(f"u{d}w{j}" for j in range(10))
+        docs.append((d, f"{shared} {filler}"))
+    docs.append((4, " ".join(f"solo{j}" for j in range(25))))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["boiler_lines"], r["boiler_frac"])
+        for r in line_boilerplate_stats(sdf).collect()
+    }
+    want = _line_boiler_py(docs)
+    assert got == want
+    # witness both outcomes: the shared line flags in docs 0-3, the
+    # solo doc flags nothing
+    for d in range(4):
+        assert got[d][1] >= 1, got
+    assert got[4] == (3, 0, 0.0), got
+
+
+def test_line_boilerplate_sf_differential(spark, documents):
+    """Same differential over the real sf0.001 corpus (arbitrary data,
+    not a planted shape) — pins the tokenizer/line/gram edge semantics
+    (last partial line, sub-gram lines) against the pure-Python
+    replication at corpus scale."""
+    from spendinganalysisetl_spark.operators.dedup import (
+        line_boilerplate_stats,
+    )
+
+    rows = documents.select("doc_id", "text").collect()
+    docs = [(r["doc_id"], r["text"]) for r in rows]
+    got = {
+        r["doc_id"]: (r["n_lines"], r["boiler_lines"], r["boiler_frac"])
+        for r in line_boilerplate_stats(documents).collect()
+    }
+    assert got == _line_boiler_py(docs)
+    # the real corpus must witness both outcomes at this scale too
+    flags = [b for _, b, _ in got.values()]
+    assert any(b > 0 for b in flags) and any(b == 0 for b in flags)

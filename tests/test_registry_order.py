@@ -78,11 +78,15 @@ def test_no_session_global_conf_writes_in_query_bodies():
     restore was ever missed). Per-query sizing now rides either the
     operators' explicit ``num_partitions`` (LSH clustering) or a child
     session from ``_stream_session`` (streaming state partitions) —
-    the one remaining ``conf.set`` in the module is that helper
-    configuring its OWN child session."""
+    the only conf reads/writes in the module live in that helper,
+    configuring its OWN child session (r11: it also READS the caller's
+    runtime time zone to copy onto the child, ADVICE r10 #3 — a read
+    of the parent, a write only to the child)."""
     import inspect
 
     src = inspect.getsource(registry)
-    assert "spark.conf.set" not in src
-    assert "spark.conf.get" not in src
-    assert src.count("conf.set") == 1  # _stream_session's child pin
+    helper = inspect.getsource(registry._stream_session)
+    assert "conf.set" in helper and "conf.get" in helper
+    outside = src.replace(helper, "")
+    assert "conf.set" not in outside
+    assert "conf.get(" not in outside
