@@ -104,7 +104,14 @@ def _topk_epilogue(scored: DataFrame, k: int) -> DataFrame:
     """The shared top-k tail: rank per query by (cos desc — NULLS LAST,
     Spark's desc default — then candidate id), keep k. Tiny result
     (|queries|·k rows): single-partition sort avoids the
-    range-partitioner sampling pass a global orderBy inserts."""
+    range-partitioner sampling pass a global orderBy inserts.
+    ``repartition(1)``, NOT ``coalesce(1)``: coalesce is a narrow
+    merge of the stage ABOVE the window's exchange, so it would run
+    the per-query ranking window (and its shuffle fetch) in ONE task;
+    the explicit single-partition exchange ships only the ranked
+    |queries|·k rows and keeps the window parallel (r11 interleaved
+    A/B across the family: −0.06..−0.09 s each at sf0.1, and the gap
+    grows with candidate volume — see clustered_cosine_pairs)."""
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("c_id").asc()
     )
@@ -112,7 +119,7 @@ def _topk_epilogue(scored: DataFrame, k: int) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cos_sim", "rnk")
-        .coalesce(1)
+        .repartition(1)
         .sortWithinPartitions("q_id", "rnk")
     )
 
@@ -376,8 +383,10 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cos_sim", "rnk")
         # Tiny result (|queries|·k rows): single-partition sort avoids
-        # the range-partitioner sampling pass a global orderBy inserts.
-        .coalesce(1)
+        # the range-partitioner sampling pass a global orderBy inserts;
+        # repartition(1), not coalesce(1), so the ranking window stays
+        # parallel (see _topk_epilogue).
+        .repartition(1)
         .sortWithinPartitions("q_id", "rnk")
     )
 
@@ -497,8 +506,10 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cos_sim", "rnk")
         # Tiny result (|queries|·k rows): single-partition sort avoids
-        # the range-partitioner sampling pass a global orderBy inserts.
-        .coalesce(1)
+        # the range-partitioner sampling pass a global orderBy inserts;
+        # repartition(1), not coalesce(1), so the ranking window stays
+        # parallel (see _topk_epilogue).
+        .repartition(1)
         .sortWithinPartitions("q_id", "rnk")
     )
 
@@ -577,7 +588,14 @@ def clustered_cosine_pairs(
     return (
         assigned.groupBy("cell")
         .applyInPandas(_pairs, "id_a long, id_b long, cos_sim double")
-        .coalesce(1)
+        # repartition(1), NOT coalesce(1): coalesce would merge the
+        # post-groupBy stage itself, running every cell's GEMM serially
+        # through one task/one Python worker (r11 interleaved A/B at
+        # sf0.1: 1.95 s coalesced vs 0.49 s with the explicit exchange
+        # — the 16 cells' FlatMapGroupsInPandas is exactly the work
+        # that must stay parallel; only the thresholded pair rows ship
+        # to the single presentation partition).
+        .repartition(1)
         .sortWithinPartitions("id_a", "id_b")
     )
 
@@ -603,9 +621,13 @@ def cosine_near_dup_pairs(
     left side is hash-partitioned by id so partial aggregation
     completes map-side (the 16 M-row join expansion never shuffles —
     only the 125 k finished sums do), and the small normalized side is
-    broadcast. The final sort is ``coalesce(1).sortWithinPartitions``:
+    broadcast. The final sort is ``repartition(1).sortWithinPartitions``:
     a global ``orderBy`` would add a range-partitioner sampling pass
-    that re-executes the whole plan (measured 2.4 s vs 5.9 s)."""
+    that re-executes the whole plan (measured 2.4 s vs 5.9 s), and a
+    ``coalesce(1)`` would merge the final-aggregation stage into one
+    task — the 125 k pair sums would finish serially (r11 interleaved
+    A/B at sf0.1: 0.97 s coalesced vs 0.34 s with the explicit
+    single-partition exchange of the thresholded result rows)."""
     base = embeddings if id_cap is None else embeddings.filter(F.col("vec_id") < id_cap)
     ne = base.select(
         "vec_id",
@@ -628,7 +650,7 @@ def cosine_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.round(F.sum(F.col("xa") * F.col("xb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        .coalesce(1)
+        .repartition(1)
         .sortWithinPartitions("id_a", "id_b")
     )
 
