@@ -23,7 +23,11 @@ PageRank step. Edge and degree tables are cached (probed every round);
 the bounded iterations stay one lazy DAG (see the in-function note; for
 data-dependent iteration counts, checkpoint periodically instead). Rank
 state is 16 bytes per node; the edge table never re-shuffles after the
-first round under a stable partitioning.
+first round under a stable partitioning. When the exact node count says
+the rank state is broadcastable (r11 gate, default ≤2M nodes), the edge
+cache is hash-partitioned by dst and both node-state joins broadcast,
+making every iteration shuffle-free; above the gate the planner-shaped
+arm runs unchanged (see ``pagerank``'s in-function note).
 """
 
 from __future__ import annotations
@@ -91,11 +95,28 @@ def _edges_degrees(
     return und, nd, n
 
 
+def _dst_partitions(und: DataFrame) -> int:
+    """Partition count for the dst-partitioned edge cache of the
+    broadcast-state arm: the cluster's parallelism, grown past it only
+    when the edge cache's measured/estimated bytes ask for >128 MB
+    partitions (guide §2.2 — fewer, larger partitions; never fewer than
+    the core count, so the per-iteration probe stays fully parallel)."""
+    sc = und.sparkSession.sparkContext
+    try:
+        est = int(und._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    if est <= 0:
+        return sc.defaultParallelism
+    return max(sc.defaultParallelism, -(-est // (128 << 20)))
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     damping_pct: int = 85,
     check_dangling: bool = True,
+    broadcast_state_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank.
 
@@ -123,17 +144,43 @@ def pagerank(
     # separate nodes/deg lookups, which would cost an extra join every
     # iteration.
     und, nd, n = _edges_degrees(edges, check_dangling, "pagerank")
+    # Broadcast-state arm (r11, guide §2.4/§3.1): when the NODE COUNT —
+    # exact, already computed for the base term — says the rank state is
+    # broadcastable (~≤2M rows → tens of MB built relation, far under
+    # the 8 GB / 512M-row broadcast cap), re-cache the edges partitioned
+    # by dst and broadcast both node-state sides of each iteration:
+    # edges ⋈ broadcast(shares) preserves the dst partitioning, so the
+    # contrib groupBy(dst) needs NO exchange, and nd ⋈ broadcast(contrib)
+    # none either — ZERO shuffle exchanges per iteration vs two SMJ
+    # exchanges + an agg exchange in the planner-picked shape (measured
+    # 2.90 s vs 5.58 s interleaved at sf0.1, rows bit-identical: integer
+    # sums are order-independent). Above the gate the shipped shape is
+    # unchanged: AQE sizes each join, degrading to hash joins on src —
+    # the correct plan for billion-node state that must not be collected.
+    small_state = 0 < broadcast_state_max_nodes and n <= broadcast_state_max_nodes
+    caches = [und, nd]
+    if small_state:
+        und_join = und.repartition(_dst_partitions(und), "dst").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        caches.append(und_join)
+    else:
+        und_join = und
     base = ((MASS // n) * (100 - damping_pct)) // 100
     ranks = nd.withColumn("r", F.lit(MASS // n).cast("long"))
     for _ in range(iterations):
         shares = ranks.select(
             F.col("node").alias("src"), F.expr("r div deg").alias("share")
         )
+        if small_state:
+            shares = F.broadcast(shares)
         contrib = (
-            und.join(shares, "src")
+            und_join.join(shares, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("m"))
         )
+        if small_state:
+            contrib = F.broadcast(contrib)
         ranks = nd.join(contrib, "node", "left").select(
             "node",
             "deg",
@@ -153,7 +200,7 @@ def pagerank(
     # bound lineage instead (the connected_components pattern).
     # The caches stay pinned until the NEXT pagerank call (the returned
     # lazy plan reads them when the caller executes) — see _swap_caches.
-    _swap_caches("pagerank", [und], [und, nd])
+    _swap_caches("pagerank", [und], caches)
     return ranks.select(
         "node", F.col("deg").alias("degree"), F.col("r").alias("rank_mass")
     )

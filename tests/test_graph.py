@@ -109,6 +109,45 @@ def test_pagerank_rejects_dangling_nodes(spark):
     assert pagerank(und, iterations=2, check_dangling=False).count() == 2
 
 
+def test_pagerank_broadcast_state_iterations_are_shuffle_free(spark):
+    """r11 plan pin (guide §2.4/§3.1): below the node-count gate the
+    edge cache is dst-partitioned and BOTH node-state joins of every
+    iteration broadcast, so the live plan (everything outside the
+    cached subtrees) carries zero shuffle joins and zero exchanges on
+    the rank-state key — the per-iteration contrib groupBy(dst) rides
+    the cached dst partitioning (partial+final HashAggregate with no
+    Exchange between). Guards the 2.17 s vs 3.27 s sf0.1 A/B from
+    silently regressing to the planner-shaped arm."""
+    from spendinganalysisetl_spark.plans import physical_plan
+
+    df = pagerank(_edges_df(spark), iterations=5)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" not in plan, plan[:2000]
+    # 5 iterations × (edges⋈shares + nd⋈contrib), every one broadcast
+    assert plan.count("BroadcastHashJoin") >= 10, plan[:2000]
+    # no live exchange on the rank-state key: the only hashpartitioning
+    # exchanges in the plan sit inside the cached subtrees (nd's groupBy
+    # on src, the und_join repartition on dst)
+    assert "hashpartitioning(node" not in plan, plan[:2000]
+
+
+def test_pagerank_gate_off_arm_bit_identical(spark):
+    """Above the gate (forced here with broadcast_state_max_nodes=0)
+    the planner-shaped arm must produce BIT-IDENTICAL ranks — integer
+    sums are order-independent, so the broadcast-state rewrite can
+    never change a value, only the plan."""
+    df = _edges_df(spark)
+    a = sorted(map(tuple, pagerank(df, iterations=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank(df, iterations=3, broadcast_state_max_nodes=0).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_cache_swap_releases_only_on_graph_change(spark):
     """The r5 pin-bounding contract: repeat invocations on the SAME
     graph keep the previous call's edge cache warm (CacheManager dedups
