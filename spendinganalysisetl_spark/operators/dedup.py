@@ -1019,6 +1019,7 @@ def line_boilerplate_stats(
     bands: int = 2,
     gram: int = 3,
     min_docs: int = 3,
+    broadcast_flags: bool = True,
 ) -> DataFrame:
     """Line-level near-dedup in the RefinedWeb/CCNet line-dedup shape
     (public methods: Penedo et al. 2023 §3.3 exact-substring/line
@@ -1045,6 +1046,19 @@ def line_boilerplate_stats(
     chased with a pair-verify — boilerplate flagging is a recall
     filter, not a join).
 
+    ``broadcast_flags`` (r11, guide §3.1): the final flag join attaches
+    the flagged-line vocabulary back to the PER-OCCURRENCE line table —
+    the largest table in the plan — and without a hint the planner
+    sort-merge-joins it, exchanging every occurrence on the line key
+    just to set one bit (measured: that exchange+sort was the plan's
+    only SMJ). The flag side is the boilerplate vocabulary — bounded by
+    distinct flagged lines, orders of magnitude below the occurrence
+    stream on any boilerplate-heavy corpus (the only corpora where the
+    flag set is large at all) — so it broadcasts; pass ``False`` for a
+    pathological corpus whose flagged vocabulary itself exceeds
+    broadcast limits, which restores the key join unchanged (results
+    are identical either way — the join is a left semi-flag).
+
     Scale shape: NO pair join anywhere — O(distinct lines x bands)
     bucket rows, so a bucket shared by a million boilerplate copies
     costs one aggregation row, not 10^12 candidate pairs (the failure
@@ -1053,8 +1067,8 @@ def line_boilerplate_stats(
     >> distinct count for boilerplate-heavy crawls), the signature
     groupBy, the bucket-support aggregation (band key), and the final
     doc_id rollup. The boilerplate-line set is the flagged vocabulary
-    — typically tiny; the flag join stays a key join so the plan
-    survives even when it is not.
+    — typically tiny; it broadcasts by default (``broadcast_flags``
+    below documents the key-join off-ramp).
 
     Differential: tests/test_dedup_similarity.py replicates the full
     pipeline in pure Python (hashlib.md5) on a planted corpus;
@@ -1139,8 +1153,9 @@ def line_boilerplate_stats(
         .distinct()
         .withColumn("is_boiler", F.lit(1))
     )
+    flags = F.broadcast(boiler) if broadcast_flags else boiler
     return (
-        dl.join(boiler, "line", "left")
+        dl.join(flags, "line", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),

@@ -610,3 +610,24 @@ def test_stupid_backoff_pair_stream_exchanges_only_on_doc_id(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     assert "hashpartitioning(doc_id" in plan, plan[:2000]
+
+
+def test_line_boilerplate_flag_join_broadcasts(spark, sf_dir):
+    """r11 (guide §3.1): line_boilerplate_stats' final flag join
+    attaches the flagged-line vocabulary to the PER-OCCURRENCE line
+    table — the largest table in the plan. Un-hinted, the planner
+    sort-merge-joined it, exchanging and sorting every line occurrence
+    just to set one bit; the operator now broadcasts the vocabulary
+    (``broadcast_flags=True`` default), so the occurrence stream's only
+    exchanges are the distinct-line collapse and the final doc_id
+    rollup. Pin: the left-outer flag join is a BroadcastHashJoin and no
+    SortMergeJoin appears anywhere in the query's plan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["line_boilerplate_minhash"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # simple-mode toString prints the node as
+    # "BroadcastHashJoin [k], [k], LeftOuter, BuildRight"
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "LeftOuter, BuildRight" in plan, plan[:2000]
