@@ -168,6 +168,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.6,
     banded: DataFrame | None = None,
+    broadcast_candidates_max: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -183,6 +184,18 @@ def minhash_lsh_pairs(
     and ``lsh_cluster_stars`` (identical n_hashes/bands/shingle_n →
     identical table; the shingle+hash corpus scan behind it is both
     queries' dominant cost).
+
+    ``broadcast_candidates_max`` (r11, guide §3.2/§8): the verify
+    semi-join only DECIDES corpus membership, yet un-hinted the planner
+    sort-merge-joined it — shuffling the full document TEXT on doc_id
+    to drop non-candidates (the heavy-payload-moved-for-a-membership-
+    decision anti-pattern). The candidate pair table is already cached,
+    so its exact count is one cheap job over that cache: at or below
+    the gate (pair count; distinct ids ≤ 2×) the ids broadcast to the
+    corpus scan (BroadcastHashJoin LeftSemi — the text never moves),
+    above it the key join runs unchanged, the right plan when the
+    candidate set itself outgrows executor memory. ``0`` disables the
+    probe entirely.
     """
     if banded is None:
         sig = _minhash_signatures(documents, n_hashes, shingle_n)
@@ -213,6 +226,11 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    if (
+        0 < broadcast_candidates_max
+        and cand.count() <= broadcast_candidates_max
+    ):
+        cand_ids = F.broadcast(cand_ids)
     sh = (
         _normed(documents.join(cand_ids, "doc_id", "left_semi"))
         .select("doc_id", char_shingles(F.col("norm"), shingle_n).alias("sh"))

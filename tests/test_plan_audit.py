@@ -631,3 +631,19 @@ def test_line_boilerplate_flag_join_broadcasts(spark, sf_dir):
     # "BroadcastHashJoin [k], [k], LeftOuter, BuildRight"
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "LeftOuter, BuildRight" in plan, plan[:2000]
+
+
+def test_minhash_verify_semi_join_broadcasts_candidate_ids(spark, sf_dir):
+    """r11 (guide §3.2/§8): minhash_lsh_pairs' verify semi-join decides
+    corpus membership — un-hinted it sort-merge-joined, shuffling the
+    full document text on doc_id just to drop non-candidates. The
+    operator now probes the cached candidate count and broadcasts the
+    id set below the gate, so the corpus text never moves. Pin: no
+    SortMergeJoin in the query's plan; the semi join is a
+    BroadcastHashJoin."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["minhash_lsh_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "LeftSemi, BuildRight" in plan, plan[:2000]
