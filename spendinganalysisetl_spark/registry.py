@@ -1907,7 +1907,14 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the aggregation keyed the fact — the wide dim columns ride
     the 20-row side at scale (the classic 'aggregate-then-decorate'
     ordering). Driver schema lacks c_address/c_phone; the remaining
-    dim columns keep the decorate step real."""
+    dim columns keep the decorate step real. The decorate join rides
+    ``_fact_join_hint`` on customer's footprint (r11, guide §3.1: the
+    stats-free planner landed SMJ, exchanging AND sorting both the
+    custkey aggregate and the customer⋈nation projection; below the
+    gate the dim broadcasts — zero extra exchange, the agg side keeps
+    its groupBy partitioning — and above it SHUFFLE_HASH skips both
+    sort passes; sf0.1 interleaved A/B 0.341→0.328 s best, i.e.
+    timing-neutral locally, adopted for the plan shape)."""
     from pyspark.sql import functions as F
 
     from spendinganalysisetl_spark.functions.scalars import money_sum
@@ -1938,6 +1945,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("c_acctbal"), 2) + F.lit(0.0)).alias("acctbal"),
         "nation",
     )
+    cust = _fact_join_hint(cust, sf_dir, "customer")
     return (
         per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "revenue", "acctbal", "nation")

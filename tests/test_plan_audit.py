@@ -552,7 +552,11 @@ def test_q7_q9_fact_join_broadcasts_below_threshold(spark, sf_dir):
     not here — the test corpus is all sub-threshold)."""
     import __spark_entry__ as entrymod
 
-    for name in ("tpch_q7_volume_shipping", "tpch_q9_product_profit"):
+    for name in (
+        "tpch_q7_volume_shipping",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+    ):
         df = entrymod.queries()[name](spark, sf_dir)
         plan = _plan(df)
         assert "SortMergeJoin" not in plan, f"{name}\n{plan[:1500]}"
@@ -582,7 +586,11 @@ def test_q7_q9_fact_join_shuffle_hash_above_threshold(
             df, sf_dir, table, threshold=0
         ),
     )
-    for name in ("tpch_q7_volume_shipping", "tpch_q9_product_profit"):
+    for name in (
+        "tpch_q7_volume_shipping",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+    ):
         df = reg.QUERIES[name](spark, sf_dir)
         plan = _plan(df)
         assert "ShuffledHashJoin" in plan, f"{name}\n{plan[:1500]}"
