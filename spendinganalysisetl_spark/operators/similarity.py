@@ -449,6 +449,15 @@ def ivf_topk(
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(xn @ cmat.T, axis=1).astype("int32"))
 
+    # The inner join on the UDF-computed cell pushes an isnotnull(cell)
+    # filter below the projection, and the optimizer then evaluates the
+    # UDF once under the filter and AGAIN in the projection — every
+    # corpus row pays the assignment matmul twice (two ArrowEvalPython
+    # nodes in the plan). The quantizer is a pure function; the
+    # non-deterministic flag only forbids cloning the expression, so a
+    # single ArrowEvalPython survives and rows are unchanged.
+    _cell = _cell.asNondeterministic()
+
     assigned = embeddings.select(
         "vec_id", "embedding", _cell(F.col("embedding")).alias("cell")
     )

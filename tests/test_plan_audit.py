@@ -655,3 +655,20 @@ def test_minhash_verify_semi_join_broadcasts_candidate_ids(spark, sf_dir):
     plan = _plan(df)
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "LeftSemi, BuildRight" in plan, plan[:2000]
+
+
+def test_ivf_cell_assignment_evaluates_udf_once(spark, sf_dir):
+    """r11 (guide §4.4): the inner join on the UDF-computed cell pushes
+    an isnotnull(cell) filter below the projection, and a deterministic
+    pandas UDF gets CLONED — one ArrowEvalPython under the filter, one
+    in the projection, every corpus row paying the assignment matmul
+    twice. ivf_topk marks the quantizer non-deterministic so exactly
+    one ArrowEvalPython node survives (rows unchanged: the function is
+    pure)."""
+    import __spark_entry__ as entrymod
+
+    for name in ("ivf_topk", "ivf_ann_fixture"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        n = plan.count("ArrowEvalPython")
+        assert n == 1, f"{name}: {n} ArrowEvalPython nodes\n{plan[:1500]}"
