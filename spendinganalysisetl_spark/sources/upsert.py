@@ -286,9 +286,22 @@ def _merge_join(batch, target, key, compare_col):
     """The shared MERGE core: full-outer join on the range key with
     side-presence tags, NOT key-nullness — with eqNullSafe a NULL key
     can legitimately match a NULL key, and testing t.key IS NULL would
-    misread that matched row as "target missing"."""
+    misread that matched row as "target missing".
+
+    Strategy (r11, guide §3.1): a FULL OUTER equi-join can never ride a
+    broadcast hash join, so the planner's default is a SortMergeJoin —
+    both sides exchanged AND sorted. The SHUFFLE_HASH hint on the batch
+    side keeps the same single exchange per side but skips both sort
+    passes; the build side is the MERGE *delta* (one period of data),
+    whose per-partition hash table stays bounded by the partition
+    sizing at any scale, and join strategy never changes rows. There is
+    no small-scale regression arm to gate against: broadcast is
+    impossible for this join type, so sort-free hashing strictly
+    dominates the sorted default."""
     on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key]
-    s_tagged = batch.withColumn("_s_present", F.lit(1)).alias("s")
+    s_tagged = (
+        batch.hint("shuffle_hash").withColumn("_s_present", F.lit(1)).alias("s")
+    )
     t_tagged = target.withColumn("_t_present", F.lit(1)).alias("t")
     joined = s_tagged.join(t_tagged, on, "full_outer")
     t_missing = F.col("t._t_present").isNull()
@@ -517,8 +530,13 @@ def scd2_apply(
     closed_rows = current.filter(~is_open)
     cols = [*key, *tracked, eff_col]
 
+    # Same strategy note as _merge_join: full outer never broadcasts,
+    # so hash-building the delta side (SHUFFLE_HASH) skips the sort of
+    # BOTH the open slice and the batch that the SMJ default pays.
     c_tagged = open_rows.withColumn("_c_present", F.lit(1)).alias("c")
-    b_tagged = changes.withColumn("_b_present", F.lit(1)).alias("b")
+    b_tagged = (
+        changes.hint("shuffle_hash").withColumn("_b_present", F.lit(1)).alias("b")
+    )
     on = None
     for k in key:
         e = F.col(f"c.{k}").eqNullSafe(F.col(f"b.{k}"))

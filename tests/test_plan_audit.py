@@ -672,3 +672,23 @@ def test_ivf_cell_assignment_evaluates_udf_once(spark, sf_dir):
         plan = _plan(df)
         n = plan.count("ArrowEvalPython")
         assert n == 1, f"{name}: {n} ArrowEvalPython nodes\n{plan[:1500]}"
+
+
+def test_merge_full_outer_joins_are_sort_free(spark, sf_dir):
+    """r11 (guide §3.1): the MERGE core's FULL OUTER equi-join can
+    never broadcast, and the planner's SMJ default exchanges AND sorts
+    both sides. _merge_join / scd2_apply hint SHUFFLE_HASH on the
+    delta side, so the plan must carry a ShuffledHashJoin FullOuter and
+    no SortMergeJoin anywhere in the merge family."""
+    import __spark_entry__ as entrymod
+
+    for name in (
+        "upsert_merge_monthly",
+        "merge_delete_retention",
+        "incremental_monthly_refresh",
+        "scd2_customer_dim",
+        "pit_join_orders_scd2",
+    ):
+        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, f"{name}\n{plan[:1500]}"
+        assert "ShuffledHashJoin" in plan, f"{name}\n{plan[:1500]}"
