@@ -471,13 +471,19 @@ def build_training_shards(
         # never be packed.
         F.explode_outer("grams").alias("gram"),
     )
+    # The doc-constant attributes ride the GROUPING KEY, not first():
+    # a first(string) aggregate has a variable-length buffer, which
+    # disqualifies hash aggregation — Spark planned SortAggregate and
+    # fully SORTED the exploded gram stream (the largest intermediate
+    # in the pipeline) on both sides of the per-doc exchange. With
+    # counts-only buffers the same aggregation is a partial+final
+    # HashAggregate pair, sort-free; (is_bench, fp, n_tok) are
+    # functionally dependent on doc_id, so the groups — and the rows —
+    # are identical (guide §2: same shuffle, no sort passes).
     perdoc = (
         exploded.join(F.broadcast(bench_grams), "gram", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "is_bench", "fp", "n_tok")
         .agg(
-            F.first("is_bench").alias("is_bench"),
-            F.first("fp").alias("fp"),
-            F.first("n_tok").alias("n_tok"),
             F.count("gram").alias("n_grams"),
             F.count("hit").alias("n_hits"),
         )

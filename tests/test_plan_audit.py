@@ -692,3 +692,18 @@ def test_merge_full_outer_joins_are_sort_free(spark, sf_dir):
         plan = _plan(entrymod.queries()[name](spark, sf_dir))
         assert "SortMergeJoin" not in plan, f"{name}\n{plan[:1500]}"
         assert "ShuffledHashJoin" in plan, f"{name}\n{plan[:1500]}"
+
+
+def test_training_shards_perdoc_agg_is_hash_not_sort(spark, sf_dir):
+    """r11 (guide §2): first(fp) had a variable-length buffer, which
+    disqualified hash aggregation — the per-doc aggregation planned
+    SortAggregate and fully sorted the exploded gram stream on both
+    sides of its exchange. With the doc-constant attributes in the
+    grouping key the buffers are counts-only, so the whole pipeline
+    must plan zero SortAggregate nodes."""
+    from spendinganalysisetl_spark.operators.trainprep import (
+        build_training_shards,
+    )
+
+    plan = _plan(build_training_shards(load_table(spark, sf_dir, "documents")))
+    assert "SortAggregate" not in plan, plan[:2000]
