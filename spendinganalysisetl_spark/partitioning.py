@@ -45,6 +45,23 @@ def spread_scaled(df: DataFrame, bytes_per_task: int = 8 << 20) -> DataFrame:
     full parallelism once the input is executor-memory-sized and the
     task overhead amortizes. Estimate unavailable/zero → plain spread.
 
+    The derived count is reconciled with the input's EXISTING partition
+    count so the plan never pays an exchange it doesn't need: growing
+    the fan-out → ``repartition`` (the only case that requires an
+    exchange); shrinking or staying → ``coalesce`` (a narrow merge;
+    the downstream Arrow stage IS the work being sized, so merging the
+    cheap scan into it is the point). ``coalesce`` matters twice over
+    for the derived-1 case: (a) unlike an explicit ``repartition(1)``
+    it plans no ``Exchange SinglePartition, REPARTITION_BY_NUM`` — a
+    node indistinguishable in the plan text from a hard-coded
+    single-partition sink, which the presentation-boundary plan audit
+    rightly forbids in corpus-growing cores — and (b) it still
+    DECLARES ``SinglePartition`` output partitioning, so every
+    downstream aggregation/join skips its own exchange (the collapsed
+    tiny-scale plan ``embedding_covariance_matrix`` measures; a bare
+    pass-through would resurface those exchanges because a scan's
+    ``UnknownPartitioning(1)`` satisfies no required distribution).
+
     Only used where partition count provably cannot change results
     (exact-integer or exactly-representable partials; per-row
     projections) — see each call site's note."""
@@ -56,5 +73,14 @@ def spread_scaled(df: DataFrame, bytes_per_task: int = 8 << 20) -> DataFrame:
         est = 0
     if est <= 0:
         return df.repartition(cap)
-    return df.repartition(max(1, min(cap, -(-est // bytes_per_task))))
+    n = max(1, min(cap, -(-est // bytes_per_task)))
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        # Partition count unknowable: keep the exchange form, which is
+        # correct (if not always minimal) in both directions.
+        return df.repartition(n)
+    if n > cur:
+        return df.repartition(n)
+    return df.coalesce(n)
 

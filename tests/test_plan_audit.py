@@ -455,6 +455,49 @@ def test_presentation_free_cores_have_no_single_partition_sink(spark, sf_dir):
         )
 
 
+def test_spread_scaled_reconciles_with_input_partitioning(spark, sf_dir):
+    """spread_scaled (guide §2.5) derives its fan-out from the
+    optimizer's size estimate, then reconciles with the input's actual
+    partition count: shrink-or-stay → narrow Coalesce (the derived-1
+    case must NOT plan an Exchange SinglePartition REPARTITION_BY_NUM —
+    the presentation-boundary audit above cannot tell that apart from a
+    hard-coded single-partition sink — while Coalesce(1) still declares
+    SinglePartition so downstream aggregates skip their exchanges);
+    grow → round-robin repartition."""
+    from spendinganalysisetl_spark.partitioning import spread_scaled
+
+    base = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    # sub-8MB single-partition scan: derived n == current 1 → narrow
+    # coalesce, never the explicit single-partition exchange.
+    same = spread_scaled(base)
+    plan_same = _plan(same)
+    assert "REPARTITION_BY_NUM" not in plan_same, plan_same
+    assert "Coalesce" in plan_same, plan_same
+    # Coalesce(1) declares SinglePartition: a groupBy over it must not
+    # add an exchange (the collapsed tiny-scale aggregate plan).
+    agg_plan = _plan(same.groupBy().count())
+    assert "Exchange" not in agg_plan, agg_plan
+
+    # derived n (=1 for a tiny estimate) below the current count →
+    # narrow coalesce, never a shuffle.
+    wide = base.repartition(4)
+    shrunk = spread_scaled(wide)
+    plan_shrunk = _plan(shrunk)
+    assert plan_shrunk.count("Exchange") == plan_shrunk.count(
+        "Exchange RoundRobinPartitioning(4"
+    ), plan_shrunk  # only the setup repartition(4), nothing added
+    assert shrunk.rdd.getNumPartitions() == 1
+
+    # derived n above the current count (1 byte/task → cap) → fan out.
+    grown = spread_scaled(base, bytes_per_task=1)
+    assert (
+        grown.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert "RoundRobinPartitioning" in _plan(grown)
+
+
 def test_classifier_scoring_plans_no_hash_exchange(spark, sf_dir):
     """r9 rewrite: margin_scores is ONE projection (constant-folded
     weight array + transform/aggregate) — no explode, no join, no
