@@ -4,13 +4,16 @@
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Prints the full
 result object (summary + per-query map) on one stdout line, writes the
-same object to ``bench_queries.json``, and prints a compact summary as
-the FINAL stdout line (the driver's tail-capture window is bounded;
-round 1's full-object final line overflowed it)::
+same object to ``bench_queries_c{CPUS}.json`` (per-core-count sidecar —
+r12: a different-core-count run no longer clobbers the map, VERDICT r11
+#2) AND the legacy ``bench_queries.json``, prints the per-query map
+again in bounded chunks, and prints a compact summary as the FINAL
+stdout line (the driver's tail-capture window is bounded; round 1's
+full-object final line overflowed it)::
 
     {"metric": "total_query_wall_clock", "value": <total sec>,
-     "unit": "sec", "sf": 0.1, "n_queries": N,
-     "queries_file": "bench_queries.json"}
+     "unit": "sec", "sf": 0.1, "n_queries": N, "cpus": C,
+     "queries_file": "bench_queries_c{C}.json"}
 
 Design notes (SURVEY.md §6):
 - ONE SparkSession reused across all queries — JVM startup would
@@ -190,6 +193,14 @@ def main() -> None:
         "single-scan sentinel plans untouched by code changes; readings "
         "above the quiet band flag host noise for that phase of the run"
     )
+    # Embedded noise verdict (r11 ADVICE #4): a consumer of this JSON no
+    # longer needs the prose adjudication to know whether a phase of the
+    # run was noisy — hot phases are listed right here.
+    canary["hot_phases"] = [
+        ph
+        for ph in ("start", "mid", "end")
+        if any(v > canary["quiet_host_band_sec"][1] for v in canary[ph].values())
+    ]
 
     total = round(sum(timings.values()), 3)
     # Output contract, round-2 revision: the driver's stdout capture is a
@@ -205,6 +216,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        # Which core count produced these numbers (r11 VERDICT §wrong #1:
+        # the sidecar didn't record it, so the driver's 8-core scaling
+        # run was indistinguishable from — and clobbered — the 32-core
+        # map).
+        "cpus": CPUS,
         # Provenance: which planner mode produced these numbers, and why
         # (env_override / sub_sf1_gate / session_default) — see the AQE
         # gate comment in main(). session.py's default (the 100 TB path
@@ -224,9 +240,42 @@ def main() -> None:
         # see the canary comment in main().
         "noise_canary": canary,
     }
+    # Per-run sidecars keyed by core count (r12, VERDICT r11 "next
+    # round" #2): every driver invocation previously overwrote ONE
+    # bench_queries.json, so the 8-core scaling run destroyed the
+    # 32-core per-query map and PERF_r11's per_query/scaling blocks came
+    # out empty (n_common: 0) two rounds running. The cpus-keyed file is
+    # never clobbered by a different-core-count run; the legacy name is
+    # still written (last-run-wins, now self-describing via "cpus") so
+    # existing consumers keep working. Timing methodology is unchanged —
+    # this is output plumbing only.
+    with open(os.path.join(_HERE, f"bench_queries_c{CPUS}.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
     with open(os.path.join(_HERE, "bench_queries.json"), "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full))
+    # The per-query map, chunked across bounded stdout lines right above
+    # the final compact line (same VERDICT ask): the driver's tail
+    # capture is a bounded window that one 186-query JSON line
+    # overflows, so whatever fits of the LAST chunks — nearest the final
+    # line — survives even when the full-object line above is truncated.
+    # Each chunk is self-describing (cpus, sf, chunk i-of-k).
+    names = list(timings)
+    chunk = 30
+    n_chunks = -(-len(names) // chunk) or 1
+    for ci in range(n_chunks):
+        part = {k: timings[k] for k in names[ci * chunk : (ci + 1) * chunk]}
+        print(
+            json.dumps(
+                {
+                    "queries_chunk": ci + 1,
+                    "n_chunks": n_chunks,
+                    "cpus": CPUS,
+                    "sf": _sf_from_dir(SF_DIR),
+                    "queries": part,
+                }
+            )
+        )
     print(
         json.dumps(
             {
@@ -235,7 +284,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": _sf_from_dir(SF_DIR),
                 "n_queries": len(timings),
-                "queries_file": "bench_queries.json",
+                "cpus": CPUS,
+                "queries_file": f"bench_queries_c{CPUS}.json",
                 "noise_canary": canary,
             }
         )

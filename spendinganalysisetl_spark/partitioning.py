@@ -64,22 +64,35 @@ def spread_scaled(df: DataFrame, bytes_per_task: int = 8 << 20) -> DataFrame:
 
     Only used where partition count provably cannot change results
     (exact-integer or exactly-representable partials; per-row
-    projections) — see each call site's note."""
+    projections) — see each call site's note.
+
+    Call-site contract (r11 ADVICE #2): ``df.rdd.getNumPartitions()``
+    below forces a physical-planning pass (plus the Python RDD
+    conversion), cheap once per query but a hidden cost in a loop —
+    invoke this helper ONCE per pipeline, outside iteration loops (all
+    current call sites comply). The pre-execution count is a heuristic
+    that can differ from the runtime count under AQE; both reconcile
+    arms are correct either way, only minimality is affected."""
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         est = 0
-    if est <= 0:
-        return df.repartition(cap)
-    n = max(1, min(cap, -(-est // bytes_per_task)))
+    # est unavailable/zero → plain-spread sizing (full parallelism);
+    # the reconcile below still applies so a defaultParallelism=1 host
+    # (r11 ADVICE #3) coalesces instead of planning the forbidden
+    # `Exchange SinglePartition REPARTITION_BY_NUM` node.
+    n = cap if est <= 0 else max(1, min(cap, -(-est // bytes_per_task)))
     try:
         cur = df.rdd.getNumPartitions()
     except Exception:
-        # Partition count unknowable: keep the exchange form, which is
-        # correct (if not always minimal) in both directions.
-        return df.repartition(n)
+        # Partition count unknowable: keep the exchange form for real
+        # fan-outs, but shrink-to-1 is always safe as a narrow coalesce
+        # (r11 ADVICE #1 — repartition(1) here would reintroduce the
+        # single-partition Exchange the presentation-boundary audit
+        # forbids, silently, only on hosts where df.rdd fails).
+        return df.coalesce(1) if n == 1 else df.repartition(n)
     if n > cur:
         return df.repartition(n)
     return df.coalesce(n)

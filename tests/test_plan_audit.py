@@ -498,6 +498,32 @@ def test_spread_scaled_reconciles_with_input_partitioning(spark, sf_dir):
     assert "RoundRobinPartitioning" in _plan(grown)
 
 
+def test_spread_scaled_rdd_fallback_never_plans_single_partition_exchange(
+    spark, sf_dir, monkeypatch
+):
+    """r11 ADVICE #1 (fixed r12): when ``df.rdd`` raises (partition
+    count unknowable), the derived-1 fallback must still be a narrow
+    Coalesce — an explicit repartition(1) there would reintroduce the
+    ``Exchange SinglePartition REPARTITION_BY_NUM`` node the
+    presentation-boundary audit forbids, silently, only on hosts where
+    the RDD conversion fails."""
+    from pyspark.sql import DataFrame
+
+    from spendinganalysisetl_spark.partitioning import spread_scaled
+
+    base = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def _boom(self):
+        raise RuntimeError("rdd conversion unavailable")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    out = spread_scaled(base)  # sub-8MB estimate → derived n == 1
+    monkeypatch.undo()
+    plan = _plan(out)
+    assert "REPARTITION_BY_NUM" not in plan, plan
+    assert "Coalesce" in plan, plan
+
+
 def test_classifier_scoring_plans_no_hash_exchange(spark, sf_dir):
     """r9 rewrite: margin_scores is ONE projection (constant-folded
     weight array + transform/aggregate) — no explode, no join, no
