@@ -88,6 +88,27 @@ def get_spark(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             str(128 * 1024),
         )
+        # Scan-split sizing, parameterized (r12, VERDICT r11 ask #4;
+        # guide §6.1). Measured on the multi-file sf1 layout
+        # (BENCH_AB_r12_maxpartitionbytes.jsonl): at local scales the
+        # effective split is governed by the PARALLELISM FLOOR
+        # (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # totalBytes/defaultParallelism))) — lineitem scans plan 31
+        # splits at EVERY setting from 4m to 512m, totals within noise
+        # (3.3–3.8 s) — so the default cannot hurt here. With the floor
+        # forced off (minPartitionNum=1) the real trade appears:
+        # splits larger than per-core work degrade scan-bound queries
+        # 2–2.7× (q1 0.49 s at 31 splits → 1.25 s at 2), while per-task
+        # overhead stays negligible down to 3.4 MB splits. Conclusion:
+        # locally the binding constraint is parallelism, not task
+        # overhead; raising the value toward the guide's 512m–1g is a
+        # CLUSTER move (fewer map tasks feeding shuffles, §2.2, and
+        # fewer listing/scheduling events at 100 TB file counts), so it
+        # ships as an env knob with the Spark default left in place.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         # The driver-generated events.parquet stores TIMESTAMP(NANOS),
         # which Spark's parquet converter rejects natively; read nanos as
         # long and convert in catalog.load_table (exact integer ns→µs).

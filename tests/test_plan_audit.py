@@ -726,6 +726,49 @@ def test_minhash_verify_semi_join_broadcasts_candidate_ids(spark, sf_dir):
     assert "LeftSemi, BuildRight" in plan, plan[:2000]
 
 
+def test_pagerank_above_gate_arm_single_live_exchange_per_iteration(spark):
+    """r12 (VERDICT r11 ask #6, guide §2.4): above the broadcast-state
+    gate the loop used to pay two join exchanges plus the aggregation
+    exchange per iteration. The src-partitioned, MATERIALIZED edge
+    cache co-partitions the edges⋈shares join (the rank state flows out
+    of node-keyed shuffle operators at the same partition count), so
+    each iteration's only live (ENSURE_REQUIREMENTS) exchange is the
+    narrow contrib aggregation. Join STRATEGY is deliberately the
+    planner's (forcing SHUFFLE_HASH measured 25–28 s vs 5.1 s for the
+    co-partitioned SMJ at 4M nodes), so only the exchange structure is
+    pinned here."""
+    from spendinganalysisetl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    iterations = 3
+    df = pagerank(
+        edges, iterations=iterations, broadcast_state_max_nodes=0
+    )
+    plan = _plan(df)
+    # Distinct plan ids, because cached subtrees (nd's groupBy build)
+    # reprint under every InMemoryTableScan reference with the SAME id.
+    import re
+
+    ids = {
+        (m.group(2), m.group(1))
+        for m in re.finditer(
+            r"Exchange hashpartitioning\((\w+)#\d+[^\]]*ENSURE_REQUIREMENTS,"
+            r" \[plan_id=(\d+)\]",
+            plan,
+        )
+    }
+    dst_live = [i for i, key in ids if key == "dst"]
+    src_live = [i for i, key in ids if key == "src"]
+    # one narrow (dst, share) aggregation exchange per iteration ...
+    assert len(dst_live) == iterations, f"{sorted(ids)}\n{plan[:2500]}"
+    # ... and the only src-keyed exchange is nd's one-time cache build
+    # (the edges⋈shares join is co-partitioned: no live src exchange)
+    assert len(src_live) <= 1, f"{sorted(ids)}\n{plan[:2500]}"
+
+
 def test_minhash_two_phase_verify_plan_arms(spark, sf_dir):
     """r12 (guide §8/§3.1): the verify's hash-screen must never
     sort-merge — the planner's SMJ sorts a 1.4M-row array-carrying
