@@ -319,6 +319,30 @@ def interval_join_stream(
     )
 
 
+def _skippable_empty_batch(batch_df: DataFrame, sink_path: str) -> bool:
+    """True when a foreachBatch MERGE can be skipped with IDENTICAL sink
+    content (r12, guide §1.2 "don't compute things you throw away").
+
+    Every AvailableNow drain here runs a final NO-DATA micro-batch (the
+    runtime schedules it to advance the watermark and finalize state);
+    in update mode that batch emits zero rows, yet the MERGE machinery
+    still read the whole sink, full-outer-joined it against nothing and
+    committed a byte-identical new version — measured ~0.6 s of the
+    ~1.8 s warm drain floor at sf0.1. Merging an empty delta cannot
+    change sink CONTENT (no batch rows → every update/insert leg is
+    false; the delete leg requires a matched batch row), so skipping it
+    is result-identical. The skip is gated on the sink already existing
+    non-empty: the very first commit must still run so an empty SOURCE
+    still creates a readable (empty) sink, exactly as before."""
+    import os
+
+    from spendinganalysisetl_spark.sources.upsert import _sink_is_empty
+
+    if not os.path.exists(sink_path) or _sink_is_empty(sink_path):
+        return False
+    return batch_df.isEmpty()
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame,
     sink_path: str,
@@ -341,6 +365,8 @@ def run_foreach_batch_upsert(
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _skippable_empty_batch(batch_df, sink_path):
+            return
         merge_reports(
             spark, sink_path, batch_df, compare_col=compare_col, key=key or KEY
         )
@@ -392,6 +418,10 @@ def run_foreach_batch_fanout(
     from spendinganalysisetl_spark.sources.upsert import merge_reports
 
     def _fanout(batch_df: DataFrame, epoch_id: int) -> None:
+        # Same skip rule as run_foreach_batch_upsert: both legs are
+        # idempotent keyed MERGEs, so an empty delta is a no-op on each.
+        if _skippable_empty_batch(batch_df, sink_path):
+            return
         batch_df.persist()
         try:
             merge_reports(

@@ -227,6 +227,46 @@ def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
     assert "id" in out.columns and "created_at" in out.columns
 
 
+def test_foreach_batch_skips_empty_final_batch(spark, events_dir, tmp_path, monkeypatch):
+    """r12: every AvailableNow drain runs a final no-data micro-batch
+    (the runtime schedules it to advance the watermark); its MERGE read
+    the whole sink and committed a byte-identical version — ~0.6 s of a
+    ~1.8 s drain at sf0.1. The skip must fire (exactly ONE merge call
+    per drain) and the sink content must equal the unskipped answer
+    (pinned by test_foreach_batch_upsert_sink above)."""
+    import spendinganalysisetl_spark.sources.upsert as U
+    from spendinganalysisetl_spark.sources.upsert import read_reports
+    from spendinganalysisetl_spark.streaming.jobs import (
+        read_event_stream,
+        run_foreach_batch_upsert,
+    )
+
+    calls = []
+    orig = U.merge_reports
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(U, "merge_reports", counting)
+    sink = str(tmp_path / "skip_sink")
+    per_type = (
+        read_event_stream(spark, events_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("event_type").alias("begin_date"),
+            F.col("event_type").alias("end_date"),
+            "n_events",
+        )
+    )
+    run_foreach_batch_upsert(per_type, sink, compare_col="n_events")
+    assert sum(calls) == 1, f"expected 1 merge (no-data batch skipped), got {sum(calls)}"
+    want = spark.read.parquet(f"{SF}/events.parquet").select("event_type").distinct().count()
+    assert read_reports(spark, sink).count() == want
+
+
 def test_foreach_batch_fanout_two_sinks(spark, events_dir, tmp_path):
     """Multi-sink fan-out: one drain lands the tumbling aggregation in
     BOTH the parquet sink and the DuckDB warehouse, each equal to the
